@@ -1,0 +1,194 @@
+package graft.core
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** ArrayData-level kernels invoked from the generated code of the custom
+  * Catalyst expressions in [[graft.functions]]. Top-level object => Scala
+  * emits static forwarders, so codegen can call
+  * `graft.core.Kernels.method(...)` directly inside whole-stage codegen.
+  */
+object Kernels {
+  import Mod61._
+
+  /** array<string> shingles -> array<long> stable hashes (order-preserving;
+    * duplicates impossible upstream because shingles are distinct, and a
+    * post-mod collision is harmless for the downstream min-reduction).
+    * Reference: synth_data.py:49 (`_stable_shingle_hash` per shingle).
+    */
+  def shingleHashes(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = sha1Mod61(arr.getUTF8String(i).getBytes)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** MD5 hash-family variant of the stable shingle hash: first 8 digest
+    * bytes big-endian unsigned, mod p. Same shape as the reference's SHA-1
+    * fingerprint but expressible in standard SQL (DuckDB oracle:
+    * ('0x'||substr(md5(s),1,16))::UHUGEINT % p), so the full MinHash
+    * pipeline gets an independent cross-engine correctness oracle.
+    */
+  def md5Mod61(utf8Bytes: Array[Byte]): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(utf8Bytes)
+    var x = 0L
+    var i = 0
+    while (i < 8) { x = (x << 8) | (d(i) & 0xffL); i += 1 }
+    java.lang.Long.remainderUnsigned(x, Prime)
+  }
+
+  /** array<string> -> array<long> via [[md5Mod61]]. */
+  def shingleHashesMd5(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = md5Mod61(arr.getUTF8String(i).getBytes)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** array<long> shingle hashes -> 128-long MinHash signature; empty input
+    * yields the all-sentinel signature (reference: synth_data.py:38-55).
+    */
+  def minhashSignature(hashes: ArrayData): ArrayData = {
+    val numPerm = MinHashCoefficients.NumPerm
+    val out = new Array[Long](numPerm)
+    val m = hashes.numElements()
+    if (m == 0) {
+      java.util.Arrays.fill(out, Prime)
+      return new GenericArrayData(out)
+    }
+    val hs = hashes.toLongArray()
+    val A = MinHashCoefficients.A
+    val B = MinHashCoefficients.B
+    var i = 0
+    while (i < numPerm) {
+      val a = A(i)
+      val b = B(i)
+      var min = Long.MaxValue
+      var j = 0
+      while (j < m) {
+        val v = addmod(mulmod(a, hs(j)), b)
+        if (v < min) min = v
+        j += 1
+      }
+      out(i) = min
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Estimated Jaccard = fraction of positionally-equal signature slots
+    * (reference: minhash_lsh.py:111-113). Assumes equal lengths.
+    */
+  def estJaccard(x: ArrayData, y: ArrayData): Double = {
+    val n = x.numElements()
+    if (n == 0) return 0.0
+    var eq = 0
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) eq += 1
+      i += 1
+    }
+    eq.toDouble / n
+  }
+
+  /** 64-bit SimHash over token hashes: sign-sum of each bit weighted by
+    * occurrence. Input: array<long> of (already hashed) token fingerprints.
+    * Public-knowledge algorithm (Charikar 2002).
+    */
+  def simhash64(hashes: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val m = hashes.numElements()
+    var j = 0
+    while (j < m) {
+      // spread the 61-bit fingerprint to 64 bits with a finalizer so high
+      // bits are populated (splitmix64 finalizer, public domain constant)
+      var h = hashes.getLong(j)
+      h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+      h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+      h = h ^ (h >>> 31)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Cosine similarity between two float vectors (array<float>). */
+  def cosine(x: ArrayData, y: ArrayData): Double = {
+    val n = x.numElements()
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val a = x.getFloat(i); val b = y.getFloat(i)
+      dot += a * b; nx += a * a; ny += b * b
+      i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0 else dot / math.sqrt(nx * ny)
+  }
+
+  /** Negative L2 distance -||p - q||_2 over long vectors; higher = more
+    * similar (reference: qed.py:65-73, worker_tasks.py:176-181). */
+  def negL2Long(x: ArrayData, y: ArrayData): Double = {
+    val n = x.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = (x.getLong(i) - y.getLong(i)).toDouble
+      s += d * d
+      i += 1
+    }
+    -math.sqrt(s)
+  }
+
+  /** Negative L2 over float vectors (embeddings variant of qed.py:65-73). */
+  def negL2Float(x: ArrayData, y: ArrayData): Double = {
+    val n = x.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = (x.getFloat(i) - y.getFloat(i)).toDouble
+      s += d * d
+      i += 1
+    }
+    -math.sqrt(s)
+  }
+
+  /** Polynomial rolling hash over UTF-8 tokens mod 2^61-1 (order-sensitive
+    * document fingerprint; base 1000003 is the public CPython string-hash
+    * multiplier). */
+  def rollingFingerprint(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val h = sha1Mod61(arr.getUTF8String(i).getBytes)
+      acc = addmod(mulmod(acc, 1000003L), h)
+      i += 1
+    }
+    acc
+  }
+}

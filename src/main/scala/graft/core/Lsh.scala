@@ -1,0 +1,115 @@
+package graft.core
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** MinHash-LSH banding index as a postings DataFrame, and the candidate
+  * generation / scoring / top-k query path on top of it
+  * (reference: app/src/minhash_lsh.py — O8-O12 in SURVEY §2).
+  *
+  * Scale notes (100 TB design):
+  *  - the "index" is a DataFrame `(id, band, band_key, key64)`; persisted as
+  *    Parquet (optionally bucketed by key64) it is rebuilt-free across jobs,
+  *    and cached it serves repeated queries — replacing the reference's
+  *    per-worker in-memory hash tables (worker_tasks.py:79-117);
+  *  - `key64 = xxhash64(band, band_key)` gives a compact fixed-width shuffle
+  *    key; the 4-long `band_key` is kept and compared in the join condition
+  *    too, so a 64-bit collision can never create a false candidate;
+  *  - single-vector probes broadcast the 32-row query side — no shuffle of
+  *    the postings side at query time;
+  *  - the bucket cap (skew guard, max_bucket_size=5000) reproduces the
+  *    reference's keep-first-5000-in-row-order semantics deterministically
+  *    via a window ordered by id.
+  */
+object Lsh {
+  case class Params(bands: Int = 32, numPerm: Int = 128, maxBucketSize: Int = 5000) {
+    require(numPerm % bands == 0, "num_perm must be divisible by bands") // minhash_lsh.py:35
+    val rows: Int = numPerm / bands
+  }
+
+  /** Explode a signature column into its per-band key slices:
+    * array<array<long>> of length `bands`, each slice `rows` long
+    * (minhash_lsh.py:47-54). */
+  def bandSlices(sig: Column, p: Params): Column =
+    transform(sequence(lit(0), lit(p.bands - 1)),
+      b => slice(sig, b * lit(p.rows) + lit(1), lit(p.rows)))
+
+  /** Build the postings table `(id, band, band_key, key64)` with the
+    * reference's bucket cap (minhash_lsh.py:42-57). */
+  def postings(sigs: DataFrame, idCol: String, sigCol: String, p: Params = Params()): DataFrame = {
+    val exploded = sigs.select(
+      col(idCol).cast("long").as("id"),
+      posexplode(bandSlices(col(sigCol), p)).as(Seq("band", "band_key")))
+    val keyed = exploded.withColumn("key64", xxhash64(col("band"), col("band_key")))
+    if (p.maxBucketSize <= 0) keyed
+    else {
+      val w = Window.partitionBy("key64", "band", "band_key").orderBy("id")
+      keyed.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= p.maxBucketSize)
+        .drop("rn")
+    }
+  }
+
+  /** Postings rows for a single query signature — a 32-row DataFrame built
+    * on the driver; key64 computed by the same Spark expression so it
+    * matches the index side bit-for-bit. */
+  def queryPostings(spark: SparkSession, querySig: Array[Long], p: Params = Params()): DataFrame = {
+    import spark.implicits._
+    val rows = (0 until p.bands).map { b =>
+      (b, querySig.slice(b * p.rows, (b + 1) * p.rows).toSeq)
+    }
+    rows.toDF("band", "band_key")
+      .withColumn("key64", xxhash64(col("band"), col("band_key")))
+  }
+
+  /** Candidate ids for a query signature: union of the query's band buckets,
+    * deduplicated (minhash_lsh.py:76-96 minus the nondeterministic
+    * 2000-candidate early exit — documented deviation, SURVEY §7.4). */
+  def candidates(index: DataFrame, query: DataFrame): DataFrame =
+    index.join(broadcast(query), Seq("key64", "band", "band_key"))
+      .select("id").distinct()
+
+  /** Full single-query top-k (O9-O11 + O19/O20 collapsed into one plan):
+    * candidates -> estimated-Jaccard score -> global top-k
+    * (`orderBy.limit` = partial per-partition top-k + driver merge via
+    * TakeOrderedAndProject). Result: (id, score, vector_preview). */
+  def querySignature(sigs: DataFrame, index: DataFrame, querySig: Array[Long], k: Int,
+                     p: Params = Params()): DataFrame = {
+    val spark = sigs.sparkSession
+    val cand = candidates(index, queryPostings(spark, querySig, p))
+    val qLit = array(querySig.map(lit(_)).toSeq: _*)
+    sigs.join(cand, sigs("doc_id") === cand("id"))
+      .select(
+        col("id"),
+        graft.functions.GraftFunctions.est_jaccard(col("sig"), qLit).as("score"),
+        slice(col("sig"), 1, 10).as("vector_preview"))
+      .orderBy(desc("score"), asc("id"))
+      .limit(k)
+  }
+
+  /** All-pairs near-duplicate candidates from the index: ids sharing at
+    * least one band bucket, normalized to a < b. The band-level join is the
+    * scale path (no cross join ever materializes). */
+  def candidatePairs(index: DataFrame): DataFrame = {
+    val l = index.select(col("key64"), col("band"), col("band_key"), col("id").as("a"))
+    val r = index.select(col("key64"), col("band"), col("band_key"), col("id").as("b"))
+    l.join(r, Seq("key64", "band", "band_key"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Similarity self-join: candidate pairs scored with estimated Jaccard and
+    * thresholded — the engine's `similarity_join` (SURVEY §7.1 step 4). */
+  def similaritySelfJoin(sigs: DataFrame, idCol: String, sigCol: String,
+                         threshold: Double, p: Params = Params()): DataFrame = {
+    val idx = postings(sigs, idCol, sigCol, p)
+    val pairs = candidatePairs(idx)
+    val sa = sigs.select(col(idCol).cast("long").as("a"), col(sigCol).as("sig_a"))
+    val sb = sigs.select(col(idCol).cast("long").as("b"), col(sigCol).as("sig_b"))
+    pairs.join(sa, "a").join(sb, "b")
+      .withColumn("score", graft.functions.GraftFunctions.est_jaccard(col("sig_a"), col("sig_b")))
+      .filter(col("score") >= threshold)
+      .select("a", "b", "score")
+  }
+}

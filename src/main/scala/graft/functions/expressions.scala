@@ -1,0 +1,168 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+
+/** Custom codegen-friendly Catalyst expressions for the kernels the
+  * reference implements in NumPy and that Spark's built-in functions can't
+  * express exactly (61-bit modular hashing — SURVEY.md §2.1 / §7.2).
+  * Each `doGenCode` emits a single static call into [[graft.core.Kernels]],
+  * keeping the operator inside whole-stage codegen.
+  */
+
+/** array<string> -> array<long>: SHA-1/8-byte/mod-p stable shingle hash,
+  * element-wise (reference: benchmarks/synth_data.py:22-25). */
+case class ShingleHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    graft.core.Kernels.shingleHashes(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.Kernels.shingleHashes($c)")
+  override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
+  override def prettyName: String = "shingle_hashes"
+}
+
+/** MD5-family variant of [[ShingleHashes]] (see Kernels.md5Mod61 — gives
+  * the pipeline a standard-SQL cross-engine oracle). */
+case class ShingleHashesMd5(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    graft.core.Kernels.shingleHashesMd5(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.Kernels.shingleHashesMd5($c)")
+  override protected def withNewChildInternal(c: Expression): ShingleHashesMd5 = copy(child = c)
+  override def prettyName: String = "shingle_hashes_md5"
+}
+
+/** array<long> shingle hashes -> array<long>(128) MinHash signature with
+  * the seed-42 linear family; empty array -> all-sentinel
+  * (reference: benchmarks/synth_data.py:38-55). */
+case class MinHashSignature(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    graft.core.Kernels.minhashSignature(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.Kernels.minhashSignature($c)")
+  override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
+  override def prettyName: String = "minhash_signature"
+}
+
+/** (array<long>, array<long>) -> double: fraction of positionally-equal
+  * slots = estimated Jaccard (reference: minhash_lsh.py:111-113). */
+case class EstJaccard(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    graft.core.Kernels.estJaccard(
+      l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) => s"graft.core.Kernels.estJaccard($l, $r)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): EstJaccard =
+    copy(left = l, right = r)
+  override def prettyName: String = "est_jaccard"
+}
+
+/** array<long> token hashes -> 64-bit SimHash fingerprint (Charikar 2002). */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    graft.core.Kernels.simhash64(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.Kernels.simhash64($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  override def prettyName: String = "simhash64"
+}
+
+/** (array<float>, array<float>) -> double cosine similarity. */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    graft.core.Kernels.cosine(
+      l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) => s"graft.core.Kernels.cosine($l, $r)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_sim"
+}
+
+/** (array<long>, array<long>) -> double: -||x-y||_2, the reference's
+  * quantization score (qed.py:65-73) over signature space. */
+case class NegL2Long(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    graft.core.Kernels.negL2Long(
+      l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) => s"graft.core.Kernels.negL2Long($l, $r)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): NegL2Long =
+    copy(left = l, right = r)
+  override def prettyName: String = "neg_l2_long"
+}
+
+/** (array<float>, array<float>) -> double: -||x-y||_2 over embeddings. */
+case class NegL2Float(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    graft.core.Kernels.negL2Float(
+      l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) => s"graft.core.Kernels.negL2Float($l, $r)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): NegL2Float =
+    copy(left = l, right = r)
+  override def prettyName: String = "neg_l2_float"
+}
+
+/** array<string> tokens -> long polynomial rolling-hash fingerprint. */
+case class RollingFingerprint(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    graft.core.Kernels.rollingFingerprint(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.Kernels.rollingFingerprint($c)")
+  override protected def withNewChildInternal(c: Expression): RollingFingerprint = copy(child = c)
+  override def prettyName: String = "rolling_fingerprint"
+}
+
+/** Column-level entry points (the public function surface of the engine). */
+object GraftFunctions {
+  private def col(e: Expression): Column = org.apache.spark.sql.graftbridge.Bridge.column(e)
+  private def ex(c: Column): Expression = org.apache.spark.sql.graftbridge.Bridge.expression(c)
+
+  def shingle_hashes(c: Column): Column = col(ShingleHashes(ex(c)))
+  def shingle_hashes_md5(c: Column): Column = col(ShingleHashesMd5(ex(c)))
+  def minhash_signature(c: Column): Column = col(MinHashSignature(ex(c)))
+  def est_jaccard(l: Column, r: Column): Column = col(EstJaccard(ex(l), ex(r)))
+  def simhash64(c: Column): Column = col(SimHash64(ex(c)))
+  def cosine_sim(l: Column, r: Column): Column = col(CosineSim(ex(l), ex(r)))
+  def neg_l2_long(l: Column, r: Column): Column = col(NegL2Long(ex(l), ex(r)))
+  def neg_l2_float(l: Column, r: Column): Column = col(NegL2Float(ex(l), ex(r)))
+  def rolling_fingerprint(c: Column): Column = col(RollingFingerprint(ex(c)))
+
+  /** Register all engine functions for SQL use. */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("shingle_hashes", es => ShingleHashes(es.head), "built-in")
+    reg.createOrReplaceTempFunction("minhash_signature", es => MinHashSignature(es.head), "built-in")
+    reg.createOrReplaceTempFunction("est_jaccard", es => EstJaccard(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("neg_l2_long", es => NegL2Long(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("neg_l2_float", es => NegL2Float(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("rolling_fingerprint", es => RollingFingerprint(es.head), "built-in")
+  }
+}

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 made Column<->Expression conversion `private[sql]`
+  * (org.apache.spark.sql.classic.ExpressionUtils). This bridge lives in a
+  * subpackage of org.apache.spark.sql purely to re-export those two
+  * conversions to the graft engine; no Spark internals are modified.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

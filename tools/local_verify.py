@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate: run graft.Verify via sbt,
+then execute each oracle_sql.json entry in DuckDB against the same parquet
+tables and compare (schema, row count, sorted-value hash).
+
+Usage: python3 tools/local_verify.py [sfDir] [outDir]
+"""
+import sys, os, json, subprocess, glob
+import duckdb
+
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+rc = subprocess.run(
+    ["sbt", "-batch", f'runMain graft.Verify {sf} {out}'],
+    cwd="/root/repo", capture_output=True, text=True, timeout=1800)
+if rc.returncode != 0:
+    print(rc.stdout[-4000:]); print(rc.stderr[-2000:]); sys.exit(1)
+for line in rc.stdout.splitlines():
+    if "[verify]" in line:
+        print(line)
+
+con = duckdb.connect()
+for p in glob.glob(f"{sf}/*.parquet"):
+    name = os.path.basename(p).replace(".parquet", "")
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+fails = 0
+for name, sql in sorted(oracle.items()):
+    spark_dir = f"{out}/{name}"
+    if not os.path.isdir(spark_dir):
+        print(f"FAIL {name}: no spark output"); fails += 1; continue
+    try:
+        got = con.execute(
+            f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").df()
+        want = con.execute(sql).df()
+    except Exception as e:
+        print(f"FAIL {name}: {e}"); fails += 1; continue
+    g = got.reindex(sorted(got.columns), axis=1)
+    w = want.reindex(sorted(want.columns), axis=1)
+    if list(g.columns) != list(w.columns):
+        print(f"FAIL {name}: columns {list(g.columns)} vs {list(w.columns)}")
+        fails += 1; continue
+    if len(g) != len(w):
+        print(f"FAIL {name}: rows {len(g)} vs {len(w)}"); fails += 1; continue
+    gs = g.sort_values(by=list(g.columns)).reset_index(drop=True)
+    ws = w.sort_values(by=list(w.columns)).reset_index(drop=True)
+    import pandas as pd
+    try:
+        pd.testing.assert_frame_equal(gs, ws, check_dtype=False,
+                                      check_exact=True)
+        print(f"PASS {name} ({len(g)} rows)")
+    except AssertionError as e:
+        print(f"FAIL {name}: value mismatch\n{str(e)[:500]}")
+        fails += 1
+print(f"\n{len(oracle) - fails}/{len(oracle)} queries pass")
+sys.exit(1 if fails else 0)
