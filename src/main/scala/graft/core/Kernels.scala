@@ -106,23 +106,20 @@ object Kernels {
     eq.toDouble / n
   }
 
-  /** 64-bit SimHash over token hashes: sign-sum of each bit weighted by
-    * occurrence. Input: array<long> of (already hashed) token fingerprints.
-    * Public-knowledge algorithm (Charikar 2002).
+  /** 61-bit SimHash over token fingerprints: per-bit sign-sum (+1 if bit
+    * set, -1 if clear), output bit set iff the sum is positive. Input:
+    * array<long> of already-hashed token fingerprints in [0, 2^61).
+    * Public-knowledge algorithm (Charikar 2002); kept at 61 bits so the
+    * identical computation is expressible in standard SQL for the oracle.
     */
-  def simhash64(hashes: ArrayData): Long = {
-    val counts = new Array[Int](64)
+  def simhash61(hashes: ArrayData): Long = {
+    val counts = new Array[Int](61)
     val m = hashes.numElements()
     var j = 0
     while (j < m) {
-      // spread the 61-bit fingerprint to 64 bits with a finalizer so high
-      // bits are populated (splitmix64 finalizer, public domain constant)
-      var h = hashes.getLong(j)
-      h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
-      h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
-      h = h ^ (h >>> 31)
+      val h = hashes.getLong(j)
       var b = 0
-      while (b < 64) {
+      while (b < 61) {
         if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
         b += 1
       }
@@ -130,7 +127,7 @@ object Kernels {
     }
     var out = 0L
     var b = 0
-    while (b < 64) {
+    while (b < 61) {
       if (counts(b) > 0) out |= (1L << b)
       b += 1
     }
@@ -177,16 +174,15 @@ object Kernels {
     -math.sqrt(s)
   }
 
-  /** Polynomial rolling hash over UTF-8 tokens mod 2^61-1 (order-sensitive
-    * document fingerprint; base 1000003 is the public CPython string-hash
-    * multiplier). */
+  /** Polynomial rolling hash over token fingerprints mod 2^61-1
+    * (order-sensitive document fingerprint; base 1000003 is the public
+    * CPython string-hash multiplier). Input: array<long> token hashes. */
   def rollingFingerprint(arr: ArrayData): Long = {
     val n = arr.numElements()
     var acc = 0L
     var i = 0
     while (i < n) {
-      val h = sha1Mod61(arr.getUTF8String(i).getBytes)
-      acc = addmod(mulmod(acc, 1000003L), h)
+      acc = addmod(mulmod(acc, 1000003L), arr.getLong(i))
       i += 1
     }
     acc

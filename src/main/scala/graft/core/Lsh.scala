@@ -9,13 +9,18 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * (reference: app/src/minhash_lsh.py — O8-O12 in SURVEY §2).
   *
   * Scale notes (100 TB design):
-  *  - the "index" is a DataFrame `(id, band, band_key, key64)`; persisted as
+  *  - the "index" is a DataFrame `(id, band, key64, key64b)`; persisted as
   *    Parquet (optionally bucketed by key64) it is rebuilt-free across jobs,
   *    and cached it serves repeated queries — replacing the reference's
   *    per-worker in-memory hash tables (worker_tasks.py:79-117);
-  *  - `key64 = xxhash64(band, band_key)` gives a compact fixed-width shuffle
-  *    key; the 4-long `band_key` is kept and compared in the join condition
-  *    too, so a 64-bit collision can never create a false candidate;
+  *  - the bucket identity is carried by TWO independent 64-bit hashes of
+  *    (band, band-slice) rather than the raw 4-long slice: every shuffle,
+  *    window and join key stays fixed-width (no array comparisons in the
+  *    hot path). A single 64-bit key would birthday-collide at ~10^12
+  *    buckets (100 TB scale); the joint 96+ bits make a false bucket merge
+  *    ~2^-60 probable, and a merge can only add candidates that scoring
+  *    then ranks out — the same tolerance the reference's byte-key tables
+  *    already accept;
   *  - single-vector probes broadcast the 32-row query side — no shuffle of
   *    the postings side at query time;
   *  - the bucket cap (skew guard, max_bucket_size=5000) reproduces the
@@ -35,39 +40,46 @@ object Lsh {
     transform(sequence(lit(0), lit(p.bands - 1)),
       b => slice(sig, b * lit(p.rows) + lit(1), lit(p.rows)))
 
-  /** Build the postings table `(id, band, band_key, key64)` with the
+  /** The two independent fixed-width bucket keys for a (band, slice) pair. */
+  private def withBucketKeys(df: DataFrame): DataFrame =
+    df.withColumn("key64", xxhash64(col("band"), col("band_key")))
+      .withColumn("key64b", xxhash64(col("band_key"), col("band")))
+      .drop("band_key")
+
+  /** Build the postings table `(id, band, key64, key64b)` with the
     * reference's bucket cap (minhash_lsh.py:42-57). */
   def postings(sigs: DataFrame, idCol: String, sigCol: String, p: Params = Params()): DataFrame = {
     val exploded = sigs.select(
       col(idCol).cast("long").as("id"),
       posexplode(bandSlices(col(sigCol), p)).as(Seq("band", "band_key")))
-    val keyed = exploded.withColumn("key64", xxhash64(col("band"), col("band_key")))
+    val keyed = withBucketKeys(exploded)
     if (p.maxBucketSize <= 0) keyed
     else {
-      val w = Window.partitionBy("key64", "band", "band_key").orderBy("id")
+      val w = Window.partitionBy("band", "key64", "key64b").orderBy("id")
       keyed.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= p.maxBucketSize)
         .drop("rn")
     }
   }
 
+  private val joinKeys = Seq("band", "key64", "key64b")
+
   /** Postings rows for a single query signature — a 32-row DataFrame built
-    * on the driver; key64 computed by the same Spark expression so it
-    * matches the index side bit-for-bit. */
+    * on the driver; keys computed by the same Spark expressions so they
+    * match the index side bit-for-bit. */
   def queryPostings(spark: SparkSession, querySig: Array[Long], p: Params = Params()): DataFrame = {
     import spark.implicits._
     val rows = (0 until p.bands).map { b =>
       (b, querySig.slice(b * p.rows, (b + 1) * p.rows).toSeq)
     }
-    rows.toDF("band", "band_key")
-      .withColumn("key64", xxhash64(col("band"), col("band_key")))
+    withBucketKeys(rows.toDF("band", "band_key"))
   }
 
   /** Candidate ids for a query signature: union of the query's band buckets,
     * deduplicated (minhash_lsh.py:76-96 minus the nondeterministic
     * 2000-candidate early exit — documented deviation, SURVEY §7.4). */
   def candidates(index: DataFrame, query: DataFrame): DataFrame =
-    index.join(broadcast(query), Seq("key64", "band", "band_key"))
+    index.join(broadcast(query), joinKeys)
       .select("id").distinct()
 
   /** Full single-query top-k (O9-O11 + O19/O20 collapsed into one plan):
@@ -92,9 +104,9 @@ object Lsh {
     * least one band bucket, normalized to a < b. The band-level join is the
     * scale path (no cross join ever materializes). */
   def candidatePairs(index: DataFrame): DataFrame = {
-    val l = index.select(col("key64"), col("band"), col("band_key"), col("id").as("a"))
-    val r = index.select(col("key64"), col("band"), col("band_key"), col("id").as("b"))
-    l.join(r, Seq("key64", "band", "band_key"))
+    val l = index.select(col("band"), col("key64"), col("key64b"), col("id").as("a"))
+    val r = index.select(col("band"), col("key64"), col("key64b"), col("id").as("b"))
+    l.join(r, joinKeys)
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
   }

@@ -1,0 +1,90 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Quantization / Edge Determination (QED) — per-dimension equi-width
+  * histograms, query-dependent bin windows, the conjunctive bin-window
+  * predicate, and the quantization (negative-L2) score
+  * (reference: app/src/qed.py — O13-O16 in SURVEY §2).
+  *
+  * Faithful to the reference's semantics (equi-width bins between the
+  * per-dimension min and max, last bin right-inclusive like np.histogram),
+  * implemented as one explode + two hash aggregations. The (D, n_bins+1)
+  * edge matrix is tiny (e.g. 64×257 doubles) and is collected / broadcast
+  * exactly like the reference ships `edges` to workers
+  * (query_service.py:54-59) — at 100 TB the explode-aggregate is the only
+  * data-sized stage and it is map-side-combinable.
+  */
+object Qed {
+  /** (vec_id, embedding) -> exploded (dim 0-based, v double). */
+  def explodeDims(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .select(col("dim"), col("v").cast("double").as("v"))
+
+  /** Per-dimension (dim, lo, hi) bounds (the histogram range). */
+  def dimBounds(df: DataFrame, vecCol: String): DataFrame =
+    explodeDims(df, vecCol).groupBy("dim")
+      .agg(min("v").as("lo"), max("v").as("hi"))
+
+  /** Bucket index of `v` within [lo, hi] split into nBins equi-width bins;
+    * matches np.histogram assignment (last bin inclusive; degenerate
+    * lo==hi range puts everything in bin 0). */
+  def bucketOf(v: Column, lo: Column, hi: Column, nBins: Int): Column =
+    when(hi === lo, lit(0)).otherwise(
+      least(floor((v - lo) * lit(nBins) / (hi - lo)), lit(nBins - 1)).cast("int"))
+
+  /** O13: per-dimension histogram counts (dim, bucket, cnt) over an
+    * embedding column. Empty buckets are omitted (sparse form). */
+  def histogram(df: DataFrame, vecCol: String, nBins: Int = 256): DataFrame = {
+    val bounds = dimBounds(df, vecCol)
+    explodeDims(df, vecCol)
+      .join(broadcast(bounds), "dim")
+      .withColumn("bucket", bucketOf(col("v"), col("lo"), col("hi"), nBins))
+      .groupBy("dim", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** O13 edges: per-dimension bin boundary array (dim, edges[n_bins+1]) —
+    * the engine-side equivalent of `hist_edges.npy` (qed.py:18-36). */
+  def histogramEdges(df: DataFrame, vecCol: String, nBins: Int = 256): DataFrame =
+    dimBounds(df, vecCol).select(
+      col("dim"),
+      transform(sequence(lit(0), lit(nBins)),
+        i => col("lo") + (col("hi") - col("lo")) * i.cast("double") / lit(nBins).cast("double"))
+        .as("edges"))
+
+  /** O14: query-dependent bin windows, driver-side like the reference
+    * (qed.py:38-52): per dim, the query's bin widened by
+    * r = max(1, int(p_fraction*n_bins)) and clamped. `edges(d)` is the
+    * ascending boundary array for dimension d. */
+  def queryDependentBins(query: Array[Double], edges: Array[Array[Double]],
+                         pFraction: Double = 0.02): Array[(Int, Int)] = {
+    val nBins = edges(0).length - 1
+    val r = math.max(1, (pFraction * nBins).toInt)
+    query.indices.map { d =>
+      // np.searchsorted(edges, qv, side='right') - 1
+      val e = edges(d)
+      var idx = java.util.Arrays.binarySearch(e, query(d))
+      if (idx >= 0) { // rightmost equal element
+        while (idx + 1 < e.length && e(idx + 1) == query(d)) idx += 1
+      } else idx = -idx - 2
+      val lo = math.max(0, idx - r)
+      val hi = math.min(nBins - 1, idx + r)
+      (lo, hi)
+    }.toArray
+  }
+
+  /** O15: conjunctive bin-window predicate — true iff every dimension's
+    * bucket falls inside its [lo, hi] window (qed.py:54-63). `windows` are
+    * the (lo, hi) pairs from [[queryDependentBins]]; `bounds` the collected
+    * per-dim (lo, hi) value ranges used for bucketing. */
+  def passesBins(vec: Column, bounds: Array[(Double, Double)],
+                 windows: Array[(Int, Int)], nBins: Int = 256): Column = {
+    val dimChecks = windows.indices.map { d =>
+      val (lo, hi) = bounds(d)
+      val b = bucketOf(element_at(vec, d + 1).cast("double"), lit(lo), lit(hi), nBins)
+      b.between(windows(d)._1, windows(d)._2)
+    }
+    dimChecks.reduce(_ && _)
+  }
+}

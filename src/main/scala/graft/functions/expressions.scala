@@ -68,16 +68,16 @@ case class EstJaccard(left: Expression, right: Expression) extends BinaryExpress
   override def prettyName: String = "est_jaccard"
 }
 
-/** array<long> token hashes -> 64-bit SimHash fingerprint (Charikar 2002). */
-case class SimHash64(child: Expression) extends UnaryExpression {
+/** array<long> token hashes -> 61-bit SimHash fingerprint (Charikar 2002). */
+case class SimHash61(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(v: Any): Any =
-    graft.core.Kernels.simhash64(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    graft.core.Kernels.simhash61(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.core.Kernels.simhash64($c)")
-  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
-  override def prettyName: String = "simhash64"
+    defineCodeGen(ctx, ev, c => s"graft.core.Kernels.simhash61($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash61 = copy(child = c)
+  override def prettyName: String = "simhash61"
 }
 
 /** (array<float>, array<float>) -> double cosine similarity. */
@@ -126,7 +126,7 @@ case class NegL2Float(left: Expression, right: Expression) extends BinaryExpress
   override def prettyName: String = "neg_l2_float"
 }
 
-/** array<string> tokens -> long polynomial rolling-hash fingerprint. */
+/** array<long> token hashes -> long polynomial rolling-hash fingerprint. */
 case class RollingFingerprint(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
@@ -147,7 +147,7 @@ object GraftFunctions {
   def shingle_hashes_md5(c: Column): Column = col(ShingleHashesMd5(ex(c)))
   def minhash_signature(c: Column): Column = col(MinHashSignature(ex(c)))
   def est_jaccard(l: Column, r: Column): Column = col(EstJaccard(ex(l), ex(r)))
-  def simhash64(c: Column): Column = col(SimHash64(ex(c)))
+  def simhash61(c: Column): Column = col(SimHash61(ex(c)))
   def cosine_sim(l: Column, r: Column): Column = col(CosineSim(ex(l), ex(r)))
   def neg_l2_long(l: Column, r: Column): Column = col(NegL2Long(ex(l), ex(r)))
   def neg_l2_float(l: Column, r: Column): Column = col(NegL2Float(ex(l), ex(r)))
@@ -159,7 +159,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("shingle_hashes", es => ShingleHashes(es.head), "built-in")
     reg.createOrReplaceTempFunction("minhash_signature", es => MinHashSignature(es.head), "built-in")
     reg.createOrReplaceTempFunction("est_jaccard", es => EstJaccard(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("simhash61", es => SimHash61(es.head), "built-in")
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("neg_l2_long", es => NegL2Long(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("neg_l2_float", es => NegL2Float(es(0), es(1)), "built-in")

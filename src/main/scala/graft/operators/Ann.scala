@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.core.Mod61
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Approximate / exact nearest-neighbor search over an embedding column
+  * (array<float>). Brute-force cosine top-k is the correctness baseline
+  * (reference O23's shape); random-hyperplane LSH bucketing is the scale
+  * path (public SimHash-for-cosine construction, Charikar 2002).
+  */
+object Ann {
+
+  /** Random-hyperplane bucket id = sign bits of `planes` dot products
+    * against deterministic ±1 hyperplanes. The ±1 weight for (plane p,
+    * dim d) is bit0 of the seed-42 MinHash linear hash of p*64+d+1 —
+    * nonlinear in its argument yet exactly reproducible in standard SQL
+    * (needed for the DuckDB oracle). Used by Dedup too. */
+  def rhpBucket(v: Column, planes: Int): Column = {
+    // expressed with built-in HOFs so it stays codegen'd and the identical
+    // arithmetic is writable in DuckDB SQL for the oracle
+    val dots = transform(sequence(lit(0), lit(planes - 1)), p =>
+      aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1), (x, d) =>
+          x.cast("double") * rhpWeightCol(p, d)),
+        lit(0.0), (acc, x) => acc + x))
+    aggregate(
+      zip_with(dots, sequence(lit(0), lit(planes - 1)), (dot, p) =>
+        when(dot > 0, call_function("shiftleft", lit(1L), p.cast("int"))).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** ±1 weight as a Column: bit0 of (A(p)*(p*64+d+1)+B(p)) mod 2^61-1.
+    * Coefficients indexed per-plane from the shared fixture. */
+  private def rhpWeightCol(p: Column, d: Column): Column = {
+    import graft.core.MinHashCoefficients.{A, B}
+    val aArr = array(A.take(16).map(lit(_)).toSeq: _*)
+    val bArr = array(B.take(16).map(lit(_)).toSeq: _*)
+    val x = p * lit(64L) + d + lit(1L)
+    // A(p)*x fits in 128-bit only; but x <= 16*64+64+1 ~ 2^11 and A < 2^61
+    // overflows Long. Use mod-arithmetic: (A mod P * x) mod P with x tiny =>
+    // A*x < 2^72 overflows. Instead reduce A to A mod small? Must match
+    // kernel exactly: kernel uses Mod61.perm. So compute via decimal.
+    val prod = element_at(aArr, p.cast("int") + 1).cast("decimal(38,0)") * x.cast("decimal(38,0)")
+    val hv = (prod + element_at(bArr, p.cast("int") + 1).cast("decimal(38,0)")) % lit(Mod61.Prime).cast("decimal(38,0)")
+    when(hv.cast("decimal(38,0)") % 2 === 1, lit(-1.0)).otherwise(lit(1.0))
+  }
+
+  /** Exact brute-force top-k neighbors for each query vector, by a chosen
+    * similarity column builder. Output: (query_id, rank, id).
+    * `queries` must be small (it is broadcast); the scored side never
+    * shuffles more than (N x Q) rows into the per-query top-k. */
+  def bruteForceTopK(embs: DataFrame, queries: DataFrame, k: Int,
+                     sim: (Column, Column) => Column,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val base = embs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+    val scored = base.crossJoin(broadcast(q))
+      .select(col("query_id"), col("id"), sim(col("v"), col("qv")).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "id")
+  }
+
+  /** Cosine top-k via the LSH bucket path: only candidates sharing the
+    * query's hyperplane bucket are scored (the 100 TB path; recall depends
+    * on `planes`). Output: (query_id, rank, id). */
+  def lshCosineTopK(embs: DataFrame, queries: DataFrame, k: Int, planes: Int = 8,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val base = embs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", rhpBucket(col("v"), planes))
+    val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+      .withColumn("bucket", rhpBucket(col("qv"), planes))
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("id"))
+    base.join(broadcast(q), "bucket")
+      .select(col("query_id"), col("id"), cosine_sim(col("v"), col("qv")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "id")
+  }
+}

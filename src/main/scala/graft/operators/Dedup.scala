@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.core.{Lsh, Shingling}
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Training-data deduplication operators over a documents table
+  * (doc_id, text): exact, MinHash+LSH near-dup, SimHash, n-gram Jaccard.
+  * All are single-shuffle group-bys or band-join candidate generation —
+  * no O(N^2) stage ever materializes, so they scale to the 100 TB case.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash: (text_hash, cnt, keep_id,
+    * dup_ids). `keep_id` is the smallest doc_id (canonical survivor). */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        min(col(idCol)).as("keep_id"))
+
+  /** Near-duplicate candidate pairs via MinHash+LSH over word k-gram
+    * shingles, scored with estimated Jaccard and thresholded.
+    * Output: (a, b, score), a < b. */
+  def nearMinHashLsh(docs: DataFrame, k: Int = 3, threshold: Double = 0.8,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     lsh: Lsh.Params = Lsh.Params()): DataFrame = {
+    val sigs = docs.select(
+      col(idCol).cast("long").as(idCol),
+      minhash_signature(shingle_hashes_md5(
+        Shingling.shingles(col(textCol), k, byWord = true))).as("sig"))
+    Lsh.similaritySelfJoin(sigs, idCol, "sig", threshold, lsh)
+  }
+
+  /** SimHash near-dup: 61-bit fingerprint per doc; near-dup pairs are found
+    * by the public "split the fingerprint into hamming_budget+1 blocks —
+    * any pair within budget shares at least one exact block" trick
+    * (pigeonhole), so candidate generation is an equi-join, not a cross
+    * join. Output: (a, b, hamming), a < b, hamming <= budget. */
+  def nearSimHash(docs: DataFrame, hammingBudget: Int = 3,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val nBlocks = hammingBudget + 1
+    val blockBits = 61 / nBlocks + (if (61 % nBlocks == 0) 0 else 1)
+    val fp = docs.select(
+      col(idCol).cast("long").as("id"),
+      simhash61(shingle_hashes_md5(Shingling.tokens(col(textCol)))).as("fp"))
+    val blocks = fp.select(
+      col("id"), col("fp"),
+      posexplode(transform(sequence(lit(0), lit(nBlocks - 1)),
+        b => call_function("shiftright", col("fp"), (b * lit(blockBits)).cast("int"))
+          .bitwiseAND(lit((1L << blockBits) - 1)))).as(Seq("block", "bkey")))
+    val l = blocks.select(col("block"), col("bkey"), col("id").as("a"), col("fp").as("fp_a"))
+    val r = blocks.select(col("block"), col("bkey"), col("id").as("b"), col("fp").as("fp_b"))
+    l.join(r, Seq("block", "bkey"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= hammingBudget)
+  }
+
+  /** Exact n-gram Jaccard on shingle sets for candidate pairs produced by
+    * the LSH index (true Jaccard, not the MinHash estimate): the
+    * semantically-sound near-dup metric from SURVEY §4.3. */
+  def ngramJaccard(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   lsh: Lsh.Params = Lsh.Params()): DataFrame = {
+    val base = docs.select(
+      col(idCol).cast("long").as(idCol),
+      Shingling.shingles(col(textCol), k, byWord = true).as("shingles"))
+    val sigs = base.withColumn("sig", minhash_signature(shingle_hashes_md5(col("shingles"))))
+    val pairs = Lsh.candidatePairs(Lsh.postings(sigs, idCol, "sig", lsh))
+    val sa = base.select(col(idCol).as("a"), col("shingles").as("sh_a"))
+    val sb = base.select(col(idCol).as("b"), col("shingles").as("sh_b"))
+    pairs.join(sa, "a").join(sb, "b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
+  /** Embedding near-dup: pairs with cosine >= threshold, candidates from
+    * random-hyperplane LSH buckets (see [[Ann.rhpBucket]]) to avoid the
+    * cross join at scale. */
+  def nearEmbeddingCosine(embs: DataFrame, threshold: Double = 0.95,
+                          planes: Int = 12, idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    val b = embs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", Ann.rhpBucket(col("v"), planes))
+    val l = b.select(col("bucket"), col("id").as("a"), col("v").as("va"))
+    val r = b.select(col("bucket"), col("id").as("b"), col("v").as("vb"))
+    l.join(r, "bucket").filter(col("a") < col("b"))
+      .select(col("a"), col("b"), cosine_sim(col("va"), col("vb")).as("cos"))
+      .distinct()
+      .filter(col("cos") >= threshold)
+  }
+}

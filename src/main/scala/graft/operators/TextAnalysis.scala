@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.core.Shingling
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Text-analysis operators for a training-data pipeline: language ID
+  * (stopword-ratio heuristic), quality scoring, token counting, document
+  * fingerprinting. All pure per-row projections (no shuffle), expressed
+  * with built-in functions so they stay inside whole-stage codegen.
+  */
+object TextAnalysis {
+
+  /** Per-language stopword lists (tiny, broadcast-as-literal). Public
+    * high-frequency function words. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "und", "in", "den", "von", "zu", "das", "mit", "sich"),
+    "en" -> Seq("the", "of", "and", "to", "in", "a", "is", "that", "it", "was"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "se", "no", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "est", "dans"))
+
+  private def toks(text: Column): Column = Shingling.tokens(lower(text))
+
+  /** Fraction of tokens that are stopwords of language `lang`. */
+  def stopwordRatio(text: Column, lang: String): Column = {
+    val sw = array(stopwords(lang).map(lit(_)): _*)
+    val t = toks(text)
+    when(size(t) === 0, lit(0.0)).otherwise(
+      size(filter(t, x => array_contains(sw, x))).cast("double") /
+        size(t).cast("double"))
+  }
+
+  /** Heuristic language ID: the language with the highest stopword ratio
+    * (ties broken lexicographically; all-zero -> "und" undetermined). */
+  def langId(text: Column): Column = {
+    val langs = stopwords.keys.toSeq.sorted
+    val scores = langs.map(l => stopwordRatio(text, l))
+    val best = greatest(scores: _*)
+    // foldRight: earlier (lexicographically smaller) langs win ties
+    langs.zip(scores).foldRight(lit("und"): Column) {
+      case ((l, s), acc) => when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Quality features + a composite score in [0,1]:
+    * 0.4*letter-char ratio + 0.3*capped mean token length/10 +
+    * 0.3*(1 - punctuation ratio). Deterministic double arithmetic
+    * (identical expression order in the SQL oracle). */
+  def qualityScore(text: Column): Column = {
+    val t = toks(text)
+    val nChars = length(text).cast("double")
+    val letters = length(regexp_replace(text, "[^A-Za-z]", "")).cast("double")
+    val punct = length(regexp_replace(text, "[^.,;:!?'\"]", "")).cast("double")
+    val meanTokLen = when(size(t) === 0, lit(0.0))
+      .otherwise(aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") /
+        size(t).cast("double"))
+    when(nChars === 0, lit(0.0)).otherwise(
+      lit(0.4) * (letters / nChars) +
+        lit(0.3) * least(meanTokLen / lit(10.0), lit(1.0)) +
+        lit(0.3) * (lit(1.0) - punct / nChars))
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(toks(text))
+
+  /** BPE-ish subword count: runs of letters, runs of digits, or single
+    * other non-space chars (a cheap proxy for tokenizer cost). */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Order-sensitive document fingerprint: polynomial rolling hash over
+    * md5-family token fingerprints. */
+  def fingerprint(text: Column): Column =
+    rolling_fingerprint(shingle_hashes_md5(toks(text)))
+
+  /** One-stop projection of all text-analysis columns. */
+  def analyze(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol),
+      langId(col(textCol)).as("lang_pred"),
+      qualityScore(col(textCol)).as("quality"),
+      tokenCount(col(textCol)).as("n_tokens"),
+      subwordCount(col(textCol)).as("n_subwords"),
+      fingerprint(col(textCol)).as("fingerprint"))
+}
