@@ -60,8 +60,50 @@ object Kernels {
     new GenericArrayData(out)
   }
 
-  /** array<long> shingle hashes -> 128-long MinHash signature; empty input
-    * yields the all-sentinel signature (reference: synth_data.py:38-55).
+  /** Reference-faithful MinHash signature: the reference's NumPy kernel
+    * (synth_data.py:48-54) computes `(int(a[i]) * sh_ints + b[i]) % PRIME`
+    * where `sh_ints` is an int64 array, so the product silently WRAPS at
+    * 2^64 (the `astype(object)` temporaries meant to prevent this,
+    * synth_data.py:46-47, are dead code). NumPy's `%` then returns a
+    * non-negative remainder. Java long arithmetic wraps identically, so
+    * bit-faithful emulation is one multiply, one add, one sign-adjusted
+    * mod — validated against reference-executed goldens in
+    * MinHashGoldenSpec and ReferenceParitySpec.
+    */
+  def minhashSignatureRef(hashes: ArrayData): ArrayData = {
+    val numPerm = MinHashCoefficients.NumPerm
+    val out = new Array[Long](numPerm)
+    val m = hashes.numElements()
+    if (m == 0) {
+      java.util.Arrays.fill(out, Prime)
+      return new GenericArrayData(out)
+    }
+    val hs = hashes.toLongArray()
+    val A = MinHashCoefficients.A
+    val B = MinHashCoefficients.B
+    var i = 0
+    while (i < numPerm) {
+      val a = A(i)
+      val b = B(i)
+      var min = Long.MaxValue
+      var j = 0
+      while (j < m) {
+        val wrapped = a * hs(j) + b // wraps exactly like np.int64
+        var v = wrapped % Prime     // Java %: sign of dividend
+        if (v < 0) v += Prime       // numpy %: sign of divisor
+        if (v < min) min = v
+        j += 1
+      }
+      out(i) = min
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Clean-arithmetic MinHash signature — true (a*x+b) mod p via 61-bit
+    * mulmod, the mathematically-intended family (used by the md5 pipeline
+    * whose DuckDB oracle computes the same exact HUGEINT arithmetic);
+    * empty input yields the all-sentinel signature.
     */
   def minhashSignature(hashes: ArrayData): ArrayData = {
     val numPerm = MinHashCoefficients.NumPerm

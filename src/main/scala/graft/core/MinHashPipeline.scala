@@ -18,5 +18,5 @@ object MinHashPipeline {
 
   def withSignature(df: DataFrame, textCol: String, p: Params = Params()): DataFrame =
     withShingles(df, textCol, p)
-      .withColumn("sig", minhash_signature(shingle_hashes(col("shingles"))))
+      .withColumn("sig", minhash_signature_ref(shingle_hashes(col("shingles"))))
 }

@@ -38,9 +38,22 @@ case class ShingleHashesMd5(child: Expression) extends UnaryExpression {
   override def prettyName: String = "shingle_hashes_md5"
 }
 
+/** Reference-faithful MinHash signature (emulates the reference's int64
+  * overflow wrap — see Kernels.minhashSignatureRef). */
+case class MinHashSignatureRef(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    graft.core.Kernels.minhashSignatureRef(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.Kernels.minhashSignatureRef($c)")
+  override protected def withNewChildInternal(c: Expression): MinHashSignatureRef = copy(child = c)
+  override def prettyName: String = "minhash_signature_ref"
+}
+
 /** array<long> shingle hashes -> array<long>(128) MinHash signature with
-  * the seed-42 linear family; empty array -> all-sentinel
-  * (reference: benchmarks/synth_data.py:38-55). */
+  * the seed-42 linear family, clean mod-p arithmetic; empty array ->
+  * all-sentinel (reference: benchmarks/synth_data.py:38-55). */
 case class MinHashSignature(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -146,6 +159,7 @@ object GraftFunctions {
   def shingle_hashes(c: Column): Column = col(ShingleHashes(ex(c)))
   def shingle_hashes_md5(c: Column): Column = col(ShingleHashesMd5(ex(c)))
   def minhash_signature(c: Column): Column = col(MinHashSignature(ex(c)))
+  def minhash_signature_ref(c: Column): Column = col(MinHashSignatureRef(ex(c)))
   def est_jaccard(l: Column, r: Column): Column = col(EstJaccard(ex(l), ex(r)))
   def simhash61(c: Column): Column = col(SimHash61(ex(c)))
   def cosine_sim(l: Column, r: Column): Column = col(CosineSim(ex(l), ex(r)))
@@ -158,6 +172,7 @@ object GraftFunctions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("shingle_hashes", es => ShingleHashes(es.head), "built-in")
     reg.createOrReplaceTempFunction("minhash_signature", es => MinHashSignature(es.head), "built-in")
+    reg.createOrReplaceTempFunction("minhash_signature_ref", es => MinHashSignatureRef(es.head), "built-in")
     reg.createOrReplaceTempFunction("est_jaccard", es => EstJaccard(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("simhash61", es => SimHash61(es.head), "built-in")
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "built-in")
