@@ -85,12 +85,10 @@ object SparkEntry {
     val cs = sigs.select(col("doc_id").as("id"), col("sig").as("sig_c"))
     val qs = sigs.filter(col("doc_id") < nQueries)
       .select(col("doc_id").as("query_id"), col("sig").as("sig_q"))
-    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("id"))
-    broadcast(cand).join(cs, "id").join(broadcast(qs), "query_id")
+    val scored = broadcast(cand).join(cs, "id").join(broadcast(qs), "query_id")
       .withColumn("score", est_jaccard(col("sig_c"), col("sig_q")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "id", "score")
+    Ann.explodeTopKWithScore(scored.groupBy("query_id")
+      .agg(graft.functions.TopKByScore.top_k_by_score(col("score"), col("id"), k).as("topk")))
   }
 
   /** Brute-force top-k per query doc by the reference's oracle metric
@@ -99,13 +97,11 @@ object SparkEntry {
     val sigs = md5Sigs(s, dir)
     val q = sigs.filter(col("doc_id") < nQueries)
       .select(col("doc_id").as("query_id"), col("sig").as("sig_q"))
-    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("id"))
-    sigs.select(col("doc_id").as("id"), col("sig").as("sig_c"))
+    val scored = sigs.select(col("doc_id").as("id"), col("sig").as("sig_c"))
       .crossJoin(broadcast(q))
       .withColumn("score", neg_l2_long(col("sig_c"), col("sig_q")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "id")
+    Ann.explodeTopK(scored.groupBy("query_id")
+      .agg(graft.functions.TopKByScore.top_k_by_score(col("score"), col("id"), k).as("topk")))
   }
 
   // ---- shared DuckDB fragments ------------------------------------------

@@ -1,0 +1,78 @@
+package graft.api
+
+import graft.core.{Lsh, MinHashPipeline}
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver-facing query API mirroring the reference's `/query` HTTP
+  * contract (query_service.py:139-196): `query(vector, k)` returns k
+  * candidates `(id, score, vector_preview)` sorted score-desc, padded with
+  * id=-1 / score=0.0 when fewer than k exist (O12/O20-21; the HTTP
+  * transport itself is out of capability scope — SURVEY §7.1 step 7).
+  *
+  * Index lifecycle (O6/O17/O22): build once from a corpus, `save` persists
+  * signatures + postings as range-sharded Parquet (the engine's form of
+  * `split_and_save` sharding — index_builder.py:22-36), `load` restores
+  * and re-caches them; a restarted cluster rebuilds from Parquet instead
+  * of recomputing (unlike the reference's memory-only worker tables).
+  */
+final class QueryEngine private (
+    val spark: SparkSession,
+    val sigs: DataFrame,      // (doc_id, sig)
+    val index: DataFrame,     // (id, band, key64, key64b)
+    val params: Lsh.Params) {
+  import QueryEngine.Candidate
+
+  /** Warm the caches (O22 cluster warm-up: the eager `postings.count`). */
+  def warmUp(): QueryEngine = { sigs.count(); index.count(); this }
+
+  /** Single-vector top-k probe, k-padded like the reference response. */
+  def query(vector: Array[Long], k: Int = 10): Seq[Candidate] = {
+    val hits = Lsh.querySignature(sigs, index, vector, k, params)
+      .collect()
+      .map(r => Candidate(r.getLong(0), r.getDouble(1), r.getSeq[Long](2)))
+      .toSeq
+    // minhash_lsh.py:98-102,128-133: no candidates -> [(-1, 0.0)] then pad
+    val base = if (hits.isEmpty) Seq(Candidate(-1L, 0.0, Nil)) else hits
+    base.padTo(k, Candidate(-1L, 0.0, Nil)).take(k)
+  }
+
+  /** JSON response shaped like the reference's endpoint payload. */
+  def queryJson(vector: Array[Long], k: Int = 10): String =
+    query(vector, k).map { c =>
+      s"""{"id":${c.id},"score":${c.score},"vector_preview":[${c.vectorPreview.mkString(",")}]}"""
+    }.mkString("""{"candidates":[""", ",", "]}")
+
+  /** Persist signatures + postings as range-sharded Parquet (O6: shards in
+    * id order; `shards` maps to the reference's ceil(N/shard_size)). */
+  def save(dir: String, shards: Int = 4): Unit = {
+    sigs.repartitionByRange(shards, col("doc_id"))
+      .write.mode("overwrite").parquet(s"$dir/signatures")
+    index.repartitionByRange(shards, col("band"), col("key64"))
+      .write.mode("overwrite").parquet(s"$dir/postings")
+  }
+}
+
+object QueryEngine {
+  case class Candidate(id: Long, score: Double, vectorPreview: Seq[Long])
+
+  /** Offline index build (SURVEY §3.2): corpus -> signatures -> postings,
+    * both cached. */
+  def build(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+            mp: MinHashPipeline.Params = MinHashPipeline.Params(),
+            lp: Lsh.Params = Lsh.Params()): QueryEngine = {
+    val sigs = MinHashPipeline.withSignature(docs, textCol, mp)
+      .select(col(idCol).cast("long").as("doc_id"), col("sig")).cache()
+    val index = Lsh.postings(sigs, "doc_id", "sig", lp).cache()
+    new QueryEngine(docs.sparkSession, sigs, index, lp)
+  }
+
+  /** Restore a saved index (restart-safe, unlike the reference's
+    * memory-only worker state). */
+  def load(spark: SparkSession, dir: String, lp: Lsh.Params = Lsh.Params()): QueryEngine = {
+    val sigs = spark.read.parquet(s"$dir/signatures").cache()
+    val index = spark.read.parquet(s"$dir/postings").cache()
+    new QueryEngine(spark, sigs, index, lp)
+  }
+}

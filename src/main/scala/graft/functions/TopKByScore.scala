@@ -1,0 +1,136 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+import java.nio.ByteBuffer
+
+/** Bounded top-k buffer: keeps the k best (score desc, id asc) pairs.
+  * Array-backed with lazy worst tracking — update is O(1) amortized until
+  * full, O(k) on eviction scan (k is small: 5-100). */
+final class TopKBuffer(val k: Int) {
+  val scores = new Array[Double](k)
+  val ids = new Array[Long](k)
+  var size = 0
+
+  @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+    s1 < s2 || (s1 == s2 && i1 > i2)
+
+  private def worstIdx: Int = {
+    var w = 0
+    var i = 1
+    while (i < size) {
+      if (worse(scores(i), ids(i), scores(w), ids(w))) w = i
+      i += 1
+    }
+    w
+  }
+
+  def add(score: Double, id: Long): Unit = {
+    if (size < k) {
+      scores(size) = score; ids(size) = id; size += 1
+    } else if (k > 0) {
+      val w = worstIdx
+      if (worse(scores(w), ids(w), score, id)) {
+        scores(w) = score; ids(w) = id
+      }
+    }
+  }
+
+  def mergeFrom(o: TopKBuffer): Unit = {
+    var i = 0
+    while (i < o.size) { add(o.scores(i), o.ids(i)); i += 1 }
+  }
+
+  /** (score, id) pairs sorted score desc, id asc. */
+  def sorted: Array[(Double, Long)] = {
+    val out = (0 until size).map(i => (scores(i), ids(i))).toArray
+    out.sortBy { case (s, i) => (-s, i) }
+  }
+}
+
+/** Grouped partial+final top-k as a real aggregate function: map-side
+  * combine keeps only k rows per group per partition, so grouped top-k
+  * shuffles O(groups x k) instead of all scored rows (the reference's
+  * per-worker top_m=100 then global merge — worker_tasks.py:150,166-168,
+  * query_service.py:186-192 — as one Catalyst aggregate).
+  *
+  * Usage: df.groupBy("query_id").agg(top_k_by_score(score, id, k)) ->
+  * array<struct<score double, id long>> sorted score desc, id asc.
+  */
+case class TopKByScore(
+    scoreExpr: Expression,
+    idExpr: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKBuffer] {
+
+  override def children: Seq[Expression] = Seq(scoreExpr, idExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("score", DoubleType, nullable = false),
+      StructField("id", LongType, nullable = false))), containsNull = false)
+
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+
+  override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
+    val s = scoreExpr.eval(input)
+    val i = idExpr.eval(input)
+    if (s != null && i != null)
+      buf.add(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: TopKBuffer, other: TopKBuffer): TopKBuffer = {
+    buf.mergeFrom(other); buf
+  }
+
+  override def eval(buf: TopKBuffer): Any = {
+    val rows = buf.sorted.map { case (s, i) =>
+      new GenericInternalRow(Array[Any](s, i))
+    }
+    new GenericArrayData(rows.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(buf: TopKBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 + buf.size * 16)
+    bb.putInt(buf.k).putInt(buf.size)
+    var i = 0
+    while (i < buf.size) {
+      bb.putDouble(buf.scores(i)); bb.putLong(buf.ids(i)); i += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new TopKBuffer(bb.getInt())
+    val n = bb.getInt()
+    var i = 0
+    while (i < n) { buf.add(bb.getDouble(), bb.getLong()); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKByScore =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKByScore =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): TopKByScore =
+    copy(scoreExpr = cs(0), idExpr = cs(1))
+  override def prettyName: String = "top_k_by_score"
+}
+
+object TopKByScore {
+  import org.apache.spark.sql.graftbridge.Bridge
+
+  def top_k_by_score(score: Column, id: Column, k: Int): Column =
+    Bridge.column(
+      TopKByScore(Bridge.expression(score), Bridge.expression(id), k)
+        .toAggregateExpression())
+}

@@ -48,21 +48,34 @@ object Ann {
     when(hv.cast("decimal(38,0)") % 2 === 1, lit(-1.0)).otherwise(lit(1.0))
   }
 
+  /** Explode a per-group top-k array (from [[graft.functions.TopKByScore]])
+    * into (query_id, rank, id) rows. */
+  def explodeTopK(grouped: DataFrame): DataFrame =
+    grouped.select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "hit")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("hit.id").as("id"))
+
+  /** Same, keeping the score column: (query_id, rank, id, score). */
+  def explodeTopKWithScore(grouped: DataFrame): DataFrame =
+    grouped.select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "hit")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("hit.id").as("id"), col("hit.score").as("score"))
+
   /** Exact brute-force top-k neighbors for each query vector, by a chosen
     * similarity column builder. Output: (query_id, rank, id).
-    * `queries` must be small (it is broadcast); the scored side never
-    * shuffles more than (N x Q) rows into the per-query top-k. */
+    * `queries` is broadcast; the grouped top-k runs as a partial+final
+    * aggregate (TopKByScore), so only (groups x k) rows shuffle —
+    * the reference's per-worker top_m + driver merge pattern (O19/O20). */
   def bruteForceTopK(embs: DataFrame, queries: DataFrame, k: Int,
                      sim: (Column, Column) => Column,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.TopKByScore.top_k_by_score
     val base = embs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
     val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
     val scored = base.crossJoin(broadcast(q))
       .select(col("query_id"), col("id"), sim(col("v"), col("qv")).as("score"))
-    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "id")
+    explodeTopK(scored.groupBy("query_id")
+      .agg(top_k_by_score(col("score"), col("id"), k).as("topk")))
   }
 
   /** Cosine top-k via the LSH bucket path: only candidates sharing the
@@ -70,15 +83,14 @@ object Ann {
     * on `planes`). Output: (query_id, rank, id). */
   def lshCosineTopK(embs: DataFrame, queries: DataFrame, k: Int, planes: Int = 8,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.TopKByScore.top_k_by_score
     val base = embs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .withColumn("bucket", rhpBucket(col("v"), planes))
     val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
       .withColumn("bucket", rhpBucket(col("qv"), planes))
-    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("id"))
-    base.join(broadcast(q), "bucket")
+    explodeTopK(base.join(broadcast(q), "bucket")
       .select(col("query_id"), col("id"), cosine_sim(col("v"), col("qv")).as("score"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "id")
+      .groupBy("query_id")
+      .agg(top_k_by_score(col("score"), col("id"), k).as("topk")))
   }
 }

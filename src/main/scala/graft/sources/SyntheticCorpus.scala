@@ -1,0 +1,43 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Distributed seed-stable synthetic corpus generator (O1 —
+  * benchmarks/synth_data.py:86-120 reimagined for scale): the reference
+  * builds its corpus in a single-process Python loop; here every doc is
+  * derived purely from its id through hash-based uniforms, so generation
+  * is embarrassingly parallel, shuffle-free, and IDENTICAL for any
+  * partitioning or executor count — the property that matters at 100 TB.
+  *
+  * (NumPy's MT19937 draw order cannot be reproduced without serializing
+  * generation, which would defeat distribution; the reference's actual
+  * corpus is covered separately by the checked-in parity fixture.)
+  */
+object SyntheticCorpus {
+  /** Deterministic per-(id, stream) uniform in [0, 1): xxhash64-based. */
+  private def u(id: org.apache.spark.sql.Column, stream: org.apache.spark.sql.Column, seed: Int) =
+    (pmod(xxhash64(id, stream, lit(seed)), lit(1L << 40)).cast("double") /
+      lit((1L << 40).toDouble))
+
+  /** docs(doc_id, text): ~N(avgWords, sigmaWords) words (clamped >= 1)
+    * drawn uniformly from vocab {w0..w{V-1}} — the reference generator's
+    * distributional shape (synth_data.py:101-109). */
+  def docs(spark: SparkSession, nDocs: Long, vocabSize: Int = 20,
+           avgWords: Int = 40, sigmaWords: Double = 10.0, seed: Int = 42): DataFrame = {
+    val id = col("id")
+    // Box-Muller from two hash-uniforms (clamp u1 away from 0)
+    val u1 = greatest(u(id, lit(-1), seed), lit(1e-12))
+    val u2 = u(id, lit(-2), seed)
+    val gauss = sqrt(lit(-2.0) * log(u1)) * cos(lit(2.0 * math.Pi) * u2)
+    val nWords = greatest(lit(1), (lit(avgWords) + lit(sigmaWords) * gauss).cast("int"))
+    spark.range(nDocs)
+      .withColumn("n_words", nWords)
+      .select(
+        col("id").as("doc_id"),
+        concat_ws(" ",
+          transform(sequence(lit(1), col("n_words")),
+            i => concat(lit("w"), pmod(xxhash64(col("id"), i, lit(seed)), lit(vocabSize)))))
+          .as("text"))
+  }
+}

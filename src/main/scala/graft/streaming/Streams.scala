@@ -1,0 +1,109 @@
+package graft.streaming
+
+import graft.core.{Lsh, MinHashPipeline}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Structured Streaming surface of the engine (an extension over the
+  * reference, which has no streaming — SURVEY §2.1). The batch pipeline
+  * operators are stateless projections, so they run unchanged on streaming
+  * DataFrames; this module adds the stateful pieces: watermarked windowed
+  * aggregation, session windows, custom per-key state via
+  * flatMapGroupsWithState, and a foreachBatch micro-batch LSH probe
+  * against a cached postings index.
+  */
+object Streams {
+
+  /** Stateless streaming MinHash: identical projection as the batch
+    * pipeline (shingle -> hash -> signature) applied to a readStream DF. */
+  def signatures(stream: DataFrame, textCol: String,
+                 p: MinHashPipeline.Params = MinHashPipeline.Params()): DataFrame =
+    MinHashPipeline.withSignature(stream, textCol, p)
+
+  /** Watermarked tumbling-window aggregation over an event stream
+    * (ts: timestamp, event_type, value). */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Built-in session windows: activity sessions per user separated by
+    * `gap` of inactivity. */
+  def sessionize(events: DataFrame, gap: String = "30 minutes",
+                 watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("s"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("user_id"), col("s.start").as("session_start"),
+        col("s.end").as("session_end"), col("n_events"), col("sum_value"))
+
+  case class Seen(userId: Long, eventId: Long)
+  case class DedupState(seen: Set[Long])
+
+  /** Custom keyed state: streaming exactly-once event dedup per user via
+    * flatMapGroupsWithState (drops event_ids already seen for the key).
+    * Demonstrates the KeyValueGroupedDataset custom-state surface.
+    * `timeout = Some("1 hour")` expires idle keys (production setting —
+    * bounds state size at scale); None keeps state forever (deterministic
+    * micro-batch tests). */
+  def dedupEvents(events: Dataset[Seen],
+                  timeout: Option[String] = None): Dataset[Seen] = {
+    import events.sparkSession.implicits._
+    val mode =
+      if (timeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[DedupState, Seen](OutputMode.Append(), mode) {
+        case (_, rows, state: GroupState[DedupState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val seen = state.getOption.map(_.seen).getOrElse(Set.empty[Long])
+            val (out, newSeen) = rows.foldLeft(
+              (List.empty[Seen], seen)) { case ((acc, s), e) =>
+              if (s.contains(e.eventId)) (acc, s)
+              else (e :: acc, s + e.eventId)
+            }
+            state.update(DedupState(newSeen))
+            timeout.foreach(state.setTimeoutDuration)
+            out.reverseIterator
+          }
+      }
+  }
+
+  /** Micro-batch LSH probe: each arriving (query_id, sig) row is joined
+    * against the cached postings index and scored; per-batch top-k results
+    * are appended to `sink` (an in-memory or parquet path handler).
+    * This is the streaming analog of the reference's per-request scatter
+    * (query_service.py:166-196) with the index cached once. */
+  def probeStream(queries: DataFrame, sigs: DataFrame, index: DataFrame, k: Int)
+                 (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    queries.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val qPost = batch.select(col("query_id"),
+          posexplode(Lsh.bandSlices(col("sig"), Lsh.Params())).as(Seq("band", "band_key")))
+          .withColumn("key64", xxhash64(col("band"), col("band_key")))
+          .withColumn("key64b", xxhash64(col("band_key"), col("band")))
+          .drop("band_key")
+        val cand = index.join(broadcast(qPost), Seq("band", "key64", "key64b"))
+          .select("query_id", "id").distinct()
+        val qs = batch.select(col("query_id"), col("sig").as("sig_q"))
+        val cs = sigs.select(col("doc_id").as("id"), col("sig").as("sig_c"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(desc("score"), asc("id"))
+        val topk = broadcast(cand).join(cs, "id").join(broadcast(qs), "query_id")
+          .withColumn("score",
+            graft.functions.GraftFunctions.est_jaccard(col("sig_c"), col("sig_q")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select("query_id", "rank", "id", "score")
+        sink(topk, batchId)
+      }
+      .start()
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Multimodal plumbing: schema, determinism, batch shape, stub transforms. */
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val media = Multimodal.synthesize(spark, n = 30).cache()
+
+  test("synthesized media has the declared schema and deterministic payloads") {
+    assert(media.schema == Multimodal.mediaSchema)
+    val p1 = media.filter(col("media_id") === 5).head().getAs[Array[Byte]]("payload")
+    val p2 = Multimodal.deterministicBytes(5L, 256)
+    assert(p1.toSeq == p2.toSeq)
+    assert(media.select("kind").distinct().count() == 3)
+  }
+
+  test("feature extraction is partition-batched, deterministic, fixed-dim") {
+    val f = Multimodal.extractFeatures(media.repartition(4), dim = 16)
+    val rows = f.collect()
+    assert(rows.length == 30)
+    assert(rows.forall(_.getSeq[Float](1).length == 16))
+    // deterministic regardless of partitioning
+    val f2 = Multimodal.extractFeatures(media.repartition(2), dim = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    rows.foreach(r => assert(f2(r.getLong(0)) == r.getSeq[Float](1)))
+    // matches the scalar stub directly
+    val id0 = Multimodal.stubDecode(Multimodal.deterministicBytes(0L, 256), 16)
+    assert(f2(0L) == id0.toSeq)
+  }
+
+  test("null payload yields zero vector (null handling contract)") {
+    import spark.implicits._
+    val withNull = spark.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row(99L, "image", null, null)),
+      Multimodal.mediaSchema)
+    val out = Multimodal.extractFeatures(withNull, dim = 8).head()
+    assert(out.getSeq[Float](1) == Seq.fill(8)(0.0f))
+  }
+
+  test("resize updates image meta and truncates payload; audio untouched") {
+    val resized = Multimodal.resizeImages(media, 8, 8)
+    val img = resized.filter(col("kind") === "image").head()
+    val meta = img.getStruct(3)
+    assert(meta.getInt(1) == 8 && meta.getInt(2) == 8)
+    assert(img.getAs[Array[Byte]]("payload").length == 64)
+    val audioBefore = media.filter(col("kind") === "audio").head().getAs[Array[Byte]]("payload")
+    val audioAfter = resized.filter(col("kind") === "audio").head().getAs[Array[Byte]]("payload")
+    assert(audioBefore.toSeq == audioAfter.toSeq)
+  }
+
+  test("frame sampling keeps every stride-th frame window") {
+    val sampled = Multimodal.sampleFrames(media, stride = 2)
+    val vid = media.filter(col("kind") === "video").orderBy("media_id").head()
+    val out = sampled.filter(col("kind") === "video").orderBy("media_id").head()
+    val nf = vid.getStruct(3).getInt(4)
+    val kept = out.getStruct(3).getInt(4)
+    assert(kept == (nf + 1) / 2)
+    val frameBytes = vid.getAs[Array[Byte]]("payload").length / nf
+    assert(out.getAs[Array[Byte]]("payload").length == kept * frameBytes)
+    // first frame window preserved byte-for-byte
+    assert(out.getAs[Array[Byte]]("payload").take(frameBytes).toSeq ==
+      vid.getAs[Array[Byte]]("payload").take(frameBytes).toSeq)
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import graft.api.QueryEngine
+import graft.sources.SyntheticCorpus
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** QueryEngine facade: build/query/pad/save/load round-trip; synthetic
+  * corpus generator determinism. */
+class QueryEngineSpec extends SparkSpec {
+
+  test("build + query: self-match first, k-padding with -1 sentinel") {
+    val docs = spark.read.parquet(s"$testDataDir/documents.parquet")
+    val eng = QueryEngine.build(docs,
+      mp = graft.core.MinHashPipeline.Params(kShingle = 3)).warmUp()
+    val qSig = eng.sigs.filter(col("doc_id") === 3).head().getSeq[Long](1).toArray
+    val res = eng.query(qSig, k = 10)
+    assert(res.length == 10)
+    assert(res.head.id == 3 && res.head.score == 1.0)
+    assert(res.head.vectorPreview.length == 10)
+    // unique text -> few/no neighbors: padding fills with -1/0.0
+    assert(res.count(_.id == -1L) >= 0) // shape contract
+    val json = eng.queryJson(qSig, k = 3)
+    assert(json.startsWith("""{"candidates":[{"id":3,"score":1.0"""))
+  }
+
+  test("save/load round-trip preserves query results") {
+    val docs = spark.read.parquet(s"$testDataDir/documents.parquet")
+    val eng = QueryEngine.build(docs,
+      mp = graft.core.MinHashPipeline.Params(kShingle = 3))
+    val dir = Files.createTempDirectory("graft-idx").toString
+    eng.save(dir, shards = 3)
+    val eng2 = QueryEngine.load(spark, dir)
+    val qSig = eng.sigs.filter(col("doc_id") === 7).head().getSeq[Long](1).toArray
+    assert(eng2.query(qSig, 5) == eng.query(qSig, 5))
+    // shard files exist (range-sharded parquet)
+    assert(new java.io.File(s"$dir/signatures").listFiles().count(_.getName.endsWith(".parquet")) == 3)
+  }
+
+  test("synthetic corpus is deterministic and partitioning-invariant") {
+    val a = SyntheticCorpus.docs(spark, 200).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = SyntheticCorpus.docs(spark, 200).repartition(7).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+    val words = a.values.flatMap(_.split(" ")).toSet
+    assert(words.subsetOf((0 until 20).map(i => s"w$i").toSet))
+    val lens = a.values.map(_.split(" ").length)
+    assert(lens.min >= 1 && math.abs(lens.sum.toDouble / lens.size - 40.0) < 3.0)
+  }
+}

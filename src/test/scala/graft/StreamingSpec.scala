@@ -1,0 +1,123 @@
+package graft
+
+import graft.core.{Lsh, MinHashPipeline}
+import graft.streaming.Streams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** Streaming semantics: each streaming operator must agree with its batch
+  * equivalent on the same data (micro-batch execution over MemoryStream). */
+class StreamingSpec extends SparkSpec {
+  import org.apache.spark.sql.SparkSession
+
+  private def withQuery[T](q: org.apache.spark.sql.streaming.StreamingQuery)(f: => T): T =
+    try { q.processAllAvailable(); f } finally q.stop()
+
+  test("streaming MinHash signatures equal batch signatures") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Seq((0L, "a b c d e"), (1L, "x y z"), (2L, "a b a b"))
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(docs: _*)
+    val streamed = Streams.signatures(
+      stream.toDF().toDF("doc_id", "text"), "text",
+      MinHashPipeline.Params(kShingle = 2))
+      .select("doc_id", "sig")
+    val q = streamed.writeStream.format("memory").queryName("sigs_stream")
+      .outputMode("append").start()
+    withQuery(q) {
+      val got = spark.table("sigs_stream").orderBy("doc_id").collect()
+      val want = MinHashPipeline.withSignature(
+        docs.toDF("doc_id", "text"), "text", MinHashPipeline.Params(kShingle = 2))
+        .select("doc_id", "sig").orderBy("doc_id").collect()
+      assert(got.map(_.getSeq[Long](1)).toSeq == want.map(_.getSeq[Long](1)).toSeq)
+    }
+  }
+
+  test("watermarked hourly window agg matches batch groupBy") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val rows = Seq(
+      (ts(0, 5), "click", 1.0), (ts(0, 45), "click", 2.0),
+      (ts(1, 10), "view", 3.0), (ts(1, 20), "click", 4.0), (ts(3, 0), "view", 5.0))
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    stream.addData(rows: _*)
+    val agg = Streams.hourlyCounts(stream.toDF().toDF("ts", "event_type", "value"))
+    val q = agg.writeStream.format("memory").queryName("hourly_stream")
+      .outputMode("complete").start()
+    withQuery(q) {
+      val got = spark.table("hourly_stream")
+        .orderBy("hour_start", "event_type")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(got.toSeq == Seq(
+        (ts(0, 0), "click", 2L, 3.0),
+        (ts(1, 0), "click", 1L, 4.0),
+        (ts(1, 0), "view", 1L, 3.0),
+        (ts(3, 0), "view", 1L, 5.0)))
+    }
+  }
+
+  test("session windows split on gap") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val rows = Seq( // user 7: two sessions separated by > 30 min
+      (ts(0, 0), 7L, 1.0), (ts(0, 10), 7L, 1.0), (ts(2, 0), 7L, 1.0),
+      (ts(0, 5), 8L, 1.0))
+    val stream = MemoryStream[(Timestamp, Long, Double)]
+    stream.addData(rows: _*)
+    val sess = Streams.sessionize(stream.toDF().toDF("ts", "user_id", "value"))
+    val q = sess.writeStream.format("memory").queryName("sess_stream")
+      .outputMode("complete").start()
+    withQuery(q) {
+      val got = spark.table("sess_stream").orderBy("user_id", "session_start")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3)))
+      assert(got.toSeq == Seq(
+        (7L, ts(0, 0), 2L), (7L, ts(2, 0), 1L), (8L, ts(0, 5), 1L)))
+    }
+  }
+
+  test("flatMapGroupsWithState dedups events per user across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[Streams.Seen]
+    val deduped = Streams.dedupEvents(stream.toDS())
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    stream.addData(Streams.Seen(1, 100), Streams.Seen(1, 101), Streams.Seen(2, 100))
+    q.processAllAvailable()
+    stream.addData(Streams.Seen(1, 100), Streams.Seen(1, 102)) // 100 is a dup
+    q.processAllAvailable()
+    try {
+      val got = spark.table("dedup_stream").orderBy("userId", "eventId")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.toSeq == Seq((1L, 100L), (1L, 101L), (1L, 102L), (2L, 100L)))
+    } finally q.stop()
+  }
+
+  test("foreachBatch LSH probe returns same top-k as batch query") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$testDataDir/documents.parquet")
+    val sigs = MinHashPipeline.withSignature(docs, "text",
+      MinHashPipeline.Params(kShingle = 3)).select("doc_id", "sig").cache()
+    val index = Lsh.postings(sigs, "doc_id", "sig").cache()
+    val qSig = sigs.filter(col("doc_id") === 0).head().getSeq[Long](1).toArray
+
+    val stream = MemoryStream[(Long, Seq[Long])]
+    stream.addData((0L, qSig.toSeq))
+    val results = scala.collection.mutable.ArrayBuffer[(Long, Int, Long)]()
+    val q = Streams.probeStream(
+      stream.toDF().toDF("query_id", "sig"), sigs, index, k = 5) { (df, _) =>
+      results ++= df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    }
+    try { q.processAllAvailable() } finally q.stop()
+
+    val want = Lsh.querySignature(sigs, index, qSig, k = 5)
+      .collect().zipWithIndex.map { case (r, i) => (0L, i + 1, r.getLong(0)) }
+    assert(results.sortBy(_._2).toSeq == want.toSeq)
+  }
+}
