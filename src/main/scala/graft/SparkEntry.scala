@@ -380,6 +380,119 @@ object SparkEntry {
         .orderBy("hour_start", "event_type")
     }),
 
+    // Semi/anti joins: customers with vs without orders, per segment.
+    "q04_semi_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val withO = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+        .withColumn("grp", lit("with_orders"))
+      val withoutO = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+        .withColumn("grp", lit("without_orders"))
+      withO.unionByName(withoutO)
+        .select("c_mktsegment", "grp", "n")
+        .orderBy("c_mktsegment", "grp")
+    }),
+
+    // Relational set operations: INTERSECT / UNION / EXCEPT.
+    "q05_setops" -> ((s, dir) => {
+      val cn = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val sn = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      cn.intersect(sn).withColumn("op", lit("intersect"))
+        .unionByName(cn.union(sn).distinct().withColumn("op", lit("union")))
+        .unionByName(cn.distinct().except(sn).withColumn("op", lit("except")))
+        .orderBy("op", "nationkey")
+    }),
+
+    // Rollup aggregation (grouping sets).
+    "q06_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy("rf", "ls")
+    }),
+
+    // JSON extraction from the events.props payload.
+    "q07_json" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    }),
+
+    // String function coverage over part names.
+    "q08_strings" -> ((s, dir) => {
+      t(s, dir, "part")
+        .filter(col("p_name").like("%a%"))
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          length(col("p_name")).as("nlen"),
+          regexp_replace(col("p_type"), " ", "_").as("type_u"),
+          lpad(col("p_brand"), 12, "*").as("brand_pad"),
+          substring(col("p_name"), 1, 5).as("prefix5"))
+        .orderBy("p_partkey")
+    }),
+
+    // Date/time functions over shipdate (timestamp[ms]).
+    "q09_dates" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(date_trunc("month", col("l_shipdate")).as("ship_month"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_shipdate")).as("first_ship"),
+          max(col("l_shipdate")).as("last_ship"))
+        .withColumn("ship_year", year(col("ship_month")))
+        .select("ship_month", "ship_year", "n", "first_ship", "last_ship")
+        .orderBy("ship_month")
+    }),
+
+    // O14+O15 QED: query-dependent bin windows -> conjunctive bin filter.
+    "o14_qed_filter" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val bounds = Qed.dimBounds(e, "embedding").orderBy("dim").collect()
+        .map(r => (r.getDouble(1), r.getDouble(2)))
+      val qv = e.filter(col("vec_id") === 0).head().getSeq[Float](1).map(_.toDouble)
+      val r = math.max(1, (0.02 * 256).toInt) // qed.py:48
+      val windows = qv.indices.map { d =>
+        val (lo, hi) = bounds(d)
+        val qb = if (hi == lo) 0
+          else math.min(math.floor((qv(d) - lo) * 256 / (hi - lo)), 255).toInt
+        (math.max(0, qb - r), math.min(255, qb + r))
+      }.toArray
+      e.filter(Qed.passesBins(col("embedding"), bounds, windows))
+        .select("vec_id").orderBy("vec_id")
+    }),
+
+    // IVF coarse quantization: nearest-centroid assignment (argmin via the
+    // top-k aggregate, k=1), centroids = first 8 vectors.
+    "a03_ivf_assign" -> ((s, dir) => {
+      import graft.functions.TopKByScore.top_k_by_score
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+      val assigned = e.select(col("vec_id").as("query_id"), col("embedding").as("v"))
+        .crossJoin(broadcast(cents))
+        .select(col("query_id"),
+          col("centroid_id").as("id"),
+          neg_l2_float(col("v"), col("cv")).as("score"))
+        .groupBy("query_id")
+        .agg(top_k_by_score(col("score"), col("id"), 1).as("topk"))
+      Ann.explodeTopK(assigned)
+        .groupBy(col("id").as("centroid_id"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy("centroid_id")
+    }),
+
     // ANN: brute-force cosine top-k over embeddings.
     "a01_cosine_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -520,6 +633,91 @@ object SparkEntry {
           |   WHERE list_contains(t.ids, p.ids[i])) AS first_hit_rank
           |FROM pred p JOIN tr t ON p.query_id = t.query_id
           |ORDER BY p.query_id""".stripMargin),
+
+    "q04_semi_anti" ->
+      """SELECT c_mktsegment, 'with_orders' AS grp, count(*) AS n
+        |FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_mktsegment
+        |UNION ALL
+        |SELECT c_mktsegment, 'without_orders' AS grp, count(*) AS n
+        |FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment, grp""".stripMargin,
+
+    "q05_setops" ->
+      """SELECT nationkey, 'intersect' AS op FROM
+        |  (SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT nationkey, 'union' AS op FROM
+        |  (SELECT c_nationkey AS nationkey FROM customer UNION SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT nationkey, 'except' AS op FROM
+        |  (SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier)
+        |ORDER BY op, nationkey""".stripMargin,
+
+    "q06_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        |  count(*) AS n, CAST(sum(l_quantity::DECIMAL(18,2)) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "q07_json" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+        |  min(json_extract_string(props, '$.k')::BIGINT) AS min_k,
+        |  max(json_extract_string(props, '$.k')::BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q08_strings" ->
+      """SELECT p_partkey, upper(p_name) AS uname, length(p_name) AS nlen,
+        |  replace(p_type, ' ', '_') AS type_u,
+        |  lpad(p_brand, 12, '*') AS brand_pad,
+        |  substr(p_name, 1, 5) AS prefix5
+        |FROM part WHERE p_name LIKE '%a%' ORDER BY p_partkey""".stripMargin,
+
+    "q09_dates" ->
+      """SELECT date_trunc('month', l_shipdate) AS ship_month,
+        |  year(date_trunc('month', l_shipdate))::INT AS ship_year,
+        |  count(*) AS n, min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship
+        |FROM lineitem GROUP BY 1 ORDER BY ship_month""".stripMargin,
+
+    "o14_qed_filter" ->
+      """WITH dims AS (
+        |  SELECT vec_id, d.dim AS dim, embedding[d.dim + 1]::DOUBLE AS v
+        |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) d
+        |), bounds AS (
+        |  SELECT dim, min(v) AS lo, max(v) AS hi FROM dims GROUP BY dim
+        |), qd AS (
+        |  SELECT d.dim AS dim,
+        |    CASE WHEN b.hi = b.lo THEN 0
+        |      ELSE least(floor((d.v - b.lo) * 256 / (b.hi - b.lo)), 255)::INT END AS qb
+        |  FROM dims d JOIN bounds b ON d.dim = b.dim WHERE d.vec_id = 0
+        |), sel AS (
+        |  SELECT dim, greatest(qb - 5, 0) AS wlo, least(qb + 5, 255) AS whi FROM qd
+        |)
+        |SELECT d.vec_id AS vec_id
+        |FROM dims d JOIN bounds b ON d.dim = b.dim JOIN sel s ON d.dim = s.dim
+        |GROUP BY d.vec_id
+        |HAVING bool_and(
+        |  (CASE WHEN b.hi = b.lo THEN 0
+        |    ELSE least(floor((d.v - b.lo) * 256 / (b.hi - b.lo)), 255)::INT END)
+        |  BETWEEN s.wlo AND s.whi)
+        |ORDER BY vec_id""".stripMargin,
+
+    "a03_ivf_assign" ->
+      """WITH scored AS (
+        |  SELECT e.vec_id AS query_id, c.vec_id AS centroid_id,
+        |    -sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(e.embedding)+1),
+        |      i -> (e.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE) * (e.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE))), (a, v) -> a + v)) AS score
+        |  FROM embeddings e CROSS JOIN embeddings c WHERE c.vec_id < 8
+        |), best AS (
+        |  SELECT query_id, centroid_id FROM (
+        |    SELECT query_id, centroid_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, centroid_id) AS rn
+        |    FROM scored) WHERE rn = 1
+        |)
+        |SELECT centroid_id, count(*) AS n_members FROM best
+        |GROUP BY centroid_id ORDER BY centroid_id""".stripMargin,
 
     "d01_dedup_exact" ->
       """SELECT md5(text) AS text_hash, count(*) AS cnt, min(doc_id) AS keep_id

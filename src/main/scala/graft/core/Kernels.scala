@@ -27,6 +27,48 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Word k-gram shingle set (order = first occurrence), faithful to
+    * Python's no-arg `str.split()` + the reference's short-doc rule
+    * (synth_data.py:65-81): fewer than k tokens -> ONE whole-doc shingle.
+    * A codegen kernel because Spark's higher-order functions are
+    * CodegenFallback — this keeps the per-row hot loop of the signature
+    * pipeline inside whole-stage codegen. */
+  def wordShingles(text: UTF8String, k: Int): ArrayData = {
+    val toks0 = text.toString.split("\\s+")
+    val toks = if (toks0.length > 0 && toks0(0).isEmpty) toks0.drop(1) else toks0
+    if (toks.length < k)
+      return new GenericArrayData(Array[Any](UTF8String.fromString(toks.mkString(" "))))
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i + k <= toks.length) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < k) { sb.append(' ').append(toks(i + j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var idx = 0
+    while (it.hasNext) { out(idx) = UTF8String.fromString(it.next()); idx += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Char k-gram shingle set (synth_data.py:78-81 char mode). */
+  def charShingles(text: UTF8String, k: Int): ArrayData = {
+    val s = text.toString
+    if (s.length < k)
+      return new GenericArrayData(Array[Any](UTF8String.fromString(s)))
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i + k <= s.length) { seen.add(s.substring(i, i + k)); i += 1 }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var idx = 0
+    while (it.hasNext) { out(idx) = UTF8String.fromString(it.next()); idx += 1 }
+    new GenericArrayData(out)
+  }
+
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")

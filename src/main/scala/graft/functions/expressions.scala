@@ -25,6 +25,31 @@ case class ShingleHashes(child: Expression) extends UnaryExpression {
   override def prettyName: String = "shingle_hashes"
 }
 
+/** string -> array<string>: word k-gram shingle set (codegen kernel —
+  * Spark HOFs are CodegenFallback; see Kernels.wordShingles). */
+case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    graft.core.Kernels.wordShingles(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.Kernels.wordShingles($c, $k)")
+  override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
+  override def prettyName: String = "word_shingles"
+}
+
+/** string -> array<string>: char k-gram shingle set. */
+case class CharShingles(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    graft.core.Kernels.charShingles(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.Kernels.charShingles($c, $k)")
+  override protected def withNewChildInternal(c: Expression): CharShingles = copy(child = c)
+  override def prettyName: String = "char_shingles"
+}
+
 /** MD5-family variant of [[ShingleHashes]] (see Kernels.md5Mod61 — gives
   * the pipeline a standard-SQL cross-engine oracle). */
 case class ShingleHashesMd5(child: Expression) extends UnaryExpression {
@@ -156,6 +181,8 @@ object GraftFunctions {
   private def col(e: Expression): Column = org.apache.spark.sql.graftbridge.Bridge.column(e)
   private def ex(c: Column): Expression = org.apache.spark.sql.graftbridge.Bridge.expression(c)
 
+  def word_shingles(c: Column, k: Int): Column = col(WordShingles(ex(c), k))
+  def char_shingles(c: Column, k: Int): Column = col(CharShingles(ex(c), k))
   def shingle_hashes(c: Column): Column = col(ShingleHashes(ex(c)))
   def shingle_hashes_md5(c: Column): Column = col(ShingleHashesMd5(ex(c)))
   def minhash_signature(c: Column): Column = col(MinHashSignature(ex(c)))

@@ -1,0 +1,79 @@
+package graft
+
+import graft.core.{Lsh, MinHashPipeline}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: the plans must be the ones that survive a
+  * 100x scale-up — broadcast joins for small sides, filters and column
+  * pruning pushed into the parquet scan, TakeOrderedAndProject for global
+  * top-k, partial aggregation for grouped top-k, no cartesian products on
+  * the LSH path. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q02 multi-way join broadcasts the dimension tables") {
+    val p = plan(SparkEntry.queries("q02_revenue_by_nation")(spark, testDataDir))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("filter and column pruning reach the parquet scan") {
+    val li = spark.read.parquet(s"$testDataDir/lineitem.parquet")
+    val q = li.filter(col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    val p = plan(q)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"), p)
+    // scan must read only the two referenced columns
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_extendedprice"), readSchema)
+  }
+
+  test("global top-k compiles to TakeOrderedAndProject (partial + merge)") {
+    val docs = spark.read.parquet(s"$testDataDir/documents.parquet")
+    val sigs = MinHashPipeline.withSignature(docs, "text",
+      MinHashPipeline.Params(kShingle = 3)).select("doc_id", "sig")
+    val index = Lsh.postings(sigs, "doc_id", "sig")
+    val qSig = sigs.filter(col("doc_id") === 0).head().getSeq[Long](1).toArray
+    val p = plan(Lsh.querySignature(sigs, index, qSig, 5))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    // single-query probe must broadcast the 32-row query side
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("grouped top-k aggregate runs with partial aggregation (map-side combine)") {
+    import graft.functions.TopKByScore.top_k_by_score
+    import spark.implicits._
+    val df = Seq((1L, 0.5, 1L), (2L, 0.6, 2L)).toDF("query_id", "score", "id")
+    val p = plan(df.groupBy("query_id").agg(top_k_by_score(col("score"), col("id"), 3)))
+    // ObjectHashAggregate with partial_top_k... then final: two aggregate nodes
+    val aggNodes = p.linesIterator.count(l => l.contains("HashAggregate"))
+    assert(aggNodes >= 2, s"expected partial+final aggregate nodes\n$p")
+    assert(p.contains("partial_top_k_by_score"), p.take(3000))
+  }
+
+  test("signature pipeline is a pure narrow projection (no shuffle)") {
+    val docs = spark.read.parquet(s"$testDataDir/documents.parquet")
+    val sigs = MinHashPipeline.withSignature(docs, "text",
+      MinHashPipeline.Params(kShingle = 3)).select("doc_id", "sig")
+    val p = plan(sigs)
+    assert(!p.contains("Exchange"), p)
+    // formatted mode marks whole-stage-codegen operators with '*'
+    assert(p.contains("* Project"), p.take(2000))
+    assert("""\(\d+\) Project \[codegen id :""".r.findFirstIn(p).isDefined, p.take(2000))
+  }
+
+  test("LSH candidate pair join is a hash join on fixed-width keys") {
+    val docs = spark.read.parquet(s"$testDataDir/documents.parquet")
+    val sigs = MinHashPipeline.withSignature(docs, "text",
+      MinHashPipeline.Params(kShingle = 3)).select("doc_id", "sig")
+    val p = plan(Lsh.candidatePairs(Lsh.postings(sigs, "doc_id", "sig")))
+    assert(p.contains("HashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), "fixed-width keys should hash-join\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+}
