@@ -248,6 +248,14 @@ object SparkEntry {
         .orderBy("o_custkey", "rn")
     }),
 
+    // O1 synthetic corpus generator (hash-based, partitioning-invariant;
+    // no SQL oracle possible for the RNG -> rows-only check).
+    "o01_synth_corpus" -> ((s, dir) => {
+      graft.sources.SyntheticCorpus.docs(s, nDocs = 1000)
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n_words"))
+        .orderBy("doc_id")
+    }),
+
     // O2 shingling: per-doc distinct word k-gram stats.
     "o02_shingles" -> ((s, dir) => {
       docShingles(s, dir)
@@ -378,6 +386,16 @@ object SparkEntry {
         .select(col("w.start").as("hour_start"), col("event_type"),
           col("n_events"), col("sum_value"))
         .orderBy("hour_start", "event_type")
+    }),
+
+    // O30 inspection/diagnostics: table stats (describe-style).
+    "o30_inspect" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          min("n_chars").as("min_chars"), max("n_chars").as("max_chars"),
+          countDistinct("source").as("n_sources"))
+        .orderBy("lang")
     }),
 
     // Semi/anti joins: customers with vs without orders, per segment.
@@ -633,6 +651,11 @@ object SparkEntry {
           |   WHERE list_contains(t.ids, p.ids[i])) AS first_hit_rank
           |FROM pred p JOIN tr t ON p.query_id = t.query_id
           |ORDER BY p.query_id""".stripMargin),
+
+    "o30_inspect" ->
+      """SELECT lang, count(*) AS n, min(n_chars) AS min_chars,
+        |  max(n_chars) AS max_chars, count(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q04_semi_anti" ->
       """SELECT c_mktsegment, 'with_orders' AS grp, count(*) AS n

@@ -124,4 +124,24 @@ object Lsh {
       .filter(col("score") >= threshold)
       .select("a", "b", "score")
   }
+
+  /** General two-sided similarity join: (a from left, b from right, score)
+    * for pairs sharing at least one LSH band bucket with estimated Jaccard
+    * >= threshold. Both sides are banded; candidates come from the
+    * band-bucket equi-join (never a cross join). */
+  def similarityJoin(leftSigs: DataFrame, rightSigs: DataFrame,
+                     idCol: String, sigCol: String,
+                     threshold: Double, p: Params = Params()): DataFrame = {
+    val li = postings(leftSigs, idCol, sigCol, p)
+      .select(col("band"), col("key64"), col("key64b"), col("id").as("a"))
+    val ri = postings(rightSigs, idCol, sigCol, p)
+      .select(col("band"), col("key64"), col("key64b"), col("id").as("b"))
+    val pairs = li.join(ri, joinKeys).select("a", "b").distinct()
+    val sa = leftSigs.select(col(idCol).cast("long").as("a"), col(sigCol).as("sig_a"))
+    val sb = rightSigs.select(col(idCol).cast("long").as("b"), col(sigCol).as("sig_b"))
+    pairs.join(sa, "a").join(sb, "b")
+      .withColumn("score", graft.functions.GraftFunctions.est_jaccard(col("sig_a"), col("sig_b")))
+      .filter(col("score") >= threshold)
+      .select("a", "b", "score")
+  }
 }

@@ -197,6 +197,10 @@ object GraftFunctions {
   /** Register all engine functions for SQL use. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("word_shingles",
+      es => WordShingles(es(0), es(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("char_shingles",
+      es => CharShingles(es(0), es(1).eval().asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("shingle_hashes", es => ShingleHashes(es.head), "built-in")
     reg.createOrReplaceTempFunction("minhash_signature", es => MinHashSignature(es.head), "built-in")
     reg.createOrReplaceTempFunction("minhash_signature_ref", es => MinHashSignatureRef(es.head), "built-in")
