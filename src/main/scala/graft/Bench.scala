@@ -8,7 +8,9 @@ import org.apache.spark.sql.SparkSession
   * Two passes: a warmup pass materializes the shared signature/postings
   * caches and compiles codegen (the reference times its LSH queries with a
   * prebuilt index too — results_synthetic.csv measures query-only), then
-  * the timed pass measures steady-state per-query wall time.
+  * the timed pass measures steady-state per-query wall time. Two extra
+  * `x_`-prefixed entries report reference-comparable probe numbers at the
+  * reference's own scale (20 000 docs, prebuilt index, k=5).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -31,10 +33,64 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val probeMetrics = computeProbeMetrics(spark)
+    val qs = (results ++ probeMetrics).map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
+
+  /** Reference-comparable probe metrics (BASELINE.md: 20 000 docs,
+    * prebuilt index, k=5, max_candidates=2000): steady-state single-vector
+    * latency and batch-of-100 throughput through one plan. */
+  def computeProbeMetrics(spark: SparkSession): Map[String, Double] =
+    try {
+      import graft.api.QueryEngine
+      import graft.sources.SyntheticCorpus
+      import org.apache.spark.sql.functions._
+      // drop the sf-dir query caches: CacheManager compares every new plan
+      // against every cached plan, and the big cached pipelines add
+      // planning latency to the small probes
+      spark.catalog.clearCache()
+      val eng = QueryEngine.build(
+        SyntheticCorpus.docs(spark, 20000),
+        mp = graft.core.MinHashPipeline.Params(kShingle = 1)).warmUp()
+      val someSigs = eng.sigs.filter(col("doc_id") < 110)
+        .orderBy("doc_id").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+      (0L until 5L).foreach(i => eng.query(someSigs(i), 5)) // warmup probes
+      val t1 = System.nanoTime()
+      (5L until 25L).foreach(i => eng.query(someSigs(i), 5))
+      val singleAvg = (System.nanoTime() - t1) / 1e9 / 20.0
+      // batch of 100 queries through ONE plan (the Spark-native shape)
+      val qDf = eng.sigs.filter(col("doc_id") < 100)
+        .select(col("doc_id").as("query_id"), col("sig"))
+      def batchRun(): Long = {
+        val qPost = qDf.select(col("query_id"),
+          posexplode(graft.core.Lsh.bandSlices(col("sig"), graft.core.Lsh.Params()))
+            .as(Seq("band", "band_key")))
+          .withColumn("key64", xxhash64(col("band"), col("band_key")))
+          .withColumn("key64b", xxhash64(col("band_key"), col("band")))
+          .drop("band_key")
+        val cand = eng.index.join(broadcast(qPost), Seq("band", "key64", "key64b"))
+          .select("query_id", "id").distinct()
+        val cs = eng.sigs.select(col("doc_id").as("id"), col("sig").as("sig_c"))
+        val qs2 = qDf.select(col("query_id"), col("sig").as("sig_q"))
+        import graft.functions.TopKByScore.top_k_by_score
+        broadcast(cand).join(cs, "id").join(broadcast(qs2), "query_id")
+          .withColumn("score",
+            graft.functions.GraftFunctions.est_jaccard(col("sig_c"), col("sig_q")))
+          .groupBy("query_id")
+          .agg(top_k_by_score(col("score"), col("id"), 5).as("topk"))
+          .count()
+      }
+      batchRun() // warmup
+      val t2 = System.nanoTime()
+      batchRun()
+      val batch100 = (System.nanoTime() - t2) / 1e9
+      Map(
+        "x_lsh_single_query_avg_sec_20kdocs" -> singleAvg,
+        "x_lsh_batch100_queries_sec_20kdocs" -> batch100)
+    } catch { case _: Throwable => Map.empty[String, Double] }
 }

@@ -27,9 +27,10 @@ final class QueryEngine private (
   /** Warm the caches (O22 cluster warm-up: the eager `postings.count`). */
   def warmUp(): QueryEngine = { sigs.count(); index.count(); this }
 
-  /** Single-vector top-k probe, k-padded like the reference response. */
-  def query(vector: Array[Long], k: Int = 10): Seq[Candidate] = {
-    val hits = Lsh.querySignature(sigs, index, vector, k, params)
+  /** Single-vector top-k probe, k-padded like the reference response.
+    * `maxCandidates` defaults to the reference's cap (minhash_lsh.py:70). */
+  def query(vector: Array[Long], k: Int = 10, maxCandidates: Int = 2000): Seq[Candidate] = {
+    val hits = Lsh.querySignature(sigs, index, vector, k, params, maxCandidates)
       .collect()
       .map(r => Candidate(r.getLong(0), r.getDouble(1), r.getSeq[Long](2)))
       .toSeq

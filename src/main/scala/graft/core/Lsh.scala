@@ -82,19 +82,52 @@ object Lsh {
     index.join(broadcast(query), joinKeys)
       .select("id").distinct()
 
-  /** Full single-query top-k (O9-O11 + O19/O20 collapsed into one plan):
-    * candidates -> estimated-Jaccard score -> global top-k
-    * (`orderBy.limit` = partial per-partition top-k + driver merge via
-    * TakeOrderedAndProject). Result: (id, score, vector_preview). */
+  /** Full single-query top-k (O9-O11 + O19/O20): candidates from a
+    * broadcast probe of the cached postings, deduplicated, scored, then
+    * global top-k via TakeOrderedAndProject (per-partition partial top-k +
+    * driver merge).
+    *
+    * `maxCandidates` reproduces the reference's candidate cap
+    * (minhash_lsh.py:95-96) deterministically: instead of the reference's
+    * insertion-order early exit, the probe uses the smallest PREFIX of
+    * bands (band 0, 1, ...) whose cumulative bucket sizes reach the cap
+    * (all bands when the total stays under it). Candidate sets match the
+    * reference whenever the cap doesn't trigger; when it does, both
+    * engines scan a truncated band prefix — ours reproducibly.
+    * `maxCandidates <= 0` disables the cap. */
   def querySignature(sigs: DataFrame, index: DataFrame, querySig: Array[Long], k: Int,
-                     p: Params = Params()): DataFrame = {
+                     p: Params = Params(), maxCandidates: Int = 0): DataFrame = {
     val spark = sigs.sparkSession
-    val cand = candidates(index, queryPostings(spark, querySig, p))
-    val qLit = array(querySig.map(lit(_)).toSeq: _*)
-    sigs.join(cand, sigs("doc_id") === cand("id"))
+    val qp = queryPostings(spark, querySig, p)
+    val probe =
+      if (maxCandidates <= 0) qp
+      else {
+        // per-band bucket sizes for this query's keys (32-row result)
+        val sizes = index.join(broadcast(qp), joinKeys)
+          .groupBy("band").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        var cum = 0L
+        var lastBand = p.bands - 1
+        var b = 0
+        var found = false
+        while (b < p.bands && !found) {
+          cum += sizes.getOrElse(b, 0L)
+          if (cum >= maxCandidates) { lastBand = b; found = true }
+          b += 1
+        }
+        qp.filter(col("band") <= lastBand)
+      }
+    val cand = index.join(broadcast(probe), joinKeys).select("id").distinct()
+    // the query vector travels as DATA (broadcast 1-row frame), not as a
+    // 128-literal expression: every probe then reuses the same compiled
+    // plan — codegen recompilation per query was the dominant latency cost
+    import spark.implicits._
+    val qdf = Seq(Tuple1(querySig.toSeq)).toDF("qsig")
+    sigs.join(broadcast(cand), sigs("doc_id") === cand("id"))
+      .crossJoin(broadcast(qdf))
       .select(
         col("id"),
-        graft.functions.GraftFunctions.est_jaccard(col("sig"), qLit).as("score"),
+        graft.functions.GraftFunctions.est_jaccard(col("sig"), col("qsig")).as("score"),
         slice(col("sig"), 1, 10).as("vector_preview"))
       .orderBy(desc("score"), asc("id"))
       .limit(k)

@@ -12,7 +12,7 @@ import java.nio.ByteBuffer
 /** Bounded top-k buffer: keeps the k best (score desc, id asc) pairs.
   * Array-backed with lazy worst tracking — update is O(1) amortized until
   * full, O(k) on eviction scan (k is small: 5-100). */
-final class TopKBuffer(val k: Int) {
+final class TopKBuffer(val k: Int, val distinctIds: Boolean = false) {
   val scores = new Array[Double](k)
   val ids = new Array[Long](k)
   var size = 0
@@ -31,6 +31,19 @@ final class TopKBuffer(val k: Int) {
   }
 
   def add(score: Double, id: Long): Unit = {
+    if (distinctIds) {
+      // dedup by id: keep the better (score, id) entry. With per-id-unique
+      // scores (the LSH case) this equals pre-deduplicating the input,
+      // letting plans drop their distinct() exchange.
+      var i = 0
+      while (i < size) {
+        if (ids(i) == id) {
+          if (worse(scores(i), ids(i), score, id)) scores(i) = score
+          return
+        }
+        i += 1
+      }
+    }
     if (size < k) {
       scores(size) = score; ids(size) = id; size += 1
     } else if (k > 0) {
@@ -66,6 +79,7 @@ case class TopKByScore(
     scoreExpr: Expression,
     idExpr: Expression,
     k: Int,
+    distinctIds: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKBuffer] {
@@ -77,7 +91,7 @@ case class TopKByScore(
       StructField("score", DoubleType, nullable = false),
       StructField("id", LongType, nullable = false))), containsNull = false)
 
-  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k, distinctIds)
 
   override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
     val s = scoreExpr.eval(input)
@@ -110,7 +124,7 @@ case class TopKByScore(
 
   override def deserialize(bytes: Array[Byte]): TopKBuffer = {
     val bb = ByteBuffer.wrap(bytes)
-    val buf = new TopKBuffer(bb.getInt())
+    val buf = new TopKBuffer(bb.getInt(), distinctIds)
     val n = bb.getInt()
     var i = 0
     while (i < n) { buf.add(bb.getDouble(), bb.getLong()); i += 1 }
@@ -132,5 +146,12 @@ object TopKByScore {
   def top_k_by_score(score: Column, id: Column, k: Int): Column =
     Bridge.column(
       TopKByScore(Bridge.expression(score), Bridge.expression(id), k)
+        .toAggregateExpression())
+
+  /** Variant deduplicating by id inside the buffer (drop the upstream
+    * distinct() when each id scores identically within a group). */
+  def top_k_by_score_distinct(score: Column, id: Column, k: Int): Column =
+    Bridge.column(
+      TopKByScore(Bridge.expression(score), Bridge.expression(id), k, distinctIds = true)
         .toAggregateExpression())
 }

@@ -94,14 +94,13 @@ object Streams {
           .select("query_id", "id").distinct()
         val qs = batch.select(col("query_id"), col("sig").as("sig_q"))
         val cs = sigs.select(col("doc_id").as("id"), col("sig").as("sig_c"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("query_id").orderBy(desc("score"), asc("id"))
-        val topk = broadcast(cand).join(cs, "id").join(broadcast(qs), "query_id")
+        val scored = broadcast(cand).join(cs, "id").join(broadcast(qs), "query_id")
           .withColumn("score",
             graft.functions.GraftFunctions.est_jaccard(col("sig_c"), col("sig_q")))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= k)
-          .select("query_id", "rank", "id", "score")
+        val topk = graft.operators.Ann.explodeTopKWithScore(
+          scored.groupBy("query_id")
+            .agg(graft.functions.TopKByScore.top_k_by_score(
+              col("score"), col("id"), k).as("topk")))
         sink(topk, batchId)
       }
       .start()

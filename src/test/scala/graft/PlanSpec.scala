@@ -40,8 +40,10 @@ class PlanSpec extends SparkSpec {
     val qSig = sigs.filter(col("doc_id") === 0).head().getSeq[Long](1).toArray
     val p = plan(Lsh.querySignature(sigs, index, qSig, 5))
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
-    // single-query probe must broadcast the 32-row query side
+    // single-query probe broadcasts the 32-row query side and the small
+    // deduped candidate set — the big sides never shuffle
     assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
     assert(!p.contains("CartesianProduct"))
   }
 
