@@ -267,6 +267,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // O2 char-gram mode: distinct char 5-gram stats.
+    "o03_char_shingles" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("cs", Shingling.charShingles(col("text"), 5))
+        .select(col("doc_id"), size(col("cs")).as("n_grams"),
+          array_min(col("cs")).as("g_min"), array_max(col("cs")).as("g_max"))
+        .orderBy("doc_id")
+    }),
+
     // O3+O4+O5 MinHash signatures (md5 family; SHA-1 golden-tested).
     "o04_minhash_md5" -> ((s, dir) => {
       md5Sigs(s, dir)
@@ -353,6 +362,26 @@ object SparkEntry {
         .agg(transform(array_sort(collect_list(struct(col("rank"), col("id")))),
           x => x.getField("id")).as("ids"))
       Metrics.perQuery(pred, truth).orderBy("query_id")
+    }),
+
+    // O26/O27 aggregate metric summary (micro-averaged => exact integer
+    // arithmetic, cross-engine safe; per-query MRR inputs are in o25).
+    "o26_metrics_summary" -> ((s, dir) => {
+      val pred = lshTopK(s, dir, nQueries = 20)
+        .groupBy("query_id")
+        .agg(transform(array_sort(collect_list(struct(col("rank"), col("id")))),
+          x => x.getField("id")).as("ids"))
+      val truth = bruteTopK(s, dir, nQueries = 20)
+        .groupBy("query_id")
+        .agg(transform(array_sort(collect_list(struct(col("rank"), col("id")))),
+          x => x.getField("id")).as("ids"))
+      Metrics.perQuery(pred, truth)
+        .agg(
+          count(lit(1)).as("n_queries"),
+          sum("n_hits").as("sum_hits"),
+          sum("n_pred").as("sum_pred"),
+          (sum("n_hits").cast("double") / (count(lit(1)) * 5).cast("double")).as("recall_at_k"),
+          (sum("n_hits").cast("double") / sum("n_pred").cast("double")).as("precision_micro"))
     }),
 
     // Dedup: exact duplicate groups by content hash.
@@ -561,6 +590,17 @@ object SparkEntry {
           |  list_aggregate(shingles, 'max') AS sh_max
           |FROM sh ORDER BY doc_id""".stripMargin),
 
+    "o03_char_shingles" ->
+      """WITH cs AS (
+        |  SELECT doc_id, CASE WHEN length(text) < 5 THEN [text]
+        |    ELSE list_distinct([substr(text, i, 5) for i in range(1, length(text)-5+2)]) END AS g
+        |  FROM documents
+        |)
+        |SELECT doc_id, len(g) AS n_grams,
+        |  list_aggregate(g, 'min') AS g_min,
+        |  list_aggregate(g, 'max') AS g_max
+        |FROM cs ORDER BY doc_id""".stripMargin,
+
     "o04_minhash_md5" ->
       (duckSigSql +
         """
@@ -741,6 +781,23 @@ object SparkEntry {
         |)
         |SELECT centroid_id, count(*) AS n_members FROM best
         |GROUP BY centroid_id ORDER BY centroid_id""".stripMargin,
+
+    "o26_metrics_summary" ->
+      (duckLshTopKSql(20) + duckBruteTopKSql(20) +
+        """
+          |, pred AS (SELECT query_id, list(id ORDER BY rank) AS ids FROM lsh_topk GROUP BY query_id)
+          |, tr AS (SELECT query_id, list(id ORDER BY rank) AS ids FROM brute_topk GROUP BY query_id)
+          |, pq AS (
+          |  SELECT p.query_id,
+          |    len(list_distinct(p.ids)) AS n_pred,
+          |    len(list_intersect(p.ids, t.ids)) AS n_hits
+          |  FROM pred p JOIN tr t ON p.query_id = t.query_id
+          |)
+          |SELECT count(*) AS n_queries, sum(n_hits)::BIGINT AS sum_hits,
+          |  sum(n_pred)::BIGINT AS sum_pred,
+          |  sum(n_hits)::DOUBLE / (count(*) * 5)::DOUBLE AS recall_at_k,
+          |  sum(n_hits)::DOUBLE / sum(n_pred)::DOUBLE AS precision_micro
+          |FROM pq""".stripMargin),
 
     "d01_dedup_exact" ->
       """SELECT md5(text) AS text_hash, count(*) AS cnt, min(doc_id) AS keep_id

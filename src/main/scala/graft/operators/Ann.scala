@@ -78,6 +78,47 @@ object Ann {
       .agg(top_k_by_score(col("score"), col("id"), k).as("topk")))
   }
 
+  /** IVF (inverted-file) ANN: coarse-quantize every vector to its nearest
+    * centroid (the inverted lists), then answer queries by scoring only
+    * the `nprobe` nearest clusters' members — the classic public IVF-flat
+    * construction. Centroids are provided as a small DataFrame
+    * (centroid_id, cv) and broadcast everywhere; the big side shuffles
+    * once at build time (partitioned by centroid) and never at query time.
+    * Output: (query_id, rank, id). */
+  def ivfTopK(embs: DataFrame, centroids: DataFrame, queries: DataFrame,
+              k: Int, nprobe: Int = 3,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.TopKByScore.top_k_by_score
+    val base = embs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val cents = centroids.select(col("centroid_id").cast("long").as("centroid_id"), col("cv"))
+    // build: assign each vector to its nearest centroid (argmin via k=1 agg)
+    val assigned = explodeTopK(
+      base.crossJoin(broadcast(cents))
+        .select(col("id").as("query_id"), col("centroid_id").as("id"),
+          neg_l2_float(col("v"), col("cv")).as("score"))
+        .groupBy("query_id")
+        .agg(top_k_by_score(col("score"), col("id"), 1).as("topk")))
+      .select(col("query_id").as("id"), col("id").as("centroid_id"))
+      .join(base, "id") // re-attach vectors -> inverted lists
+    // query: nprobe nearest centroids per query
+    val q = queries.select(col(idCol).cast("long").as("qid"), col(vecCol).as("qv"))
+    val probes = explodeTopK(
+      q.crossJoin(broadcast(cents))
+        .select(col("qid").as("query_id"), col("centroid_id").as("id"),
+          neg_l2_float(col("qv"), col("cv")).as("score"))
+        .groupBy("query_id")
+        .agg(top_k_by_score(col("score"), col("id"), nprobe).as("topk")))
+      .select(col("query_id").as("qid"), col("id").as("centroid_id"))
+      .join(q, "qid")
+    // score only the probed clusters' members
+    explodeTopK(
+      assigned.join(broadcast(probes), "centroid_id")
+        .select(col("qid").as("query_id"), col("id"),
+          cosine_sim(col("v"), col("qv")).as("score"))
+        .groupBy("query_id")
+        .agg(top_k_by_score(col("score"), col("id"), k).as("topk")))
+  }
+
   /** Cosine top-k via the LSH bucket path: only candidates sharing the
     * query's hyperplane bucket are scored (the 100 TB path; recall depends
     * on `planes`). Output: (query_id, rank, id). */
