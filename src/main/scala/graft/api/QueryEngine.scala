@@ -53,6 +53,18 @@ final class QueryEngine private (
     index.repartitionByRange(shards, col("band"), col("key64"))
       .write.mode("overwrite").parquet(s"$dir/postings")
   }
+
+  /** Persist the postings index as a BUCKETED table on the join key:
+    * two bucketed indexes (or index vs bucketed probe side) then join
+    * without either side shuffling — the 100 TB co-location strategy for
+    * repeated similarity joins. Requires a warehouse-backed catalog table
+    * (Spark bucketing metadata lives in the catalog, not the files). */
+  def saveBucketed(table: String, buckets: Int = 64): Unit = {
+    index.write.mode("overwrite")
+      .bucketBy(buckets, "key64")
+      .sortBy("key64", "band")
+      .saveAsTable(table)
+  }
 }
 
 object QueryEngine {

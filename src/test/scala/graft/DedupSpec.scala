@@ -1,0 +1,111 @@
+package graft
+
+import graft.operators.{Dedup, SkewAgg, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Dedup operators over corpora with planted duplicates, language-ID
+  * sanity, and the salted skew aggregation. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // planted corpus: 0/1 identical, 2 near-dup of 0 (one word changed),
+  // 3 unrelated, 4/5 identical short docs
+  private lazy val docs = Seq(
+    (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+    (3L, "one two three four five six seven eight nine ten"),
+    (4L, "same short doc"),
+    (5L, "same short doc")
+  ).toDF("doc_id", "text").cache()
+
+  test("exact dedup groups identical texts, keeps smallest id") {
+    val g = Dedup.exact(docs).filter(col("cnt") > 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(g == Set((2L, 0L), (2L, 4L))) // (cnt, keep_id)
+  }
+
+  test("MinHash-LSH near-dup finds identical pairs at score 1.0 and the near pair") {
+    val pairs = Dedup.nearMinHashLsh(docs, k = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((0L, 1L)) == 1.0)
+    assert(m((4L, 5L)) == 1.0)
+    assert(m.contains((0L, 2L)) && m((0L, 2L)) < 1.0 && m((0L, 2L)) >= 0.5)
+    assert(!m.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("SimHash near-dup: identical docs at hamming 0, near-dup within budget") {
+    val pairs = Dedup.nearSimHash(docs, hammingBudget = 16)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((0L, 1L)) == 0)
+    assert(pairs((4L, 5L)) == 0)
+    assert(pairs.get((0L, 2L)).forall(_ > 0))
+  }
+
+  test("n-gram Jaccard: exact set similarity on LSH candidates") {
+    val pairs = Dedup.ngramJaccard(docs, k = 2, threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    // doc 2 differs in the last word: 8 of 9 bigrams shared => J = 8/10
+    assert(pairs((0L, 2L)) == 0.8)
+  }
+
+  test("embedding cosine near-dup finds self-similar buckets") {
+    val embs = spark.read.parquet(s"$testDataDir/embeddings.parquet")
+    // duplicate a vector under a new id to plant a perfect pair
+    val planted = embs.union(embs.filter(col("vec_id") === 0)
+      .select(lit(100000L).as("vec_id"), col("embedding"), col("label")))
+    val pairs = Dedup.nearEmbeddingCosine(planted, threshold = 0.999, planes = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 100000L)))
+  }
+
+  test("language-ID picks the stopword-dominant language") {
+    val t = Seq(
+      (1L, "the cat sat of the mat and it was a hat"),
+      (2L, "el perro y la casa de que un gato no se"),
+      (3L, "der hund und die katze in den garten von zu"),
+      (4L, "xyz qwe rty")).toDF("doc_id", "text")
+    val got = t.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en" && got(2L) == "es" && got(3L) == "de" && got(4L) == "und")
+  }
+
+  test("salted skew aggregation equals direct group-by exactly") {
+    val events = spark.range(10000)
+      .select(col("id"),
+        (col("id") % 3).cast("string").as("k"),
+        (col("id") % 97).cast("double").as("v"))
+    val direct = events.groupBy("k")
+      .agg(sum(col("v").cast("decimal(28,6)")).cast("double").as("sum_value"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val salted = SkewAgg.saltedSumCount(events, "k", "v", "id", saltBuckets = 8)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(salted == direct)
+  }
+
+  test("bucketed postings table joins without shuffling the bucketed side") {
+    val docs500 = spark.read.parquet(s"$testDataDir/documents.parquet")
+    val eng = graft.api.QueryEngine.build(docs500,
+      mp = graft.core.MinHashPipeline.Params(kShingle = 3))
+    // warehouse dir is a static conf; the default ./spark-warehouse is
+    // gitignored, so just use it — but clear any leftover location from a
+    // previous JVM (the in-memory catalog won't know about it)
+    spark.sql("DROP TABLE IF EXISTS graft_postings_b")
+    val loc = new java.io.File("spark-warehouse/graft_postings_b")
+    if (loc.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(loc).deleteRecursively()
+    }
+    eng.saveBucketed("graft_postings_b", buckets = 8)
+    val t = spark.table("graft_postings_b")
+    val agg = t.groupBy("key64").agg(count(lit(1)).as("n"))
+    val p = agg.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // bucketed on key64: aggregation by key64 needs no Exchange
+    assert(!p.contains("Exchange"), p.take(2000))
+    assert(t.count() == eng.index.count())
+  }
+}
