@@ -540,6 +540,16 @@ object SparkEntry {
         .orderBy("centroid_id")
     }),
 
+    // ANN scale path end-to-end: IVF search (centroids = first 8 vectors,
+    // nprobe=3), rank-only output.
+    "a04_ivf_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+      Ann.ivfTopK(e, cents, e.filter(col("vec_id") < 10), k = 5, nprobe = 3)
+        .orderBy("query_id", "rank")
+    }),
+
     // ANN: brute-force cosine top-k over embeddings.
     "a01_cosine_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -798,6 +808,43 @@ object SparkEntry {
           |  sum(n_hits)::DOUBLE / (count(*) * 5)::DOUBLE AS recall_at_k,
           |  sum(n_hits)::DOUBLE / sum(n_pred)::DOUBLE AS precision_micro
           |FROM pq""".stripMargin),
+
+    "a04_ivf_topk" ->
+      """WITH assigned AS (
+        |  SELECT id, centroid_id FROM (
+        |    SELECT e.vec_id AS id, c.vec_id AS centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        -sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(e.embedding)+1),
+        |          i -> (e.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE) * (e.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE))), (a, v) -> a + v)) DESC,
+        |        c.vec_id) AS rn
+        |    FROM embeddings e CROSS JOIN embeddings c WHERE c.vec_id < 8
+        |  ) WHERE rn = 1
+        |), probes AS (
+        |  SELECT qid, centroid_id FROM (
+        |    SELECT q.vec_id AS qid, c.vec_id AS centroid_id,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        -sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(q.embedding)+1),
+        |          i -> (q.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE) * (q.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE))), (a, v) -> a + v)) DESC,
+        |        c.vec_id) AS rn
+        |    FROM embeddings q CROSS JOIN embeddings c WHERE c.vec_id < 8 AND q.vec_id < 10
+        |  ) WHERE rn <= 3
+        |), scored AS (
+        |  SELECT p.qid AS query_id, a.id,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(m.embedding)+1),
+        |      i -> m.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)), (x, v) -> x + v)
+        |    / sqrt(
+        |      list_reduce(list_prepend(0.0, list_transform(range(1, len(m.embedding)+1),
+        |        i -> m.embedding[i]::DOUBLE * m.embedding[i]::DOUBLE)), (x, v) -> x + v)
+        |      * list_reduce(list_prepend(0.0, list_transform(range(1, len(q.embedding)+1),
+        |        i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)), (x, v) -> x + v)) AS score
+        |  FROM probes p
+        |  JOIN assigned a ON a.centroid_id = p.centroid_id
+        |  JOIN embeddings m ON m.vec_id = a.id
+        |  JOIN embeddings q ON q.vec_id = p.qid
+        |)
+        |SELECT query_id, rank, id FROM (
+        |  SELECT query_id, id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rank
+        |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "d01_dedup_exact" ->
       """SELECT md5(text) AS text_hash, count(*) AS cnt, min(doc_id) AS keep_id
