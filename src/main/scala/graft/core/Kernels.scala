@@ -258,6 +258,27 @@ object Kernels {
     -math.sqrt(s)
   }
 
+  /** O15 conjunctive bin-window predicate as one kernel: true iff every
+    * dimension's equi-width bucket (np.histogram assignment, degenerate
+    * range -> bucket 0) lies inside its [wlo, whi] window. One expression
+    * instead of a D-term AND chain — Catalyst's constraint propagation is
+    * quadratic in conjunct count and made the column-composed form
+    * unusably slow to plan at D=64. */
+  def passesBins(v: ArrayData, lo: Array[Double], hi: Array[Double],
+                 wlo: Array[Int], whi: Array[Int], nBins: Int): Boolean = {
+    val d = lo.length
+    var i = 0
+    while (i < d) {
+      val x = v.getFloat(i).toDouble
+      val b =
+        if (hi(i) == lo(i)) 0
+        else math.min(math.floor((x - lo(i)) * nBins / (hi(i) - lo(i))), (nBins - 1).toDouble).toInt
+      if (b < wlo(i) || b > whi(i)) return false
+      i += 1
+    }
+    true
+  }
+
   /** Polynomial rolling hash over token fingerprints mod 2^61-1
     * (order-sensitive document fingerprint; base 1000003 is the public
     * CPython string-hash multiplier). Input: array<long> token hashes. */

@@ -77,14 +77,14 @@ object Qed {
   /** O15: conjunctive bin-window predicate — true iff every dimension's
     * bucket falls inside its [lo, hi] window (qed.py:54-63). `windows` are
     * the (lo, hi) pairs from [[queryDependentBins]]; `bounds` the collected
-    * per-dim (lo, hi) value ranges used for bucketing. */
+    * per-dim (lo, hi) value ranges used for bucketing. One codegen kernel
+    * expression (a D-term AND chain makes Catalyst constraint propagation
+    * quadratic and dominated planning time at D=64). */
   def passesBins(vec: Column, bounds: Array[(Double, Double)],
-                 windows: Array[(Int, Int)], nBins: Int = 256): Column = {
-    val dimChecks = windows.indices.map { d =>
-      val (lo, hi) = bounds(d)
-      val b = bucketOf(element_at(vec, d + 1).cast("double"), lit(lo), lit(hi), nBins)
-      b.between(windows(d)._1, windows(d)._2)
-    }
-    dimChecks.reduce(_ && _)
-  }
+                 windows: Array[(Int, Int)], nBins: Int = 256): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.QedBinFilter(
+        org.apache.spark.sql.graftbridge.Bridge.expression(vec),
+        bounds.map(_._1), bounds.map(_._2),
+        windows.map(_._1), windows.map(_._2), nBins))
 }

@@ -164,6 +164,29 @@ case class NegL2Float(left: Expression, right: Expression) extends BinaryExpress
   override def prettyName: String = "neg_l2_float"
 }
 
+/** array<float> -> boolean: conjunctive QED bin-window predicate (O15) as
+  * one codegen expression; the window/bounds arrays ride along as
+  * reference objects, keeping the plan literal-free and constraint-cheap. */
+case class QedBinFilter(child: Expression, lo: Array[Double], hi: Array[Double],
+                        wlo: Array[Int], whi: Array[Int], nBins: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    graft.core.Kernels.passesBins(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], lo, hi, wlo, whi, nBins)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val loRef = ctx.addReferenceObj("qedLo", lo, "double[]")
+    val hiRef = ctx.addReferenceObj("qedHi", hi, "double[]")
+    val wloRef = ctx.addReferenceObj("qedWlo", wlo, "int[]")
+    val whiRef = ctx.addReferenceObj("qedWhi", whi, "int[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.core.Kernels.passesBins($c, $loRef, $hiRef, $wloRef, $whiRef, $nBins)")
+  }
+  override protected def withNewChildInternal(c: Expression): QedBinFilter = copy(child = c)
+  override def prettyName: String = "qed_bin_filter"
+}
+
 /** array<long> token hashes -> long polynomial rolling-hash fingerprint. */
 case class RollingFingerprint(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType

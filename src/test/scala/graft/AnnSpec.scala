@@ -39,6 +39,16 @@ class AnnSpec extends SparkSpec {
     assert(hits >= 20 * 5 * 0.5, s"recall too low: $hits/100")
   }
 
+  test("results table writes and reads back as JSON lines") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-json").toString
+    val queries = embs.filter(col("vec_id") < 3)
+    val res = Ann.bruteForceTopK(embs, queries, k = 3, cosine_sim)
+    res.write.mode("overwrite").json(dir)
+    val back = spark.read.json(dir)
+    assert(back.count() == res.count())
+    assert(back.columns.sorted.toSeq == Seq("id", "query_id", "rank"))
+  }
+
   test("results table writes and reads back as CSV (O28 sink)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
     val queries = embs.filter(col("vec_id") < 5)
