@@ -389,6 +389,24 @@ object SparkEntry {
       Dedup.exact(t(s, dir, "documents")).orderBy("text_hash")
     }),
 
+    // Dedup survivor selection: near-dup docs labeled with the smallest id
+    // among themselves and their >=0.9-similar partners (one labeling pass
+    // over the LSH pair set).
+    "d02_dedup_groups" -> ((s, dir) => {
+      val sigs = md5Sigs(s, dir)
+      val pairs = Lsh.candidatePairs(lshIndex(s, dir))
+      val sa = sigs.select(col("doc_id").as("a"), col("sig").as("sig_a"))
+      val sb = sigs.select(col("doc_id").as("b"), col("sig").as("sig_b"))
+      val scored = pairs.join(sa, "a").join(sb, "b")
+        .filter(est_jaccard(col("sig_a"), col("sig_b")) >= 0.9)
+      val edges = scored.select(col("a").as("doc"), col("b").as("peer"))
+        .unionByName(scored.select(col("b").as("doc"), col("a").as("peer")))
+      edges.groupBy("doc")
+        .agg(least(min(col("peer")), col("doc")).as("label"))
+        .select(col("doc"), col("label"))
+        .orderBy("doc")
+    }),
+
     // Dedup: SimHash 61-bit fingerprints (token multiset, md5 family).
     "d03_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -501,6 +519,17 @@ object SparkEntry {
         .withColumn("ship_year", year(col("ship_month")))
         .select("ship_month", "ship_year", "n", "first_ship", "last_ship")
         .orderBy("ship_month")
+    }),
+
+    // Exact percentiles (sort-based; identical interpolation both engines).
+    "q10_percentiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_extendedprice, 0.5)").as("p50"),
+          expr("percentile(l_extendedprice, 0.9)").as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
     }),
 
     // O14+O15 QED: query-dependent bin windows -> conjunctive bin filter.
@@ -753,6 +782,31 @@ object SparkEntry {
         |  year(date_trunc('month', l_shipdate))::INT AS ship_year,
         |  count(*) AS n, min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship
         |FROM lineitem GROUP BY 1 ORDER BY ship_month""".stripMargin,
+
+    "q10_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50,
+        |  quantile_cont(l_extendedprice, 0.9) AS p90,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "d02_dedup_groups" ->
+      (duckBandsSql +
+        s"""
+           |, pairs AS (
+           |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+           |  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
+           |  WHERE l.doc_id < r.doc_id
+           |), scored AS (
+           |  SELECT p.a, p.b FROM pairs p
+           |  JOIN sig sa ON sa.doc_id = p.a JOIN sig sb ON sb.doc_id = p.b
+           |  WHERE ${duckEstJacc("sa.s", "sb.s")} >= 0.9
+           |), edges AS (
+           |  SELECT a AS doc, b AS peer FROM scored
+           |  UNION ALL SELECT b AS doc, a AS peer FROM scored
+           |)
+           |SELECT doc, least(min(peer), doc) AS label
+           |FROM edges GROUP BY doc ORDER BY doc""".stripMargin),
 
     "o14_qed_filter" ->
       """WITH dims AS (
