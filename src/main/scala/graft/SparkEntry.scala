@@ -420,6 +420,16 @@ object SparkEntry {
       TextAnalysis.analyze(t(s, dir, "documents")).orderBy("doc_id")
     }),
 
+    // Token frequency: explode -> agg -> deterministic top-20.
+    "t02_word_freq" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(Shingling.tokens(lower(col("text")))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("token"))
+        .limit(20)
+    }),
+
     // Streaming-shaped batch: tumbling 1-hour windowed aggregation.
     // (events.parquet stores TIMESTAMP(NANOS); Spark 4 only reads those as
     // long via the legacy flag — convert to micros explicitly.)
@@ -916,6 +926,12 @@ object SparkEntry {
          |FROM h ORDER BY doc_id""".stripMargin,
 
     "t01_text_analysis" -> duckTextAnalysisSql,
+
+    "t02_word_freq" ->
+      """SELECT token, count(*) AS cnt FROM (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS token
+        |  FROM documents
+        |) GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
 
     "s01_events_hourly" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
