@@ -46,6 +46,24 @@ class ReferenceParitySpec extends SparkSpec {
     assert(got(1).getSeq[Long](1) == longs("query_sig"))
   }
 
+  test("no-index fallback scan (negative-L2 over signatures) reproduces reference ranking") {
+    // worker_tasks.py:170-181 fallback: score every row with quantify_score
+    // (qed.py:65-73) and take the top — here as the brute-force cross plan.
+    // Ranks compared, not raw scores: numpy sums the squares pairwise while
+    // the kernel sums sequentially (both exact enough that the ~1e17-sized
+    // score gaps dwarf the difference).
+    import graft.operators.Ann
+    val qSig = longs("query_sig").toArray
+    val spark2 = spark
+    import spark2.implicits._
+    val q = Seq((1025L, qSig.toSeq)).toDF("vec_id", "sig")
+    val base = sigs.select(col("doc_id").as("vec_id"), col("sig"))
+    val got = Ann.bruteForceTopK(base, q, k = 5, graft.functions.GraftFunctions.neg_l2_long,
+      idCol = "vec_id", vecCol = "sig")
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(got == longs("fallback_top5_ids"))
+  }
+
   test("LSH query for vector #1025 reproduces the reference result") {
     val qSig = longs("query_sig").toArray
     val index = Lsh.postings(sigs, "doc_id", "sig").cache()
