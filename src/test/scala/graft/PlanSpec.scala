@@ -69,6 +69,24 @@ class PlanSpec extends SparkSpec {
     assert("""\(\d+\) Project \[codegen id :""".r.findFirstIn(p).isDefined, p.take(2000))
   }
 
+  test("partition pruning: partitioned parquet scans only the matching partition") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    spark.read.parquet(s"$testDataDir/documents.parquet")
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("lang") === "en")
+      .select("doc_id", "n_chars")
+    val p = plan(q)
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(scanLine.contains("lang"), scanLine)
+    val langs = spark.read.parquet(s"$testDataDir/documents.parquet")
+      .select("lang").distinct().count()
+    assert(langs > 1) // pruning is meaningful
+    val n = q.count()
+    val expected = spark.read.parquet(s"$testDataDir/documents.parquet")
+      .filter(col("lang") === "en").count()
+    assert(n == expected)
+  }
+
   test("LSH candidate pair join is a hash join on fixed-width keys") {
     val docs = spark.read.parquet(s"$testDataDir/documents.parquet")
     val sigs = MinHashPipeline.withSignature(docs, "text",
