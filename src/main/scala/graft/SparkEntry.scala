@@ -436,7 +436,7 @@ object SparkEntry {
     "s01_events_hourly" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       t(s, dir, "events")
-        .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
@@ -577,6 +577,45 @@ object SparkEntry {
         .groupBy(col("id").as("centroid_id"))
         .agg(count(lit(1)).as("n_members"))
         .orderBy("centroid_id")
+    }),
+
+    // Batch session windows (30-min gap) per user — the streaming
+    // sessionize operator run over bounded input.
+    "s02_sessions" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      t(s, dir, "events")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
+        .orderBy("user_id", "session_start")
+    }),
+
+    // Containment similarity C(A,B) = |A∩B| / |A| over LSH candidate pairs
+    // (asymmetric near-dup containment — catches subset duplication).
+    "d04_containment" -> ((s, dir) => {
+      val base = docShingles(s, dir)
+        .select(col("doc_id"), col("shingles"))
+      val pairs = Lsh.candidatePairs(lshIndex(s, dir))
+      val sa = base.select(col("doc_id").as("a"), col("shingles").as("sh_a"))
+      val sb = base.select(col("doc_id").as("b"), col("shingles").as("sh_b"))
+      pairs.join(sa, "a").join(sb, "b")
+        .withColumn("containment",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(col("sh_a")).cast("double"))
+        .filter(col("containment") >= 0.8)
+        .select("a", "b", "containment")
+        .orderBy("a", "b")
+    }),
+
+    // String aggregation: ordered concatenation per group.
+    "q11_string_agg" -> ((s, dir) => {
+      t(s, dir, "nation")
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy("r_name")
     }),
 
     // ANN scale path end-to-end: IVF search (centroids = first 8 vectors,
@@ -872,6 +911,40 @@ object SparkEntry {
           |  sum(n_hits)::DOUBLE / (count(*) * 5)::DOUBLE AS recall_at_k,
           |  sum(n_hits)::DOUBLE / sum(n_pred)::DOUBLE AS precision_micro
           |FROM pq""".stripMargin),
+
+    "s02_sessions" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '30 minutes'
+        |    THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked
+        |)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+        |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "d04_containment" ->
+      (duckBandsSql +
+        """
+          |, pairs AS (
+          |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+          |  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
+          |  WHERE l.doc_id < r.doc_id
+          |)
+          |SELECT p.a, p.b,
+          |  len(list_intersect(sa.shingles, sb.shingles))::DOUBLE / len(sa.shingles)::DOUBLE AS containment
+          |FROM pairs p JOIN sh sa ON sa.doc_id = p.a JOIN sh sb ON sb.doc_id = p.b
+          |WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE / len(sa.shingles)::DOUBLE >= 0.8
+          |ORDER BY a, b""".stripMargin),
+
+    "q11_string_agg" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations, count(*) AS n
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
 
     "a04_ivf_topk" ->
       """WITH assigned AS (
