@@ -420,6 +420,16 @@ object SparkEntry {
       TextAnalysis.analyze(t(s, dir, "documents")).orderBy("doc_id")
     }),
 
+    // Multimodal plumbing: synthesize media, stub-decode features
+    // (deterministic; no SQL oracle for the byte-level stub -> rows-only).
+    "m01_multimodal_features" -> ((s, dir) => {
+      val media = graft.operators.Multimodal.synthesize(s, n = 100)
+      graft.operators.Multimodal.extractFeatures(media, dim = 16)
+        .select(col("media_id"), element_at(col("features"), 1).as("f0"),
+          element_at(col("features"), 16).as("f15"))
+        .orderBy("media_id")
+    }),
+
     // Token frequency: explode -> agg -> deterministic top-20.
     "t02_word_freq" -> ((s, dir) => {
       t(s, dir, "documents")
