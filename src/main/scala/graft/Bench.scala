@@ -44,7 +44,9 @@ object Bench {
 
   /** Reference-comparable probe metrics (BASELINE.md: 20 000 docs,
     * prebuilt index, k=5, max_candidates=2000): steady-state single-vector
-    * latency and batch-of-100 throughput through one plan. */
+    * latency, batch-of-100 LSH throughput through one plan, and the
+    * batch-of-100 brute-force counterpart (the reference's headline
+    * relative result is brute-vs-LSH shape — results_synthetic.csv). */
   def computeProbeMetrics(spark: SparkSession): Map[String, Double] =
     try {
       import graft.api.QueryEngine
@@ -67,31 +69,31 @@ object Bench {
       // batch of 100 queries through ONE plan (the Spark-native shape)
       val qDf = eng.sigs.filter(col("doc_id") < 100)
         .select(col("doc_id").as("query_id"), col("sig"))
-      def batchRun(): Long = {
-        val qPost = qDf.select(col("query_id"),
-          posexplode(graft.core.Lsh.bandSlices(col("sig"), graft.core.Lsh.Params()))
-            .as(Seq("band", "band_key")))
-          .withColumn("key64", xxhash64(col("band"), col("band_key")))
-          .withColumn("key64b", xxhash64(col("band_key"), col("band")))
-          .drop("band_key")
-        val cand = eng.index.join(broadcast(qPost), Seq("band", "key64", "key64b"))
-          .select("query_id", "id").distinct()
+      def lshBatch(): Long =
+        graft.core.Lsh.queryBatch(eng.sigs, eng.index, qDf, k = 5).count()
+      lshBatch() // warmup
+      val t2 = System.nanoTime()
+      lshBatch()
+      val batch100 = (System.nanoTime() - t2) / 1e9
+      // brute-force batch of 100 (reference: 12.98 ms/query single-vector
+      // numpy scan at the same 20k scale)
+      import graft.functions.TopKByScore.top_k_by_score
+      def bruteBatch(): Long = {
         val cs = eng.sigs.select(col("doc_id").as("id"), col("sig").as("sig_c"))
-        val qs2 = qDf.select(col("query_id"), col("sig").as("sig_q"))
-        import graft.functions.TopKByScore.top_k_by_score
-        broadcast(cand).join(cs, "id").join(broadcast(qs2), "query_id")
-          .withColumn("score",
-            graft.functions.GraftFunctions.est_jaccard(col("sig_c"), col("sig_q")))
+        cs.crossJoin(broadcast(qDf.select(col("query_id"), col("sig").as("sig_q"))))
+          .select(col("query_id"), col("id"),
+            graft.functions.GraftFunctions.neg_l2_long(col("sig_c"), col("sig_q")).as("score"))
           .groupBy("query_id")
           .agg(top_k_by_score(col("score"), col("id"), 5).as("topk"))
           .count()
       }
-      batchRun() // warmup
-      val t2 = System.nanoTime()
-      batchRun()
-      val batch100 = (System.nanoTime() - t2) / 1e9
+      bruteBatch() // warmup
+      val t3 = System.nanoTime()
+      bruteBatch()
+      val brute100 = (System.nanoTime() - t3) / 1e9
       Map(
         "x_lsh_single_query_avg_sec_20kdocs" -> singleAvg,
-        "x_lsh_batch100_queries_sec_20kdocs" -> batch100)
+        "x_lsh_batch100_queries_sec_20kdocs" -> batch100,
+        "x_brute_batch100_queries_sec_20kdocs" -> brute100)
     } catch { case _: Throwable => Map.empty[String, Double] }
 }

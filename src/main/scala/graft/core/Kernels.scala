@@ -32,7 +32,14 @@ object Kernels {
     * (synth_data.py:65-81): fewer than k tokens -> ONE whole-doc shingle.
     * A codegen kernel because Spark's higher-order functions are
     * CodegenFallback — this keeps the per-row hot loop of the signature
-    * pipeline inside whole-stage codegen. */
+    * pipeline inside whole-stage codegen.
+    *
+    * Known deviation: the tokenizer splits on Java `\s+` (ASCII
+    * whitespace), while Python's no-arg `str.split()` also splits on
+    * Unicode whitespace (U+00A0, U+1C-1F, U+85, ...). The synthetic
+    * corpora are ASCII so parity holds there; non-ASCII corpora would
+    * need a `\p{IsWhite_Space}+` class here AND in the DuckDB oracle's
+    * string_split_regex to stay comparable. */
   def wordShingles(text: UTF8String, k: Int): ArrayData = {
     val toks0 = text.toString.split("\\s+")
     val toks = if (toks0.length > 0 && toks0(0).isEmpty) toks0.drop(1) else toks0
@@ -263,7 +270,16 @@ object Kernels {
     * range -> bucket 0) lies inside its [wlo, whi] window. One expression
     * instead of a D-term AND chain — Catalyst's constraint propagation is
     * quadratic in conjunct count and made the column-composed form
-    * unusably slow to plan at D=64. */
+    * unusably slow to plan at D=64.
+    *
+    * Known boundary deviation (documented, intentional): this clamps the
+    * bucket to nBins-1 (np.histogram's last-bin-inclusive rule), while the
+    * reference's point_passes_bins (qed.py:59) assigns bin == nBins to a
+    * point exactly equal to the per-dimension max via searchsorted and so
+    * always EXCLUDES it. QED is vestigial on the reference query path; the
+    * np.histogram rule is the one its own histogram operator (O13) uses,
+    * so the engine keeps the two consistent instead of parity-matching a
+    * dead branch. */
   def passesBins(v: ArrayData, lo: Array[Double], hi: Array[Double],
                  wlo: Array[Int], whi: Array[Int], nBins: Int): Boolean = {
     val d = lo.length

@@ -55,10 +55,25 @@ object Lsh {
     val keyed = withBucketKeys(exploded)
     if (p.maxBucketSize <= 0) keyed
     else {
+      // Scale-safe cap: a full-table `row_number` window would sort every
+      // posting and land each bucket on one task — the exact skew the cap
+      // guards against. Instead, find the over-cap buckets with a map-side-
+      // combinable count (partial aggregation absorbs hot keys), pass
+      // under-cap rows through untouched (anti join), and run the ordered
+      // keep-first-by-id window ONLY over the rare over-cap buckets. The
+      // over-cap bucket list is bounded by totalPostings/cap keys
+      // (3 longs each), so it broadcasts even at 100 TB scale.
+      val over = keyed.groupBy("band", "key64", "key64b")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > p.maxBucketSize)
+        .select("band", "key64", "key64b")
+      val small = keyed.join(broadcast(over), joinKeys, "left_anti")
       val w = Window.partitionBy("band", "key64", "key64b").orderBy("id")
-      keyed.withColumn("rn", row_number().over(w))
+      val big = keyed.join(broadcast(over), joinKeys)
+        .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= p.maxBucketSize)
         .drop("rn")
+      small.unionByName(big)
     }
   }
 
@@ -99,25 +114,24 @@ object Lsh {
                      p: Params = Params(), maxCandidates: Int = 0): DataFrame = {
     val spark = sigs.sparkSession
     val qp = queryPostings(spark, querySig, p)
-    val probe =
-      if (maxCandidates <= 0) qp
+    val hits = index.join(broadcast(qp), joinKeys).select("band", "id")
+    val capped =
+      if (maxCandidates <= 0) hits
       else {
-        // per-band bucket sizes for this query's keys (32-row result)
-        val sizes = index.join(broadcast(qp), joinKeys)
-          .groupBy("band").agg(count(lit(1)).as("n"))
-          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-        var cum = 0L
-        var lastBand = p.bands - 1
-        var b = 0
-        var found = false
-        while (b < p.bands && !found) {
-          cum += sizes.getOrElse(b, 0L)
-          if (cum >= maxCandidates) { lastBand = b; found = true }
-          b += 1
-        }
-        qp.filter(col("band") <= lastBand)
+        // The band-prefix cap FUSED into the probe plan (no separate
+        // driver-side sizing job): a hit row in band b survives iff the
+        // total number of hit rows in bands < b is still under the cap —
+        // exactly the smallest band prefix whose cumulative bucket sizes
+        // reach maxCandidates, inclusive. The window is single-partition,
+        // but it only ever sees this one query's bucket hits (cap-bounded
+        // in practice), never the index.
+        val before = Window.orderBy("band")
+          .rangeBetween(Window.unboundedPreceding, -1)
+        hits.withColumn("n_before", count(lit(1)).over(before))
+          .filter(col("n_before") < maxCandidates)
+          .drop("n_before")
       }
-    val cand = index.join(broadcast(probe), joinKeys).select("id").distinct()
+    val cand = capped.select("id").distinct()
     // the query vector travels as DATA (broadcast 1-row frame), not as a
     // 128-literal expression: every probe then reuses the same compiled
     // plan — codegen recompilation per query was the dominant latency cost
@@ -131,6 +145,33 @@ object Lsh {
         slice(col("sig"), 1, 10).as("vector_preview"))
       .orderBy(desc("score"), asc("id"))
       .limit(k)
+  }
+
+  /** Batch probe: top-k per query signature, all queries through ONE
+    * compiled plan (the Spark-native form of the reference's per-request
+    * scatter — amortizes planning/codegen across the whole batch).
+    * `queries` is (query_id, sig); output (query_id, rank, id, score).
+    *
+    * The query postings side is broadcast (bounded: 32 rows per query);
+    * the candidate set is NOT broadcast — it grows with batch size and
+    * bucket skew, so AQE picks the join strategy. */
+  def queryBatch(sigs: DataFrame, index: DataFrame, queries: DataFrame, k: Int,
+                 p: Params = Params()): DataFrame = {
+    import graft.functions.TopKByScore.top_k_by_score
+    val qPost = withBucketKeys(queries.select(col("query_id"),
+      posexplode(bandSlices(col("sig"), p)).as(Seq("band", "band_key"))))
+    val cand = index.join(broadcast(qPost), joinKeys)
+      .select("query_id", "id").distinct()
+    val cs = sigs.select(col("doc_id").as("id"), col("sig").as("sig_c"))
+    val qs = queries.select(col("query_id"), col("sig").as("sig_q"))
+    val grouped = cand.join(cs, "id").join(broadcast(qs), "query_id")
+      .withColumn("score",
+        graft.functions.GraftFunctions.est_jaccard(col("sig_c"), col("sig_q")))
+      .groupBy("query_id")
+      .agg(top_k_by_score(col("score"), col("id"), k).as("topk"))
+    grouped.select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "hit")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("hit.id").as("id"), col("hit.score").as("score"))
   }
 
   /** All-pairs near-duplicate candidates from the index: ids sharing at

@@ -14,9 +14,13 @@ object Mod61 {
     * signature sentinel (synth_data.py:41-42). */
   final val Prime: Long = (1L << 61) - 1
 
-  /** (a * x) mod p for 0 <= a, x < 2^62, using the Mersenne fold:
+  /** (a * x) mod p for 0 <= a, x < p, using the Mersenne fold:
     * the 128-bit product hi*2^64 + lo satisfies 2^61 ≡ 1 (mod p), so
     * fold the product into 61-bit limbs and sum.
+    *
+    * Operand bound is p (2^61 - 1), NOT 2^62: for operands near 2^62 the
+    * fold `((hi<<3)|(lo>>>61)) + (lo & p)` itself can exceed Long.MaxValue
+    * and wrap. All hash-family values live in [0, p), which is safe.
     */
   @inline def mulmod(a: Long, x: Long): Long = {
     val hi = Math.multiplyHigh(a, x) // signed ok: both operands positive < 2^62

@@ -81,6 +81,66 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
+  /** Transitive duplicate grouping: connected components over a near-dup
+    * pair graph (a, b), labeling every member of a component with the
+    * component's smallest doc id. This is the converged form of the
+    * one-pass min-peer labeling (SURVEY §7.1 step 9): chains a–b, b–c all
+    * label to a, so survivor selection is consistent across hops.
+    *
+    * Algorithm: iterative min-label propagation with pointer-jumping —
+    * each round a node takes the min of its own label, its neighbors'
+    * labels, AND its current label's label (path halving). Pointer-jumping
+    * makes convergence O(log(diameter)) rounds instead of O(diameter);
+    * each round is two shuffles (neighbor min + label lookup), both plain
+    * hash aggregations/joins that AQE can skew-split — no single-task
+    * stage anywhere. Lineage is truncated per round with an eager
+    * localCheckpoint so the plan does not grow with iterations (at
+    * cluster scale with dynamic executors, set a reliable
+    * `spark.sparkContext.setCheckpointDir` and swap to `checkpoint`).
+    *
+    * Returns (doc, label); only nodes that appear in `pairs`. Iterations
+    * stop at convergence (no label changed) or `maxIter` (a safety bound —
+    * log2 of the largest plausible component diameter; 30 covers 2^30). */
+  def connectedComponents(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
+                          maxIter: Int = 30): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .unionByName(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .withColumn("label", col("doc"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // min label among neighbors of each node
+      val nbrMin = edges
+        .join(labels.select(col("doc").as("dst"), col("label").as("nbr_label")), "dst")
+        .groupBy("src").agg(min("nbr_label").as("nbr_label"))
+        .select(col("src").as("doc"), col("nbr_label"))
+      // pointer jump: the label of my label
+      val jump = labels
+        .join(labels.select(col("doc").as("label"), col("label").as("jump_label")), "label")
+        .select(col("doc"), col("jump_label"))
+      val next = labels
+        .join(nbrMin, Seq("doc"), "left")
+        .join(jump, Seq("doc"), "left")
+        .select(col("doc"),
+          least(col("label"),
+            coalesce(col("nbr_label"), col("label")),
+            coalesce(col("jump_label"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(labels.select(col("doc"), col("label").as("old_label")), "doc")
+        .filter(col("label") =!= col("old_label"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0L
+      iter += 1
+    }
+    labels
+  }
+
   /** Embedding near-dup: pairs with cosine >= threshold, candidates from
     * random-hyperplane LSH buckets (see [[Ann.rhpBucket]]) to avoid the
     * cross join at scale. */

@@ -85,23 +85,10 @@ object Streams {
     queries.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val qPost = batch.select(col("query_id"),
-          posexplode(Lsh.bandSlices(col("sig"), Lsh.Params())).as(Seq("band", "band_key")))
-          .withColumn("key64", xxhash64(col("band"), col("band_key")))
-          .withColumn("key64b", xxhash64(col("band_key"), col("band")))
-          .drop("band_key")
-        val cand = index.join(broadcast(qPost), Seq("band", "key64", "key64b"))
-          .select("query_id", "id").distinct()
-        val qs = batch.select(col("query_id"), col("sig").as("sig_q"))
-        val cs = sigs.select(col("doc_id").as("id"), col("sig").as("sig_c"))
-        val scored = broadcast(cand).join(cs, "id").join(broadcast(qs), "query_id")
-          .withColumn("score",
-            graft.functions.GraftFunctions.est_jaccard(col("sig_c"), col("sig_q")))
-        val topk = graft.operators.Ann.explodeTopKWithScore(
-          scored.groupBy("query_id")
-            .agg(graft.functions.TopKByScore.top_k_by_score(
-              col("score"), col("id"), k).as("topk")))
-        sink(topk, batchId)
+        // one compiled batch-probe plan per micro-batch; the candidate
+        // side is AQE-decided (unbounded), query sides broadcast — see
+        // Lsh.queryBatch
+        sink(Lsh.queryBatch(sigs, index, batch, k), batchId)
       }
       .start()
   }
