@@ -20,20 +20,27 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // local[32] with a large heap: let AQE broadcast dimension-sized
+      // sides up to 64 MB (e.g. the 20 MB signature table at the
+      // reference-comparable 20k-doc probe scale) instead of shuffling
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val probesOnly = args.contains("--probes-only") // dev loop: skip catalog
     // warmup: build caches + codegen
-    SparkEntry.queries.foreach { case (_, fn) =>
+    if (!probesOnly) SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    val results =
+      if (probesOnly) Map.empty[String, Double]
+      else SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     val probeMetrics = computeProbeMetrics(spark)
     val qs = (results ++ probeMetrics).map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -66,21 +73,36 @@ object Bench {
       val t1 = System.nanoTime()
       (5L until 25L).foreach(i => eng.query(someSigs(i), 5))
       val singleAvg = (System.nanoTime() - t1) / 1e9 / 20.0
-      // batch of 100 queries through ONE plan (the Spark-native shape)
-      val qDf = eng.sigs.filter(col("doc_id") < 100)
+      // batches through ONE plan (the Spark-native shape), with the
+      // reference's max_candidates=2000 cap — the same cap the reference
+      // benchmark runs under (minhash_lsh.py:95-96), and the single-probe
+      // path above already applies
+      def qDf(n: Int) = eng.sigs.filter(col("doc_id") < n)
         .select(col("doc_id").as("query_id"), col("sig"))
-      def lshBatch(): Long =
-        graft.core.Lsh.queryBatch(eng.sigs, eng.index, qDf, k = 5).count()
-      lshBatch() // warmup
+      def lshBatch(n: Int): Long =
+        graft.core.Lsh.queryBatch(eng.sigs, eng.index, qDf(n), k = 5,
+          maxCandidates = 2000).count()
+      lshBatch(100) // warmup
       val t2 = System.nanoTime()
-      lshBatch()
+      lshBatch(100)
       val batch100 = (System.nanoTime() - t2) / 1e9
-      // brute-force batch of 100 (reference: 12.98 ms/query single-vector
-      // numpy scan at the same 20k scale)
+      // batch of 1000: at 100 queries fixed plan overhead still dominates;
+      // 1000 queries through one plan shows the amortized throughput a
+      // large-scale user cares about
+      lshBatch(1000) // warmup
+      val t2b = System.nanoTime()
+      lshBatch(1000)
+      val batch1000 = (System.nanoTime() - t2b) / 1e9
+      // brute-force batch of 100: the reference's no-index fallback scan —
+      // negative L2 over SIGNATURES (benchmark_runner.py:109-117), i.e.
+      // the reference's own brute-force metric (12.98 ms/query numpy scan
+      // at the same 20k scale). Deliberately NOT est-Jaccard: this row
+      // compares scan-vs-index cost against the reference's scan, not the
+      // two ranking semantics against each other.
       import graft.functions.TopKByScore.top_k_by_score
       def bruteBatch(): Long = {
         val cs = eng.sigs.select(col("doc_id").as("id"), col("sig").as("sig_c"))
-        cs.crossJoin(broadcast(qDf.select(col("query_id"), col("sig").as("sig_q"))))
+        cs.crossJoin(broadcast(qDf(100).select(col("query_id"), col("sig").as("sig_q"))))
           .select(col("query_id"), col("id"),
             graft.functions.GraftFunctions.neg_l2_long(col("sig_c"), col("sig_q")).as("score"))
           .groupBy("query_id")
@@ -94,6 +116,7 @@ object Bench {
       Map(
         "x_lsh_single_query_avg_sec_20kdocs" -> singleAvg,
         "x_lsh_batch100_queries_sec_20kdocs" -> batch100,
+        "x_lsh_batch1000_queries_sec_20kdocs" -> batch1000,
         "x_brute_batch100_queries_sec_20kdocs" -> brute100)
     } catch { case _: Throwable => Map.empty[String, Double] }
 }

@@ -24,8 +24,11 @@ final class QueryEngine private (
     val params: Lsh.Params) {
   import QueryEngine.Candidate
 
-  /** Warm the caches (O22 cluster warm-up: the eager `postings.count`). */
-  def warmUp(): QueryEngine = { sigs.count(); index.count(); this }
+  /** Warm the caches (O22 cluster warm-up: the eager `postings.count`),
+    * including the bucket-stats table capped probes consult. */
+  def warmUp(): QueryEngine = {
+    sigs.count(); index.count(); Lsh.bucketSizes(index).count(); this
+  }
 
   /** Single-vector top-k probe, k-padded like the reference response.
     * `maxCandidates` defaults to the reference's cap (minhash_lsh.py:70). */

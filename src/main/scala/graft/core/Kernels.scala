@@ -225,13 +225,16 @@ object Kernels {
     out
   }
 
-  /** Cosine similarity between two float vectors (array<float>). */
+  /** Cosine similarity between two float vectors (array<float>). Each
+    * element is widened to double BEFORE multiplying so the arithmetic is
+    * identical to the DuckDB oracle's (x::DOUBLE * y::DOUBLE) — a float
+    * multiply rounds differently and could flip near-ties cross-engine. */
   def cosine(x: ArrayData, y: ArrayData): Double = {
     val n = x.numElements()
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
-      val a = x.getFloat(i); val b = y.getFloat(i)
+      val a = x.getFloat(i).toDouble; val b = y.getFloat(i).toDouble
       dot += a * b; nx += a * a; ny += b * b
       i += 1
     }
@@ -252,13 +255,17 @@ object Kernels {
     -math.sqrt(s)
   }
 
-  /** Negative L2 over float vectors (embeddings variant of qed.py:65-73). */
+  /** Negative L2 over float vectors (embeddings variant of qed.py:65-73).
+    * Elements are widened to double BEFORE subtracting — identical to the
+    * DuckDB oracle's (x::DOUBLE - y::DOUBLE); a float-precision subtract
+    * rounds differently and a near-equidistant argmin flip would diverge
+    * k-means training cross-engine. */
   def negL2Float(x: ArrayData, y: ArrayData): Double = {
     val n = x.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
-      val d = (x.getFloat(i) - y.getFloat(i)).toDouble
+      val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
       s += d * d
       i += 1
     }

@@ -79,6 +79,42 @@ object Lsh {
 
   private val joinKeys = Seq("band", "key64", "key64b")
 
+  /** Per-bucket posting counts `(band, key64, key64b, n)` for an index —
+    * the index-build-time stats table every capped probe consults to pick
+    * its band prefix WITHOUT materializing a single candidate row (the
+    * Spark analog of the reference's early exit: it stops reading buckets
+    * once max_candidates accumulate — minhash_lsh.py:95-96). Cached per
+    * index DataFrame instance (identity): both long-lived index holders
+    * (QueryEngine, SparkEntry's postings cache) reuse one stats build.
+    * Keys of stopped sessions are pruned on lookup. */
+  private val sizeCache = scala.collection.concurrent.TrieMap[DataFrame, DataFrame]()
+  def bucketSizes(index: DataFrame): DataFrame = {
+    sizeCache.keys.filter(_.sparkSession.sparkContext.isStopped).foreach(sizeCache.remove)
+    sizeCache.getOrElseUpdate(index,
+      index.groupBy("band", "key64", "key64b").agg(count(lit(1)).as("n")).cache())
+  }
+
+  /** Allowed-band whitelist from per-(group, band) bucket sizes: for each
+    * group, the smallest band prefix whose cumulative sizes reach the cap
+    * (inclusive). `sized` is (groupCols..., band, n); returns
+    * (groupCols..., band). The fold runs over one <=32-element array per
+    * group — never a row-level window. */
+  private def allowedBandPrefix(sized: DataFrame, groupCols: Seq[String],
+                                maxCandidates: Int): DataFrame = {
+    val grouped =
+      if (groupCols.isEmpty) sized.agg(sort_array(collect_list(struct(col("band"), col("n")))).as("bn"))
+      else sized.groupBy(groupCols.map(col): _*)
+        .agg(sort_array(collect_list(struct(col("band"), col("n")))).as("bn"))
+    grouped
+      .select(groupCols.map(col) :+ explode(filter(
+        transform(col("bn"), (x, i) => struct(
+          x.getField("band").as("band"),
+          aggregate(slice(col("bn"), lit(1), i), lit(0L),
+            (a, y) => a + y.getField("n")).as("before"))),
+        s => s.getField("before") < maxCandidates)).as("s"): _*)
+      .select(groupCols.map(col) :+ col("s.band").as("band"): _*)
+  }
+
   /** Postings rows for a single query signature — a 32-row DataFrame built
     * on the driver; keys computed by the same Spark expressions so they
     * match the index side bit-for-bit. */
@@ -114,35 +150,49 @@ object Lsh {
                      p: Params = Params(), maxCandidates: Int = 0): DataFrame = {
     val spark = sigs.sparkSession
     val qp = queryPostings(spark, querySig, p)
-    val hits = index.join(broadcast(qp), joinKeys).select("band", "id")
     val capped =
-      if (maxCandidates <= 0) hits
+      if (maxCandidates <= 0) index.join(broadcast(qp), joinKeys).select("band", "id")
       else {
-        // The band-prefix cap FUSED into the probe plan (no separate
-        // driver-side sizing job): a hit row in band b survives iff the
-        // total number of hit rows in bands < b is still under the cap —
-        // exactly the smallest band prefix whose cumulative bucket sizes
-        // reach maxCandidates, inclusive. The window is single-partition,
-        // but it only ever sees this one query's bucket hits (cap-bounded
-        // in practice), never the index.
-        val before = Window.orderBy("band")
-          .rangeBetween(Window.unboundedPreceding, -1)
-        hits.withColumn("n_before", count(lit(1)).over(before))
-          .filter(col("n_before") < maxCandidates)
-          .drop("n_before")
+        // Cap WITHOUT materializing candidates: the query hits exactly one
+        // bucket per band, so its per-band hit count IS that bucket's size
+        // — read the <=32 sizes from the cached bucket-stats table, fold
+        // them into the allowed band prefix (one tiny HOF pass), and probe
+        // the index for the allowed bands only. Candidate rows beyond the
+        // cap are never generated — the reference's early-exit cost shape.
+        // (Replaces round 2's partition-less WindowExec over all hit rows.)
+        val sized = bucketSizes(index).join(broadcast(qp), joinKeys)
+          .select("band", "n")
+        val allowed = allowedBandPrefix(sized, Nil, maxCandidates)
+        val qpAllowed = qp.join(allowed, "band")
+        index.join(broadcast(qpAllowed), joinKeys).select("band", "id")
       }
-    val cand = capped.select("id").distinct()
+    // No distinct() exchange before scoring: band-duplicated candidate rows
+    // flow straight into scoring (bounded by the cap for a single probe)
+    // and the id-deduplicating top-k aggregate absorbs the duplicates —
+    // per-id scores are identical (same signature pair), so the result is
+    // exactly the top-k over distinct candidates.
+    val cand = capped.select("id")
     // the query vector travels as DATA (broadcast 1-row frame), not as a
     // 128-literal expression: every probe then reuses the same compiled
     // plan — codegen recompilation per query was the dominant latency cost
+    import graft.functions.TopKByScore.top_k_by_score_distinct
     import spark.implicits._
     val qdf = Seq(Tuple1(querySig.toSeq)).toDF("qsig")
-    sigs.join(broadcast(cand), sigs("doc_id") === cand("id"))
+    val top = sigs.join(broadcast(cand), sigs("doc_id") === cand("id"))
       .crossJoin(broadcast(qdf))
       .select(
         col("id"),
-        graft.functions.GraftFunctions.est_jaccard(col("sig"), col("qsig")).as("score"),
-        slice(col("sig"), 1, 10).as("vector_preview"))
+        graft.functions.GraftFunctions.est_jaccard(col("sig"), col("qsig")).as("score"))
+      .agg(top_k_by_score_distinct(col("score"), col("id"), k).as("topk"))
+      .select(posexplode(col("topk")).as(Seq("pos", "hit")))
+      .select(col("hit.id").as("id"), col("hit.score").as("score"))
+    // re-attach the vector preview: the k-row top side broadcasts, the
+    // cached sigs are scanned once with a codegen hash probe. The agg
+    // already yields <= k rows; the trailing limit makes the final sort a
+    // TakeOrderedAndProject (no range exchange) instead of a global Sort.
+    sigs.select(col("doc_id"), slice(col("sig"), 1, 10).as("vector_preview"))
+      .join(broadcast(top), col("doc_id") === top("id"))
+      .select(col("id"), col("score"), col("vector_preview"))
       .orderBy(desc("score"), asc("id"))
       .limit(k)
   }
@@ -152,23 +202,52 @@ object Lsh {
     * scatter — amortizes planning/codegen across the whole batch).
     * `queries` is (query_id, sig); output (query_id, rank, id, score).
     *
+    * `maxCandidates` is the per-query band-prefix cap (the deterministic
+    * form of the reference's max_candidates=2000 early exit,
+    * minhash_lsh.py:95-96) — it bounds the scored rows per query, which
+    * is what keeps throughput flat when bucket skew makes candidate sets
+    * explode (a 20k-doc degenerate corpus yields ~160k hits/query;
+    * scoring must not scale with that). `<= 0` disables the cap.
+    *
     * The query postings side is broadcast (bounded: 32 rows per query);
     * the candidate set is NOT broadcast — it grows with batch size and
     * bucket skew, so AQE picks the join strategy. */
   def queryBatch(sigs: DataFrame, index: DataFrame, queries: DataFrame, k: Int,
-                 p: Params = Params()): DataFrame = {
-    import graft.functions.TopKByScore.top_k_by_score
+                 p: Params = Params(), maxCandidates: Int = 0): DataFrame = {
+    import graft.functions.TopKByScore.top_k_by_score_distinct
     val qPost = withBucketKeys(queries.select(col("query_id"),
       posexplode(bandSlices(col("sig"), p)).as(Seq("band", "band_key"))))
-    val cand = index.join(broadcast(qPost), joinKeys)
-      .select("query_id", "id").distinct()
+    val capped =
+      if (maxCandidates <= 0)
+        index.join(broadcast(qPost), joinKeys).select("query_id", "band", "id")
+      else {
+        // Per-query cap WITHOUT materializing candidates: each query hits
+        // one bucket per band, so its per-band hit count is that bucket's
+        // size — join the 32-rows-per-query postings against the cached
+        // bucket-stats table (never the full index), fold each query's
+        // sorted sizes into its allowed band prefix, and probe the index
+        // for allowed (query, band)s only. Over-cap candidate rows are
+        // never generated — the reference's early-exit cost shape.
+        val sized = bucketSizes(index).join(broadcast(qPost), joinKeys)
+          .select("query_id", "band", "n")
+        val allowed = allowedBandPrefix(sized, Seq("query_id"), maxCandidates)
+        val qPostAllowed = qPost.join(allowed, Seq("query_id", "band"))
+        index.join(broadcast(qPostAllowed), joinKeys)
+          .select("query_id", "band", "id")
+      }
+    // no distinct() exchange on the candidate pairs: band-duplicated rows
+    // are scored as-is and the id-deduplicating top-k aggregate absorbs
+    // them in its map-side partial (per-(query,id) scores are identical —
+    // same signature pair — so the result equals top-k over the distinct
+    // set). One shuffle total: the O(queries x k) partial top-k buffers.
+    val cand = capped.select("query_id", "id")
     val cs = sigs.select(col("doc_id").as("id"), col("sig").as("sig_c"))
     val qs = queries.select(col("query_id"), col("sig").as("sig_q"))
     val grouped = cand.join(cs, "id").join(broadcast(qs), "query_id")
       .withColumn("score",
         graft.functions.GraftFunctions.est_jaccard(col("sig_c"), col("sig_q")))
       .groupBy("query_id")
-      .agg(top_k_by_score(col("score"), col("id"), k).as("topk"))
+      .agg(top_k_by_score_distinct(col("score"), col("id"), k).as("topk"))
     grouped.select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "hit")))
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
         col("hit.id").as("id"), col("hit.score").as("score"))

@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.core.Mod61
 import graft.functions.GraftFunctions._
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -84,9 +83,10 @@ object Ann {
     *
     * Every arithmetic step is deterministic AND expressible in standard
     * SQL, so a DuckDB oracle can train bit-identical centroids:
-    *  - init: the k vectors that sort first by md5(vec_id) (a seeded
-    *    pseudo-random sample both engines compute identically; at cluster
-    *    scale swap for a reservoir sample over partitions);
+    *  - init: the k vectors that sort first by md5(vec_id) — a seeded
+    *    pseudo-random sample both engines compute identically, taken with
+    *    orderBy+limit(k) (TakeOrderedAndProject: per-partition partial
+    *    top-k, driver merges k rows — scale-safe, no full-table sort);
     *  - assignment: argmin L2 in fixed per-dimension loop order (the
     *    neg_l2_float kernel), ties to the smaller centroid_id;
     *  - update: per-dimension mean computed from INTEGER sums — each
@@ -109,11 +109,19 @@ object Ann {
     import graft.functions.TopKByScore.top_k_by_score
     val scale = 1048576.0 // 2^20: power of two, so un-scaling divides exactly
     val base = embs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-    val ord = Seq(md5(col("id").cast("string")), col("id"))
+    // init: the k rows sorting first by (md5(id), id) via orderBy+limit —
+    // TakeOrderedAndProject (per-partition partial top-k + driver merge of
+    // k rows), never a single-task sort of the full table; the rank that
+    // numbers the centroids is then derived by sorting the k survivors
+    // inside ONE k-element array (a single tiny hash aggregate, no window)
     var cents = base
-      .withColumn("rn", row_number().over(Window.orderBy(ord: _*)))
-      .filter(col("rn") <= k)
-      .select((col("rn") - 1).cast("long").as("centroid_id"), col("v").as("cv"))
+      .select(struct(md5(col("id").cast("string")).as("o1"), col("id").as("id"),
+        col("v").as("v")).as("s"))
+      .orderBy(col("s.o1"), col("s.id"))
+      .limit(k)
+      .agg(array_sort(collect_list(col("s"))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("centroid_id", "s")))
+      .select(col("centroid_id").cast("long").as("centroid_id"), col("s.v").as("cv"))
       .localCheckpoint(true)
     var it = 0
     while (it < iters) {

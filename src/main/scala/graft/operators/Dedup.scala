@@ -122,20 +122,23 @@ object Dedup {
       val jump = labels
         .join(labels.select(col("doc").as("label"), col("label").as("jump_label")), "label")
         .select(col("doc"), col("jump_label"))
+      // the changed flag rides along INTO the checkpointed result, so the
+      // convergence probe is a filter over already-materialized rows (no
+      // re-join against the previous labels), and it only runs every 2nd
+      // round — propagation is idempotent once converged, so at worst one
+      // extra (cheap) round replaces one driver action per round
       val next = labels
         .join(nbrMin, Seq("doc"), "left")
         .join(jump, Seq("doc"), "left")
-        .select(col("doc"),
+        .select(col("doc"), col("label").as("old_label"),
           least(col("label"),
             coalesce(col("nbr_label"), col("label")),
             coalesce(col("jump_label"), col("label"))).as("label"))
+        .select(col("doc"), col("label"), (col("label") =!= col("old_label")).as("chg"))
         .localCheckpoint(true)
-      val changed = next
-        .join(labels.select(col("doc"), col("label").as("old_label")), "doc")
-        .filter(col("label") =!= col("old_label"))
-        .limit(1).count()
-      labels = next
-      converged = changed == 0L
+      labels = next.select("doc", "label")
+      if (iter % 2 == 1 || iter == maxIter - 1)
+        converged = next.filter(col("chg")).limit(1).count() == 0L
       iter += 1
     }
     labels

@@ -80,15 +80,17 @@ object Streams {
     * are appended to `sink` (an in-memory or parquet path handler).
     * This is the streaming analog of the reference's per-request scatter
     * (query_service.py:166-196) with the index cached once. */
-  def probeStream(queries: DataFrame, sigs: DataFrame, index: DataFrame, k: Int)
+  def probeStream(queries: DataFrame, sigs: DataFrame, index: DataFrame, k: Int,
+                  maxCandidates: Int = 0)
                  (sink: (DataFrame, Long) => Unit): StreamingQuery = {
     queries.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // one compiled batch-probe plan per micro-batch; the candidate
         // side is AQE-decided (unbounded), query sides broadcast — see
-        // Lsh.queryBatch
-        sink(Lsh.queryBatch(sigs, index, batch, k), batchId)
+        // Lsh.queryBatch (pass maxCandidates to bound per-query scoring
+        // under bucket skew, as the reference's service cap does)
+        sink(Lsh.queryBatch(sigs, index, batch, k, maxCandidates = maxCandidates), batchId)
       }
       .start()
   }

@@ -108,4 +108,33 @@ class DedupSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p.take(2000))
     assert(t.count() == eng.index.count())
   }
+
+  test("bucketed postings self-join on key64 plans with no Exchange on either side") {
+    val docs500 = spark.read.parquet(s"$testDataDir/documents.parquet")
+    val eng = graft.api.QueryEngine.build(docs500,
+      mp = graft.core.MinHashPipeline.Params(kShingle = 3))
+    spark.sql("DROP TABLE IF EXISTS graft_postings_j")
+    val loc = new java.io.File("spark-warehouse/graft_postings_j")
+    if (loc.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(loc).deleteRecursively()
+    }
+    eng.saveBucketed("graft_postings_j", buckets = 8)
+    val t = spark.table("graft_postings_j")
+    // force the non-broadcast path: the claim is that two co-bucketed
+    // sides join with ZERO shuffles — the 100 TB repeated-similarity-join
+    // co-location strategy (both sides partitioned by key64 on disk)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val l = t.select(col("key64"), col("id").as("a"))
+      val r = t.select(col("key64"), col("id").as("b"))
+      val j = l.join(r, "key64").filter(col("a") < col("b"))
+      val p = j.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(!p.contains("Exchange"), p.take(3000))
+      assert(p.contains("Join"), p.take(1000))
+      assert(j.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

@@ -47,6 +47,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("capped probes plan without any Window and with partial top-k") {
+    val docs = spark.read.parquet(s"$testDataDir/documents.parquet")
+    val sigs = MinHashPipeline.withSignature(docs, "text",
+      MinHashPipeline.Params(kShingle = 3)).select("doc_id", "sig")
+    // maxBucketSize=0: the postings build's (partitioned, over-cap-only)
+    // window branch would otherwise appear in the plan string — this test
+    // pins the PROBE path, which must carry no window at all (the r2 cap
+    // was a partition-less WindowExec over every hit row)
+    val p0 = Lsh.Params(maxBucketSize = 0)
+    val index = Lsh.postings(sigs, "doc_id", "sig", p0)
+    val qSig = sigs.filter(col("doc_id") === 0).head().getSeq[Long](1).toArray
+    val single = plan(Lsh.querySignature(sigs, index, qSig, 5, p0, maxCandidates = 2000))
+    assert(!single.contains("Window"), single.take(3000))
+    assert(!single.contains("CartesianProduct"))
+    val queries = sigs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("sig"))
+    val batch = plan(Lsh.queryBatch(sigs, index, queries, 5, p0, maxCandidates = 2000))
+    assert(!batch.contains("Window"), batch.take(3000))
+    assert(!batch.contains("CartesianProduct"))
+    assert(batch.contains("partial_top_k_by_score"), batch.take(3000))
+  }
+
   test("grouped top-k aggregate runs with partial aggregation (map-side combine)") {
     import graft.functions.TopKByScore.top_k_by_score
     import spark.implicits._

@@ -47,4 +47,32 @@ class TopKAggSpec extends SparkSpec {
       .orderBy("rank").collect().map(_.getLong(2))
     assert(out.toSeq == Seq(10L, 20L))
   }
+
+  test("distinct variant equals distinct-then-top-k when duplicates score identically") {
+    import graft.functions.TopKByScore.top_k_by_score_distinct
+    // the LSH shape: each (query_id, id) appears 1..32 times (band
+    // duplication) with an identical score — scattered across partitions
+    // so dedup must hold through partial buffers AND merge
+    val rnd = new scala.util.Random(7)
+    val base = for (q <- 0L until 10L; id <- 0L until 200L)
+      yield (q, (rnd.nextInt(100) / 100.0, id))
+    val dup = base.flatMap { case (q, (s, id)) =>
+      Seq.fill(1 + rnd.nextInt(5))((q, s, id))
+    }
+    val df = dup.toDF("query_id", "score", "id").repartition(17).cache()
+
+    val viaDistinctAgg = graft.operators.Ann.explodeTopK(
+      df.groupBy("query_id")
+        .agg(top_k_by_score_distinct(col("score"), col("id"), 7).as("topk")))
+      .orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+
+    val viaDedupFirst = graft.operators.Ann.explodeTopK(
+      df.distinct().groupBy("query_id")
+        .agg(top_k_by_score(col("score"), col("id"), 7).as("topk")))
+      .orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+
+    assert(viaDistinctAgg.toSeq == viaDedupFirst.toSeq)
+  }
 }
