@@ -302,6 +302,39 @@ object Kernels {
     true
   }
 
+  /** Random-hyperplane LSH bucket id (Charikar 2002 SimHash-for-cosine):
+    * bit p of the result is set iff the dot product of `v` against the
+    * deterministic ±1 hyperplane p is positive. The ±1 weight for
+    * (plane p, dim d) is the parity of the seed-42 linear hash
+    * (A(p)*(p*64+d+1)+B(p)) mod 2^61-1 — nonlinear in its argument yet
+    * exactly reproducible in standard SQL for the DuckDB oracle. The dot
+    * accumulates in double, per-dimension sequential order, matching the
+    * oracle's list_reduce fold. A codegen kernel because the HOF-composed
+    * form (transform/aggregate/zip_with) is CodegenFallback and paid
+    * ~3 ms/row in interpreted decimal arithmetic. */
+  def rhpBucket(v: ArrayData, planes: Int): Long = {
+    val A = MinHashCoefficients.A
+    val B = MinHashCoefficients.B
+    val n = v.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      val a = A(p)
+      val b = B(p)
+      var dot = 0.0
+      var d = 0
+      while (d < n) {
+        val hv = addmod(mulmod(a, p * 64L + d + 1L), b)
+        val w = if ((hv & 1L) == 1L) -1.0 else 1.0
+        dot += v.getFloat(d).toDouble * w
+        d += 1
+      }
+      if (dot > 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
   /** Polynomial rolling hash over token fingerprints mod 2^61-1
     * (order-sensitive document fingerprint; base 1000003 is the public
     * CPython string-hash multiplier). Input: array<long> token hashes. */

@@ -187,6 +187,20 @@ case class QedBinFilter(child: Expression, lo: Array[Double], hi: Array[Double],
   override def prettyName: String = "qed_bin_filter"
 }
 
+/** array<float> -> long: random-hyperplane LSH bucket id (sign bits of
+  * `planes` deterministic ±1 dot products — Kernels.rhpBucket). */
+case class RhpBucket(child: Expression, planes: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    graft.core.Kernels.rhpBucket(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], planes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.Kernels.rhpBucket($c, $planes)")
+  override protected def withNewChildInternal(c: Expression): RhpBucket = copy(child = c)
+  override def prettyName: String = "rhp_bucket"
+}
+
 /** array<long> token hashes -> long polynomial rolling-hash fingerprint. */
 case class RollingFingerprint(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -216,6 +230,7 @@ object GraftFunctions {
   def neg_l2_long(l: Column, r: Column): Column = col(NegL2Long(ex(l), ex(r)))
   def neg_l2_float(l: Column, r: Column): Column = col(NegL2Float(ex(l), ex(r)))
   def rolling_fingerprint(c: Column): Column = col(RollingFingerprint(ex(c)))
+  def rhp_bucket(c: Column, planes: Int): Column = col(RhpBucket(ex(c), planes))
 
   /** Register all engine functions for SQL use. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -233,5 +248,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("neg_l2_long", es => NegL2Long(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("neg_l2_float", es => NegL2Float(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("rolling_fingerprint", es => RollingFingerprint(es.head), "built-in")
+    reg.createOrReplaceTempFunction("rhp_bucket",
+      es => RhpBucket(es(0), es(1).eval().asInstanceOf[Int]), "built-in")
   }
 }

@@ -1,6 +1,5 @@
 package graft.operators
 
-import graft.core.Mod61
 import graft.functions.GraftFunctions._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
@@ -17,35 +16,8 @@ object Ann {
     * dim d) is bit0 of the seed-42 MinHash linear hash of p*64+d+1 —
     * nonlinear in its argument yet exactly reproducible in standard SQL
     * (needed for the DuckDB oracle). Used by Dedup too. */
-  def rhpBucket(v: Column, planes: Int): Column = {
-    // expressed with built-in HOFs so it stays codegen'd and the identical
-    // arithmetic is writable in DuckDB SQL for the oracle
-    val dots = transform(sequence(lit(0), lit(planes - 1)), p =>
-      aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1), (x, d) =>
-          x.cast("double") * rhpWeightCol(p, d)),
-        lit(0.0), (acc, x) => acc + x))
-    aggregate(
-      zip_with(dots, sequence(lit(0), lit(planes - 1)), (dot, p) =>
-        when(dot > 0, call_function("shiftleft", lit(1L), p.cast("int"))).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc + x)
-  }
-
-  /** ±1 weight as a Column: bit0 of (A(p)*(p*64+d+1)+B(p)) mod 2^61-1.
-    * Coefficients indexed per-plane from the shared fixture. */
-  private def rhpWeightCol(p: Column, d: Column): Column = {
-    import graft.core.MinHashCoefficients.{A, B}
-    val aArr = array(A.take(16).map(lit(_)).toSeq: _*)
-    val bArr = array(B.take(16).map(lit(_)).toSeq: _*)
-    val x = p * lit(64L) + d + lit(1L)
-    // A(p)*x fits in 128-bit only; but x <= 16*64+64+1 ~ 2^11 and A < 2^61
-    // overflows Long. Use mod-arithmetic: (A mod P * x) mod P with x tiny =>
-    // A*x < 2^72 overflows. Instead reduce A to A mod small? Must match
-    // kernel exactly: kernel uses Mod61.perm. So compute via decimal.
-    val prod = element_at(aArr, p.cast("int") + 1).cast("decimal(38,0)") * x.cast("decimal(38,0)")
-    val hv = (prod + element_at(bArr, p.cast("int") + 1).cast("decimal(38,0)")) % lit(Mod61.Prime).cast("decimal(38,0)")
-    when(hv.cast("decimal(38,0)") % 2 === 1, lit(-1.0)).otherwise(lit(1.0))
-  }
+  def rhpBucket(v: Column, planes: Int): Column =
+    graft.functions.GraftFunctions.rhp_bucket(v, planes)
 
   /** Explode a per-group top-k array (from [[graft.functions.TopKByScore]])
     * into (query_id, rank, id) rows. */
