@@ -70,9 +70,17 @@ object Dedup {
       col(idCol).cast("long").as(idCol),
       Shingling.shingles(col(textCol), k, byWord = true).as("shingles"))
     val sigs = base.withColumn("sig", minhash_signature(shingle_hashes_md5(col("shingles"))))
-    val pairs = Lsh.candidatePairs(Lsh.postings(sigs, idCol, "sig", lsh))
-    val sa = base.select(col(idCol).as("a"), col("shingles").as("sh_a"))
-    val sb = base.select(col(idCol).as("b"), col("shingles").as("sh_b"))
+    ngramJaccardScored(base, Lsh.candidatePairs(Lsh.postings(sigs, idCol, "sig", lsh)),
+      threshold, idCol)
+  }
+
+  /** Score candidate pairs (a, b) with true Jaccard over precomputed
+    * shingle sets — lets callers with a cached shingle table / postings
+    * index (the build-once artifacts) skip recomputing the pipeline. */
+  def ngramJaccardScored(shingled: DataFrame, pairs: DataFrame, threshold: Double,
+                         idCol: String = "doc_id"): DataFrame = {
+    val sa = shingled.select(col(idCol).as("a"), col("shingles").as("sh_a"))
+    val sb = shingled.select(col(idCol).as("b"), col("shingles").as("sh_b"))
     pairs.join(sa, "a").join(sb, "b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
@@ -110,35 +118,40 @@ object Dedup {
     var labels = edges.select(col("src").as("doc")).distinct()
       .withColumn("label", col("doc"))
       .localCheckpoint(true)
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIter) {
+    // one min-label propagation + pointer-jump round, as a PLAN (no action)
+    def step(l: DataFrame): DataFrame = {
       // min label among neighbors of each node
       val nbrMin = edges
-        .join(labels.select(col("doc").as("dst"), col("label").as("nbr_label")), "dst")
+        .join(l.select(col("doc").as("dst"), col("label").as("nbr_label")), "dst")
         .groupBy("src").agg(min("nbr_label").as("nbr_label"))
         .select(col("src").as("doc"), col("nbr_label"))
       // pointer jump: the label of my label
-      val jump = labels
-        .join(labels.select(col("doc").as("label"), col("label").as("jump_label")), "label")
+      val jump = l
+        .join(l.select(col("doc").as("label"), col("label").as("jump_label")), "label")
         .select(col("doc"), col("jump_label"))
-      // the changed flag rides along INTO the checkpointed result, so the
-      // convergence probe is a filter over already-materialized rows (no
-      // re-join against the previous labels), and it only runs every 2nd
-      // round — propagation is idempotent once converged, so at worst one
-      // extra (cheap) round replaces one driver action per round
-      val next = labels
-        .join(nbrMin, Seq("doc"), "left")
+      l.join(nbrMin, Seq("doc"), "left")
         .join(jump, Seq("doc"), "left")
-        .select(col("doc"), col("label").as("old_label"),
+        .select(col("doc"),
           least(col("label"),
             coalesce(col("nbr_label"), col("label")),
             coalesce(col("jump_label"), col("label"))).as("label"))
+    }
+    var iter = 0
+    var converged = false
+    while (!converged && iter < (maxIter + 1) / 2) {
+      // TWO propagation rounds compose into one materialization (lineage
+      // depth stays bounded at 2 rounds): driver actions per round were
+      // the dominant cost, not the shuffles. The changed flag — label
+      // moved at any point across the two rounds — rides INTO the
+      // checkpointed result, so the convergence probe is a filter over
+      // already-materialized rows; converged iff nothing moved in either
+      // round (propagation is monotone: labels only decrease).
+      val next = step(step(labels))
+        .join(labels.select(col("doc"), col("label").as("old_label")), "doc")
         .select(col("doc"), col("label"), (col("label") =!= col("old_label")).as("chg"))
         .localCheckpoint(true)
       labels = next.select("doc", "label")
-      if (iter % 2 == 1 || iter == maxIter - 1)
-        converged = next.filter(col("chg")).limit(1).count() == 0L
+      converged = next.filter(col("chg")).limit(1).count() == 0L
       iter += 1
     }
     labels
