@@ -302,6 +302,47 @@ object Kernels {
     true
   }
 
+  /** Gopher-style repetition quality signals in ONE pass over the token
+    * stream (public filtering rules from Rae et al. 2021 "Scaling Language
+    * Models", App. A1.1): [n_tokens, distinct_token_ratio, top_token_frac,
+    * top_bigram_frac] as array<double>. Tokenization matches
+    * Shingling.tokens (split on \s+, drop empties) so the DuckDB oracle's
+    * string_split_regex recipe reproduces it exactly; every ratio is one
+    * integer/integer double division — bit-identical cross-engine. A
+    * codegen kernel (pure projection) because at corpus scale these
+    * filters must not cost a shuffle per signal. */
+  def repetitionStats(text: UTF8String): ArrayData = {
+    val raw = text.toString.split("\\s+")
+    val toks = new java.util.ArrayList[String](raw.length)
+    var i = 0
+    while (i < raw.length) { if (!raw(i).isEmpty) toks.add(raw(i)); i += 1 }
+    val m = toks.size
+    if (m == 0) return new GenericArrayData(Array(0.0, 0.0, 0.0, 0.0))
+    val counts = new java.util.HashMap[String, Integer]()
+    var maxTok = 0
+    i = 0
+    while (i < m) {
+      val c = counts.merge(toks.get(i), 1, (a, b) => a + b)
+      if (c > maxTok) maxTok = c
+      i += 1
+    }
+    var maxBi = 0
+    if (m >= 2) {
+      val bi = new java.util.HashMap[String, Integer]()
+      i = 0
+      while (i < m - 1) {
+        val c = bi.merge(toks.get(i) + " " + toks.get(i + 1), 1, (a, b) => a + b)
+        if (c > maxBi) maxBi = c
+        i += 1
+      }
+    }
+    new GenericArrayData(Array(
+      m.toDouble,
+      counts.size.toDouble / m,
+      maxTok.toDouble / m,
+      if (m < 2) 0.0 else maxBi.toDouble / (m - 1)))
+  }
+
   /** Random-hyperplane LSH bucket id (Charikar 2002 SimHash-for-cosine):
     * bit p of the result is set iff the dot product of `v` against the
     * deterministic ±1 hyperplane p is positive. The ±1 weight for

@@ -187,6 +187,20 @@ case class QedBinFilter(child: Expression, lo: Array[Double], hi: Array[Double],
   override def prettyName: String = "qed_bin_filter"
 }
 
+/** string -> array<double>(4): one-pass Gopher-style repetition quality
+  * signals [n_tokens, distinct_token_ratio, top_token_frac,
+  * top_bigram_frac] — Kernels.repetitionStats. */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    graft.core.Kernels.repetitionStats(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.Kernels.repetitionStats($c)")
+  override protected def withNewChildInternal(c: Expression): RepetitionStats = copy(child = c)
+  override def prettyName: String = "repetition_stats"
+}
+
 /** array<float> -> long: random-hyperplane LSH bucket id (sign bits of
   * `planes` deterministic ±1 dot products — Kernels.rhpBucket). */
 case class RhpBucket(child: Expression, planes: Int) extends UnaryExpression {
@@ -231,6 +245,7 @@ object GraftFunctions {
   def neg_l2_float(l: Column, r: Column): Column = col(NegL2Float(ex(l), ex(r)))
   def rolling_fingerprint(c: Column): Column = col(RollingFingerprint(ex(c)))
   def rhp_bucket(c: Column, planes: Int): Column = col(RhpBucket(ex(c), planes))
+  def repetition_stats(c: Column): Column = col(RepetitionStats(ex(c)))
 
   /** Register all engine functions for SQL use. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -250,5 +265,6 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("rolling_fingerprint", es => RollingFingerprint(es.head), "built-in")
     reg.createOrReplaceTempFunction("rhp_bucket",
       es => RhpBucket(es(0), es(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("repetition_stats", es => RepetitionStats(es.head), "built-in")
   }
 }

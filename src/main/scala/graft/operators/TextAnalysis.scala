@@ -74,6 +74,23 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     rolling_fingerprint(shingle_hashes_md5(toks(text)))
 
+  /** Gopher-style repetition quality signals (Rae et al. 2021, App. A1.1)
+    * as a pure projection — one kernel pass per document, no shuffle:
+    * (doc_id, n_tokens, distinct_token_ratio, top_token_frac,
+    * top_bigram_frac). Case-sensitive raw tokens (the corpus-filtering
+    * form); see [[graft.core.Kernels.repetitionStats]]. */
+  def repetitionSignals(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    import graft.functions.GraftFunctions.repetition_stats
+    docs.select(col(idCol), repetition_stats(col(textCol)).as("st"))
+      .select(
+        col(idCol),
+        element_at(col("st"), 1).cast("long").as("n_tokens"),
+        element_at(col("st"), 2).as("distinct_token_ratio"),
+        element_at(col("st"), 3).as("top_token_frac"),
+        element_at(col("st"), 4).as("top_bigram_frac"))
+  }
+
   /** One-stop projection of all text-analysis columns. */
   def analyze(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(
