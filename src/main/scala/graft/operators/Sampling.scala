@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Deterministic, reproducible corpus sampling/splitting — the shape a
+  * training-data pipeline needs for holdout splits and down-sampling at
+  * scale: a pure projection keyed on a content-independent id hash, so
+  * membership is stable across runs, partitionings, and engines (no
+  * `rand()`, which is neither reproducible across retries nor
+  * cross-engine checkable).
+  */
+object Sampling {
+
+  /** Stable bucket in [0, buckets): first 16 hex digits of md5(id) as an
+    * unsigned 64-bit integer, mod `buckets`. Identical arithmetic is
+    * expressible in standard SQL (('0x'||substr(md5(id),1,16))::UBIGINT
+    * % buckets), giving cross-engine-checkable splits. */
+  def hashBucket(id: Column, buckets: Int = 100): Column =
+    (conv(substring(md5(id.cast("string")), 1, 16), 16, 10)
+      .cast("decimal(38,0)") % buckets).cast("int")
+
+  /** Deterministic percentage split: (id, bucket, split) where split is
+    * assigned by cumulative weight over the 100 hash buckets, e.g.
+    * Seq("train" -> 90, "val" -> 5, "test" -> 5). */
+  def split(df: DataFrame, idCol: String = "doc_id",
+            weights: Seq[(String, Int)] = Seq("train" -> 90, "val" -> 5, "test" -> 5)): DataFrame = {
+    require(weights.map(_._2).sum == 100, "split weights must sum to 100")
+    val bucket = hashBucket(col(idCol))
+    val cum = weights.scanLeft(0)(_ + _._2).tail
+    val splitCol = weights.zip(cum).foldRight(lit(weights.last._1): Column) {
+      case (((name, _), hi), acc) => when(bucket < hi, name).otherwise(acc)
+    }
+    df.select(col(idCol), bucket.as("bucket"), splitCol.as("split"))
+  }
+
+  /** Deterministic p-percent sample: rows whose hash bucket (out of 100)
+    * falls below `pct`. */
+  def samplePct(df: DataFrame, pct: Int, idCol: String = "doc_id"): DataFrame =
+    df.filter(hashBucket(col(idCol)) < pct)
+}
