@@ -353,21 +353,38 @@ object Kernels {
     * oracle's list_reduce fold. A codegen kernel because the HOF-composed
     * form (transform/aggregate/zip_with) is CodegenFallback and paid
     * ~3 ms/row in interpreted decimal arithmetic. */
+  // The ±1 weight grid depends only on (plane, dim) and the fixed seed-42
+  // coefficients — precomputed once per (plane, dim-extent) and grown on
+  // demand, so the per-row loop is pure multiply-adds.
+  private val rhpWeightRows =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Double]]()
+  private def rhpWeightRow(p: Int, n: Int): Array[Double] = {
+    val cur = rhpWeightRows.get(p)
+    if (cur != null && cur.length >= n) cur
+    else {
+      val a = MinHashCoefficients.A(p)
+      val b = MinHashCoefficients.B(p)
+      val w = new Array[Double](n)
+      var d = 0
+      while (d < n) {
+        w(d) = if ((addmod(mulmod(a, p * 64L + d + 1L), b) & 1L) == 1L) -1.0 else 1.0
+        d += 1
+      }
+      rhpWeightRows.put(p, w)
+      w
+    }
+  }
+
   def rhpBucket(v: ArrayData, planes: Int): Long = {
-    val A = MinHashCoefficients.A
-    val B = MinHashCoefficients.B
     val n = v.numElements()
     var bucket = 0L
     var p = 0
     while (p < planes) {
-      val a = A(p)
-      val b = B(p)
+      val w = rhpWeightRow(p, n)
       var dot = 0.0
       var d = 0
       while (d < n) {
-        val hv = addmod(mulmod(a, p * 64L + d + 1L), b)
-        val w = if ((hv & 1L) == 1L) -1.0 else 1.0
-        dot += v.getFloat(d).toDouble * w
+        dot += v.getFloat(d).toDouble * w(d)
         d += 1
       }
       if (dot > 0) bucket |= (1L << p)

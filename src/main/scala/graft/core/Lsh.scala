@@ -86,12 +86,29 @@ object Lsh {
     * once max_candidates accumulate — minhash_lsh.py:95-96). Cached per
     * index DataFrame instance (identity): both long-lived index holders
     * (QueryEngine, SparkEntry's postings cache) reuse one stats build.
-    * Keys of stopped sessions are pruned on lookup. */
-  private val sizeCache = scala.collection.concurrent.TrieMap[DataFrame, DataFrame]()
-  def bucketSizes(index: DataFrame): DataFrame = {
-    sizeCache.keys.filter(_.sparkSession.sparkContext.isStopped).foreach(sizeCache.remove)
-    sizeCache.getOrElseUpdate(index,
-      index.groupBy("band", "key64", "key64b").agg(count(lit(1)).as("n")).cache())
+    * Bounded LRU (8 indices) — evicted and stopped-session entries are
+    * unpersisted, so a long-lived service that periodically rebuilds its
+    * index does not accumulate cached stats tables. */
+  private val sizeCacheMax = 8
+  private val sizeCache =
+    new java.util.LinkedHashMap[DataFrame, DataFrame](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[DataFrame, DataFrame]): Boolean =
+        if (size() > sizeCacheMax) {
+          if (!e.getKey.sparkSession.sparkContext.isStopped)
+            e.getValue.unpersist(blocking = false)
+          true
+        } else false
+    }
+  def bucketSizes(index: DataFrame): DataFrame = sizeCache.synchronized {
+    val it = sizeCache.entrySet().iterator()
+    while (it.hasNext) if (it.next().getKey.sparkSession.sparkContext.isStopped) it.remove()
+    val hit = sizeCache.get(index)
+    if (hit != null) hit
+    else {
+      val built = index.groupBy("band", "key64", "key64b").agg(count(lit(1)).as("n")).cache()
+      sizeCache.put(index, built)
+      built
+    }
   }
 
   /** Allowed-band whitelist from per-(group, band) bucket sizes: for each
@@ -166,12 +183,16 @@ object Lsh {
         val qpAllowed = qp.join(allowed, "band")
         index.join(broadcast(qpAllowed), joinKeys).select("band", "id")
       }
-    // No distinct() exchange before scoring: band-duplicated candidate rows
-    // flow straight into scoring (bounded by the cap for a single probe)
-    // and the id-deduplicating top-k aggregate absorbs the duplicates —
-    // per-id scores are identical (same signature pair), so the result is
-    // exactly the top-k over distinct candidates.
-    val cand = capped.select("id")
+    // Capped probes skip the distinct() exchange: band-duplicated rows are
+    // bounded by the cap and the id-deduplicating top-k aggregate absorbs
+    // them (per-id scores are identical — same signature pair — so the
+    // result is exactly the top-k over distinct candidates). UNCAPPED
+    // probes keep the dedup: on a skewed corpus the band-duplication
+    // factor multiplies scored rows up to 32x (the round-1 measured
+    // 16M-vs-950k blowup), which the cap otherwise bounds.
+    val cand =
+      if (maxCandidates <= 0) capped.select("id").distinct()
+      else capped.select("id")
     // the query vector travels as DATA (broadcast 1-row frame), not as a
     // 128-literal expression: every probe then reuses the same compiled
     // plan — codegen recompilation per query was the dominant latency cost
@@ -235,12 +256,17 @@ object Lsh {
         index.join(broadcast(qPostAllowed), joinKeys)
           .select("query_id", "band", "id")
       }
-    // no distinct() exchange on the candidate pairs: band-duplicated rows
-    // are scored as-is and the id-deduplicating top-k aggregate absorbs
-    // them in its map-side partial (per-(query,id) scores are identical —
-    // same signature pair — so the result equals top-k over the distinct
-    // set). One shuffle total: the O(queries x k) partial top-k buffers.
-    val cand = capped.select("query_id", "id")
+    // Capped batches skip the distinct() exchange on candidate pairs:
+    // band-duplicated rows are cap-bounded per query and the
+    // id-deduplicating top-k aggregate absorbs them in its map-side
+    // partial (per-(query,id) scores are identical — same signature pair —
+    // so the result equals top-k over the distinct set). One shuffle
+    // total: the O(queries x k) partial top-k buffers. UNCAPPED batches
+    // keep the dedup — without the cap, skewed buckets multiply scored
+    // rows by the band-duplication factor (up to 32x).
+    val cand =
+      if (maxCandidates <= 0) capped.select("query_id", "id").distinct()
+      else capped.select("query_id", "id")
     val cs = sigs.select(col("doc_id").as("id"), col("sig").as("sig_c"))
     val qs = queries.select(col("query_id"), col("sig").as("sig_q"))
     val grouped = cand.join(cs, "id").join(broadcast(qs), "query_id")

@@ -136,23 +136,26 @@ object Dedup {
             coalesce(col("nbr_label"), col("label")),
             coalesce(col("jump_label"), col("label"))).as("label"))
     }
-    var iter = 0
+    var done = 0
     var converged = false
-    while (!converged && iter < (maxIter + 1) / 2) {
-      // TWO propagation rounds compose into one materialization (lineage
-      // depth stays bounded at 2 rounds): driver actions per round were
-      // the dominant cost, not the shuffles. The changed flag — label
-      // moved at any point across the two rounds — rides INTO the
-      // checkpointed result, so the convergence probe is a filter over
-      // already-materialized rows; converged iff nothing moved in either
-      // round (propagation is monotone: labels only decrease).
-      val next = step(step(labels))
+    while (!converged && done < maxIter) {
+      // Up to TWO propagation rounds compose into one materialization
+      // (lineage depth stays bounded at 2 rounds; exactly maxIter rounds
+      // run in total): driver actions per round were the dominant cost,
+      // not the shuffles. The changed flag — label moved at any point
+      // across the composed rounds — rides INTO the checkpointed result,
+      // so the convergence probe is a filter over already-materialized
+      // rows; converged iff nothing moved in any composed round
+      // (propagation is monotone: labels only decrease).
+      val rounds = math.min(2, maxIter - done)
+      val stepped = (1 to rounds).foldLeft(labels)((l, _) => step(l))
+      val next = stepped
         .join(labels.select(col("doc"), col("label").as("old_label")), "doc")
         .select(col("doc"), col("label"), (col("label") =!= col("old_label")).as("chg"))
         .localCheckpoint(true)
       labels = next.select("doc", "label")
       converged = next.filter(col("chg")).limit(1).count() == 0L
-      iter += 1
+      done += rounds
     }
     labels
   }

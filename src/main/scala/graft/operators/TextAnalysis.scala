@@ -82,7 +82,9 @@ object TextAnalysis {
   def repetitionSignals(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
     import graft.functions.GraftFunctions.repetition_stats
-    docs.select(col(idCol), repetition_stats(col(textCol)).as("st"))
+    // null text -> empty text -> all-zero stats, matching the SQL oracle's
+    // LEFT JOIN + coalesce(0) shape (the kernel itself is nullIntolerant)
+    docs.select(col(idCol), repetition_stats(coalesce(col(textCol), lit(""))).as("st"))
       .select(
         col(idCol),
         element_at(col("st"), 1).cast("long").as("n_tokens"),
