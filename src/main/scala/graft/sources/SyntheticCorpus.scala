@@ -26,10 +26,13 @@ object SyntheticCorpus {
   def docs(spark: SparkSession, nDocs: Long, vocabSize: Int = 20,
            avgWords: Int = 40, sigmaWords: Double = 10.0, seed: Int = 42): DataFrame = {
     val id = col("id")
-    // Box-Muller from two hash-uniforms (clamp u1 away from 0)
-    val u1 = greatest(u(id, lit(-1), seed), lit(1e-12))
-    val u2 = u(id, lit(-2), seed)
-    val gauss = sqrt(lit(-2.0) * log(u1)) * cos(lit(2.0 * math.Pi) * u2)
+    // Irwin–Hall approximate normal: sum of 12 hash-uniforms minus 6
+    // (classic public construction) — chosen over Box–Muller because it
+    // uses no transcendentals: each uniform is an exact multiple of 2^-40,
+    // the 12-term sum is exact in double (< 2^44 significant bits), and
+    // the remaining *sigma, +avg steps are single correctly-rounded IEEE
+    // ops — so a standard-SQL oracle reproduces n_words bit-for-bit.
+    val gauss = (1 to 12).map(j => u(id, lit(-j), seed)).reduce(_ + _) - lit(6.0)
     val nWords = greatest(lit(1), (lit(avgWords) + lit(sigmaWords) * gauss).cast("int"))
     spark.range(nDocs)
       .withColumn("n_words", nWords)
