@@ -63,9 +63,15 @@ object Bench {
       // against every cached plan, and the big cached pipelines add
       // planning latency to the small probes
       spark.catalog.clearCache()
+      // index-build throughput: raw docs -> signatures -> postings ->
+      // warmed caches + bucket stats, end to end (the reference's offline
+      // build_local_lsh_init step; FAISS's baseline row pays its build
+      // inside the query timing — results_synthetic.csv:3)
+      val tB = System.nanoTime()
       val eng = QueryEngine.build(
         SyntheticCorpus.docs(spark, 20000),
         mp = graft.core.MinHashPipeline.Params(kShingle = 1)).warmUp()
+      val buildSec = (System.nanoTime() - tB) / 1e9
       val someSigs = eng.sigs.filter(col("doc_id") < 110)
         .orderBy("doc_id").collect()
         .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
@@ -114,6 +120,7 @@ object Bench {
       bruteBatch()
       val brute100 = (System.nanoTime() - t3) / 1e9
       Map(
+        "x_index_build_sec_20kdocs" -> buildSec,
         "x_lsh_single_query_avg_sec_20kdocs" -> singleAvg,
         "x_lsh_batch100_queries_sec_20kdocs" -> batch100,
         "x_lsh_batch1000_queries_sec_20kdocs" -> batch1000,
