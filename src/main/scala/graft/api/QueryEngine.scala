@@ -21,7 +21,8 @@ final class QueryEngine private (
     val spark: SparkSession,
     val sigs: DataFrame,      // (doc_id, sig)
     val index: DataFrame,     // (id, band, key64, key64b)
-    val params: Lsh.Params) {
+    val params: Lsh.Params,
+    val mpParams: MinHashPipeline.Params) {
   import QueryEngine.Candidate
 
   /** Warm the caches (O22 cluster warm-up: the eager `postings.count`),
@@ -40,6 +41,39 @@ final class QueryEngine private (
     // minhash_lsh.py:98-102,128-133: no candidates -> [(-1, 0.0)] then pad
     val base = if (hits.isEmpty) Seq(Candidate(-1L, 0.0, Nil)) else hits
     base.padTo(k, Candidate(-1L, 0.0, Nil)).take(k)
+  }
+
+  /** Query by raw text: shingle + sign with the engine's build-time
+    * pipeline params, then probe — the end-to-end path a corpus user
+    * takes (the reference's clients pre-compute vectors; the engine
+    * accepts either). */
+  def queryText(text: String, k: Int = 10, maxCandidates: Int = 2000): Seq[Candidate] = {
+    import spark.implicits._
+    val sig = MinHashPipeline
+      .withSignature(Seq((0L, text)).toDF("doc_id", "text"), "text", mpParams)
+      .select("sig").head().getSeq[Long](0).toArray
+    query(sig, k, maxCandidates)
+  }
+
+  /** Batch probe: top-k per query signature through ONE compiled plan —
+    * `queries` is (query_id, sig); output (query_id, rank, id, score).
+    * The distributed form of the reference's per-request scatter. */
+  def queryBatch(queries: DataFrame, k: Int = 10, maxCandidates: Int = 2000): DataFrame =
+    Lsh.queryBatch(sigs, index, queries, k, params, maxCandidates)
+
+  /** Incremental index growth: signatures + postings for `docs` are
+    * unioned onto the cached tables (no full rebuild — the reference
+    * rebuilds its in-memory tables from scratch). Returns a NEW engine;
+    * the old one stays valid. Doc ids must not collide with existing
+    * ones. At cluster scale the same shape appends postings partitions to
+    * the saved parquet/bucketed table instead. */
+  def addDocuments(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id"): QueryEngine = {
+    val newSigs = MinHashPipeline.withSignature(docs, textCol, mpParams)
+      .select(col(idCol).cast("long").as("doc_id"), col("sig"))
+    val allSigs = sigs.unionByName(newSigs).cache()
+    val allIndex = index.unionByName(Lsh.postings(newSigs, "doc_id", "sig", params)).cache()
+    new QueryEngine(spark, allSigs, allIndex, params, mpParams)
   }
 
   /** JSON response shaped like the reference's endpoint payload. */
@@ -81,14 +115,17 @@ object QueryEngine {
     val sigs = MinHashPipeline.withSignature(docs, textCol, mp)
       .select(col(idCol).cast("long").as("doc_id"), col("sig")).cache()
     val index = Lsh.postings(sigs, "doc_id", "sig", lp).cache()
-    new QueryEngine(docs.sparkSession, sigs, index, lp)
+    new QueryEngine(docs.sparkSession, sigs, index, lp, mp)
   }
 
   /** Restore a saved index (restart-safe, unlike the reference's
-    * memory-only worker state). */
-  def load(spark: SparkSession, dir: String, lp: Lsh.Params = Lsh.Params()): QueryEngine = {
+    * memory-only worker state). `mp` must match the build-time pipeline
+    * params for queryText/addDocuments to stay consistent with the saved
+    * signatures. */
+  def load(spark: SparkSession, dir: String, lp: Lsh.Params = Lsh.Params(),
+           mp: MinHashPipeline.Params = MinHashPipeline.Params()): QueryEngine = {
     val sigs = spark.read.parquet(s"$dir/signatures").cache()
     val index = spark.read.parquet(s"$dir/postings").cache()
-    new QueryEngine(spark, sigs, index, lp)
+    new QueryEngine(spark, sigs, index, lp, mp)
   }
 }

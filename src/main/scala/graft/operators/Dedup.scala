@@ -142,16 +142,19 @@ object Dedup {
       // Up to TWO propagation rounds compose into one materialization
       // (lineage depth stays bounded at 2 rounds; exactly maxIter rounds
       // run in total): driver actions per round were the dominant cost,
-      // not the shuffles. The changed flag — label moved at any point
-      // across the composed rounds — rides INTO the checkpointed result,
-      // so the convergence probe is a filter over already-materialized
-      // rows; converged iff nothing moved in any composed round
-      // (propagation is monotone: labels only decrease).
+      // not the shuffles. The changed flag compares against the LAST
+      // composed round's input (the intermediate state, not the
+      // pre-materialization labels): if the final round moved nothing,
+      // its input was already a fixed point — so a graph that converges
+      // in round r is detected at the materialization containing r+1,
+      // not one full cycle later. Propagation is monotone (labels only
+      // decrease), so "no change in the last round" is exact. Catalyst
+      // dedups the shared step subtree via exchange reuse.
       val rounds = math.min(2, maxIter - done)
-      val stepped = (1 to rounds).foldLeft(labels)((l, _) => step(l))
-      val next = stepped
-        .join(labels.select(col("doc"), col("label").as("old_label")), "doc")
-        .select(col("doc"), col("label"), (col("label") =!= col("old_label")).as("chg"))
+      val prevState = if (rounds == 2) step(labels) else labels
+      val next = step(prevState)
+        .join(prevState.select(col("doc"), col("label").as("mid_label")), "doc")
+        .select(col("doc"), col("label"), (col("label") =!= col("mid_label")).as("chg"))
         .localCheckpoint(true)
       labels = next.select("doc", "label")
       converged = next.filter(col("chg")).limit(1).count() == 0L

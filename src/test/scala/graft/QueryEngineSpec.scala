@@ -38,6 +38,29 @@ class QueryEngineSpec extends SparkSpec {
     assert(new java.io.File(s"$dir/signatures").listFiles().count(_.getName.endsWith(".parquet")) == 3)
   }
 
+  test("queryText signs with build-time params and self-matches") {
+    val docs = spark.read.parquet(s"$testDataDir/documents.parquet")
+    val eng = QueryEngine.build(docs,
+      mp = graft.core.MinHashPipeline.Params(kShingle = 3))
+    val text = docs.filter(col("doc_id") === 11).head().getString(1)
+    val res = eng.queryText(text, k = 5)
+    assert(res.head.id == 11 && res.head.score == 1.0)
+  }
+
+  test("addDocuments equals a from-scratch build over the union") {
+    val docs = spark.read.parquet(s"$testDataDir/documents.parquet")
+    val first = docs.filter(col("doc_id") < 400)
+    val rest = docs.filter(col("doc_id") >= 400)
+    val grown = QueryEngine.build(first,
+      mp = graft.core.MinHashPipeline.Params(kShingle = 3)).addDocuments(rest)
+    val full = QueryEngine.build(docs,
+      mp = graft.core.MinHashPipeline.Params(kShingle = 3))
+    val qSig = full.sigs.filter(col("doc_id") === 450).head().getSeq[Long](1).toArray
+    assert(grown.query(qSig, 5) == full.query(qSig, 5))
+    assert(grown.sigs.count() == full.sigs.count())
+    assert(grown.index.count() == full.index.count())
+  }
+
   test("synthetic corpus is deterministic and partitioning-invariant") {
     val a = SyntheticCorpus.docs(spark, 200).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
