@@ -46,14 +46,11 @@ final class QueryEngine private (
   /** Query by raw text: shingle + sign with the engine's build-time
     * pipeline params, then probe — the end-to-end path a corpus user
     * takes (the reference's clients pre-compute vectors; the engine
-    * accepts either). */
-  def queryText(text: String, k: Int = 10, maxCandidates: Int = 2000): Seq[Candidate] = {
-    import spark.implicits._
-    val sig = MinHashPipeline
-      .withSignature(Seq((0L, text)).toDF("doc_id", "text"), "text", mpParams)
-      .select("sig").head().getSeq[Long](0).toArray
-    query(sig, k, maxCandidates)
-  }
+    * accepts either). The signature is computed driver-side through the
+    * SAME kernels the distributed pipeline runs (bit-identical), with no
+    * Spark job or per-call plan analysis. */
+  def queryText(text: String, k: Int = 10, maxCandidates: Int = 2000): Seq[Candidate] =
+    query(QueryEngine.signText(text, mpParams), k, maxCandidates)
 
   /** Batch probe: top-k per query signature through ONE compiled plan —
     * `queries` is (query_id, sig); output (query_id, rank, id, score).
@@ -63,17 +60,30 @@ final class QueryEngine private (
 
   /** Incremental index growth: signatures + postings for `docs` are
     * unioned onto the cached tables (no full rebuild — the reference
-    * rebuilds its in-memory tables from scratch). Returns a NEW engine;
-    * the old one stays valid. Doc ids must not collide with existing
-    * ones. At cluster scale the same shape appends postings partitions to
-    * the saved parquet/bucketed table instead. */
+    * rebuilds its in-memory tables from scratch), and the bucket cap is
+    * re-applied across the union so the grown index is IDENTICAL to a
+    * from-scratch build over all documents (keep-smallest-ids is closed
+    * under union of capped sides). Returns a NEW engine; the old one
+    * stays valid — callers growing repeatedly should `close()` the old
+    * engine or its superseded caches accumulate. Doc ids must not collide
+    * with existing ones. At cluster scale the same shape appends postings
+    * partitions to the saved parquet/bucketed table instead. */
   def addDocuments(docs: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id"): QueryEngine = {
     val newSigs = MinHashPipeline.withSignature(docs, textCol, mpParams)
-      .select(col(idCol).cast("long").as("doc_id"), col("sig"))
+      .select(col(idCol).cast("long").as("doc_id"), col("sig")).cache()
     val allSigs = sigs.unionByName(newSigs).cache()
-    val allIndex = index.unionByName(Lsh.postings(newSigs, "doc_id", "sig", params)).cache()
+    val allIndex = Lsh.capBuckets(
+      index.unionByName(Lsh.postings(newSigs, "doc_id", "sig", params)),
+      params.maxBucketSize).cache()
     new QueryEngine(spark, allSigs, allIndex, params, mpParams)
+  }
+
+  /** Release this engine's cached tables (the grown-engine lifecycle
+    * counterpart of addDocuments). The engine must not be queried after. */
+  def close(): Unit = {
+    sigs.unpersist(blocking = false)
+    index.unpersist(blocking = false)
   }
 
   /** JSON response shaped like the reference's endpoint payload. */
@@ -83,12 +93,20 @@ final class QueryEngine private (
     }.mkString("""{"candidates":[""", ",", "]}")
 
   /** Persist signatures + postings as range-sharded Parquet (O6: shards in
-    * id order; `shards` maps to the reference's ceil(N/shard_size)). */
+    * id order; `shards` maps to the reference's ceil(N/shard_size)), plus
+    * the build params — `load` restores them so queryText/addDocuments on
+    * a restored engine sign in the same shingle space (a mismatched
+    * kShingle would silently produce garbage scores). */
   def save(dir: String, shards: Int = 4): Unit = {
     sigs.repartitionByRange(shards, col("doc_id"))
       .write.mode("overwrite").parquet(s"$dir/signatures")
     index.repartitionByRange(shards, col("band"), col("key64"))
       .write.mode("overwrite").parquet(s"$dir/postings")
+    import spark.implicits._
+    Seq((params.bands, params.numPerm, params.maxBucketSize,
+      mpParams.kShingle, mpParams.byWord))
+      .toDF("bands", "num_perm", "max_bucket_size", "k_shingle", "by_word")
+      .coalesce(1).write.mode("overwrite").json(s"$dir/params")
   }
 
   /** Persist the postings index as a BUCKETED table on the join key:
@@ -107,6 +125,20 @@ final class QueryEngine private (
 object QueryEngine {
   case class Candidate(id: Long, score: Double, vectorPreview: Seq[Long])
 
+  /** Driver-side signature of one text through the SAME kernels the
+    * distributed pipeline runs (Shingling null guard included) — no Spark
+    * job, no per-call plan analysis, bit-identical to the table's sigs. */
+  def signText(text: String, mp: MinHashPipeline.Params): Array[Long] = {
+    import graft.core.Kernels
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val shingles =
+      if (text == null) new GenericArrayData(Array.empty[Any])
+      else if (mp.byWord) Kernels.wordShingles(UTF8String.fromString(text), mp.kShingle)
+      else Kernels.charShingles(UTF8String.fromString(text), mp.kShingle)
+    Kernels.minhashSignatureRef(Kernels.shingleHashes(shingles)).toLongArray()
+  }
+
   /** Offline index build (SURVEY §3.2): corpus -> signatures -> postings,
     * both cached. */
   def build(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
@@ -119,13 +151,26 @@ object QueryEngine {
   }
 
   /** Restore a saved index (restart-safe, unlike the reference's
-    * memory-only worker state). `mp` must match the build-time pipeline
-    * params for queryText/addDocuments to stay consistent with the saved
-    * signatures. */
-  def load(spark: SparkSession, dir: String, lp: Lsh.Params = Lsh.Params(),
-           mp: MinHashPipeline.Params = MinHashPipeline.Params()): QueryEngine = {
+    * memory-only worker state). Build params are read back from the
+    * save-time `params` record so text signing and incremental growth
+    * stay in the saved signatures' shingle space; an index saved without
+    * one (pre-params layout) falls back to defaults. */
+  def load(spark: SparkSession, dir: String): QueryEngine = {
     val sigs = spark.read.parquet(s"$dir/signatures").cache()
     val index = spark.read.parquet(s"$dir/postings").cache()
+    val (lp, mp) =
+      try {
+        val r = spark.read.json(s"$dir/params").head()
+        (Lsh.Params(
+          bands = r.getAs[Long]("bands").toInt,
+          numPerm = r.getAs[Long]("num_perm").toInt,
+          maxBucketSize = r.getAs[Long]("max_bucket_size").toInt),
+          MinHashPipeline.Params(
+            kShingle = r.getAs[Long]("k_shingle").toInt,
+            byWord = r.getAs[Boolean]("by_word")))
+      } catch {
+        case _: Exception => (Lsh.Params(), MinHashPipeline.Params())
+      }
     new QueryEngine(spark, sigs, index, lp, mp)
   }
 }

@@ -52,30 +52,36 @@ object Lsh {
     val exploded = sigs.select(
       col(idCol).cast("long").as("id"),
       posexplode(bandSlices(col(sigCol), p)).as(Seq("band", "band_key")))
-    val keyed = withBucketKeys(exploded)
-    if (p.maxBucketSize <= 0) keyed
+    capBuckets(withBucketKeys(exploded), p.maxBucketSize)
+  }
+
+  /** Apply the reference's keep-smallest-ids bucket cap to a postings
+    * table (no-op when `maxBucketSize <= 0`). Scale-safe: a full-table
+    * `row_number` window would sort every posting and land each bucket on
+    * one task — the exact skew the cap guards against. Instead, find the
+    * over-cap buckets with a map-side-combinable count (partial
+    * aggregation absorbs hot keys), pass under-cap rows through untouched
+    * (anti join), and run the ordered keep-first-by-id window ONLY over
+    * the rare over-cap buckets. The over-cap bucket list is bounded by
+    * totalPostings/cap keys (3 longs each), so it broadcasts even at
+    * 100 TB scale. Re-capping a union of already-capped tables equals
+    * capping the raw union: any id among the k smallest of the union is
+    * among the k smallest of its own side. */
+  def capBuckets(keyed: DataFrame, maxBucketSize: Int): DataFrame =
+    if (maxBucketSize <= 0) keyed
     else {
-      // Scale-safe cap: a full-table `row_number` window would sort every
-      // posting and land each bucket on one task — the exact skew the cap
-      // guards against. Instead, find the over-cap buckets with a map-side-
-      // combinable count (partial aggregation absorbs hot keys), pass
-      // under-cap rows through untouched (anti join), and run the ordered
-      // keep-first-by-id window ONLY over the rare over-cap buckets. The
-      // over-cap bucket list is bounded by totalPostings/cap keys
-      // (3 longs each), so it broadcasts even at 100 TB scale.
       val over = keyed.groupBy("band", "key64", "key64b")
         .agg(count(lit(1)).as("n"))
-        .filter(col("n") > p.maxBucketSize)
+        .filter(col("n") > maxBucketSize)
         .select("band", "key64", "key64b")
       val small = keyed.join(broadcast(over), joinKeys, "left_anti")
       val w = Window.partitionBy("band", "key64", "key64b").orderBy("id")
       val big = keyed.join(broadcast(over), joinKeys)
         .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= p.maxBucketSize)
+        .filter(col("rn") <= maxBucketSize)
         .drop("rn")
       small.unionByName(big)
     }
-  }
 
   private val joinKeys = Seq("band", "key64", "key64b")
 

@@ -32,6 +32,10 @@ class QueryEngineSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft-idx").toString
     eng.save(dir, shards = 3)
     val eng2 = QueryEngine.load(spark, dir)
+    // build params round-trip with the index (queryText/addDocuments on a
+    // restored engine must sign in the saved signatures' shingle space)
+    assert(eng2.mpParams == graft.core.MinHashPipeline.Params(kShingle = 3))
+    assert(eng2.params == eng.params)
     val qSig = eng.sigs.filter(col("doc_id") === 7).head().getSeq[Long](1).toArray
     assert(eng2.query(qSig, 5) == eng.query(qSig, 5))
     // shard files exist (range-sharded parquet)
@@ -45,6 +49,10 @@ class QueryEngineSpec extends SparkSpec {
     val text = docs.filter(col("doc_id") === 11).head().getString(1)
     val res = eng.queryText(text, k = 5)
     assert(res.head.id == 11 && res.head.score == 1.0)
+    // the driver-side kernel signature is bit-identical to the table's
+    val tableSig = eng.sigs.filter(col("doc_id") === 11).head().getSeq[Long](1).toArray
+    assert(QueryEngine.signText(text,
+      graft.core.MinHashPipeline.Params(kShingle = 3)).toSeq == tableSig.toSeq)
   }
 
   test("addDocuments equals a from-scratch build over the union") {
