@@ -224,6 +224,27 @@ object Lsh {
       .limit(k)
   }
 
+  /** Probe a disk-resident BUCKETED postings table (saved via
+    * `QueryEngine.saveBucketed`) with bucket pruning: the query's 32
+    * `key64` values reach the parquet scan as literal IN predicates, so
+    * Spark reads ONLY the matching buckets' files — probe I/O stays flat
+    * as the index grows, the disk-resident analog of the reference's
+    * in-memory dict lookup (worker_tasks.py:79-117). The cached-DataFrame
+    * probe (querySignature) scans the whole cached index per probe, which
+    * is fine in memory at one node but not for a 100 TB on-disk index.
+    * Results are identical to querySignature (same join, pre-filtered). */
+  def querySignatureBucketed(sigs: DataFrame, bucketedIndex: DataFrame,
+                             querySig: Array[Long], k: Int,
+                             p: Params = Params(), maxCandidates: Int = 0): DataFrame = {
+    val spark = sigs.sparkSession
+    val qp = queryPostings(spark, querySig, p)
+    // 32 keys from a 32-row local relation — a driver-local collect, not
+    // a cluster job; they must be LITERALS for bucket pruning to engage
+    val keys = qp.select("key64").collect().map(_.getLong(0)).toSeq
+    val pruned = bucketedIndex.filter(col("key64").isin(keys: _*))
+    querySignature(sigs, pruned, querySig, k, p, maxCandidates)
+  }
+
   /** Batch probe: top-k per query signature, all queries through ONE
     * compiled plan (the Spark-native form of the reference's per-request
     * scatter — amortizes planning/codegen across the whole batch).

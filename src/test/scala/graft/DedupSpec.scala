@@ -109,6 +109,31 @@ class DedupSpec extends SparkSpec {
     assert(t.count() == eng.index.count())
   }
 
+  test("bucketed probe prunes buckets at the scan and matches the cached-index result") {
+    val docs500 = spark.read.parquet(s"$testDataDir/documents.parquet")
+    val eng = graft.api.QueryEngine.build(docs500,
+      mp = graft.core.MinHashPipeline.Params(kShingle = 3))
+    spark.sql("DROP TABLE IF EXISTS graft_postings_p")
+    val loc = new java.io.File("spark-warehouse/graft_postings_p")
+    if (loc.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(loc).deleteRecursively()
+    }
+    eng.saveBucketed("graft_postings_p", buckets = 16)
+    val t = spark.table("graft_postings_p")
+    val qSig = eng.sigs.filter(col("doc_id") === 3).head().getSeq[Long](1).toArray
+    val viaBucketed = graft.core.Lsh.querySignatureBucketed(eng.sigs, t, qSig, 5)
+    // the probe's 32 key literals must reach the scan as bucket pruning:
+    // the disk-resident index reads only matching bucket files, so probe
+    // I/O stays flat as the index grows (the 100 TB probe path)
+    val p = viaBucketed.queryExecution.executedPlan.toString
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(p)
+    assert(m.isDefined, p.take(3000))
+    assert(m.get.group(1).toInt < m.get.group(2).toInt)
+    val viaCached = graft.core.Lsh.querySignature(eng.sigs, eng.index, qSig, 5)
+    assert(viaBucketed.collect().toSeq == viaCached.collect().toSeq)
+  }
+
   test("bucketed postings self-join on key64 plans with no Exchange on either side") {
     val docs500 = spark.read.parquet(s"$testDataDir/documents.parquet")
     val eng = graft.api.QueryEngine.build(docs500,
