@@ -168,60 +168,86 @@ object Lsh {
     * (all bands when the total stays under it). Candidate sets match the
     * reference whenever the cap doesn't trigger; when it does, both
     * engines scan a truncated band prefix — ours reproducibly.
-    * `maxCandidates <= 0` disables the cap. */
+    * `maxCandidates <= 0` disables the cap.
+    *
+    * NOTE: a capped call runs one tiny Spark job EAGERLY (the <=32-row
+    * bucket-stats lookup that picks the band prefix) — the probe analog of
+    * the reference's per-bucket dict lookups + early exit
+    * (minhash_lsh.py:76-96), and the same eager shape as
+    * `querySignatureBucketed`'s key collect. Everything else stays lazy. */
   def querySignature(sigs: DataFrame, index: DataFrame, querySig: Array[Long], k: Int,
                      p: Params = Params(), maxCandidates: Int = 0): DataFrame = {
     val spark = sigs.sparkSession
-    val qp = queryPostings(spark, querySig, p)
-    val capped =
-      if (maxCandidates <= 0) index.join(broadcast(qp), joinKeys).select("band", "id")
-      else {
-        // Cap WITHOUT materializing candidates: the query hits exactly one
-        // bucket per band, so its per-band hit count IS that bucket's size
-        // — read the <=32 sizes from the cached bucket-stats table, fold
-        // them into the allowed band prefix (one tiny HOF pass), and probe
-        // the index for the allowed bands only. Candidate rows beyond the
-        // cap are never generated — the reference's early-exit cost shape.
-        // (Replaces round 2's partition-less WindowExec over all hit rows.)
-        val sized = bucketSizes(index).join(broadcast(qp), joinKeys)
-          .select("band", "n")
-        val allowed = allowedBandPrefix(sized, Nil, maxCandidates)
-        val qpAllowed = qp.join(allowed, "band")
-        index.join(broadcast(qpAllowed), joinKeys).select("band", "id")
-      }
-    // Capped probes skip the distinct() exchange: band-duplicated rows are
-    // bounded by the cap and the id-deduplicating top-k aggregate absorbs
-    // them (per-id scores are identical — same signature pair — so the
-    // result is exactly the top-k over distinct candidates). UNCAPPED
-    // probes keep the dedup: on a skewed corpus the band-duplication
-    // factor multiplies scored rows up to 32x (the round-1 measured
-    // 16M-vs-950k blowup), which the cap otherwise bounds.
-    val cand =
-      if (maxCandidates <= 0) capped.select("id").distinct()
-      else capped.select("id")
-    // the query vector travels as DATA (broadcast 1-row frame), not as a
-    // 128-literal expression: every probe then reuses the same compiled
-    // plan — codegen recompilation per query was the dominant latency cost
-    import graft.functions.TopKByScore.top_k_by_score_distinct
     import spark.implicits._
-    val qdf = Seq(Tuple1(querySig.toSeq)).toDF("qsig")
-    val top = sigs.join(broadcast(cand), sigs("doc_id") === cand("id"))
-      .crossJoin(broadcast(qdf))
-      .select(
-        col("id"),
-        graft.functions.GraftFunctions.est_jaccard(col("sig"), col("qsig")).as("score"))
-      .agg(top_k_by_score_distinct(col("score"), col("id"), k).as("topk"))
-      .select(posexplode(col("topk")).as(Seq("pos", "hit")))
-      .select(col("hit.id").as("id"), col("hit.score").as("score"))
-    // re-attach the vector preview: the k-row top side broadcasts, the
-    // cached sigs are scanned once with a codegen hash probe. The agg
-    // already yields <= k rows; the trailing limit makes the final sort a
-    // TakeOrderedAndProject (no range exchange) instead of a global Sort.
-    sigs.select(col("doc_id"), slice(col("sig"), 1, 10).as("vector_preview"))
-      .join(broadcast(top), col("doc_id") === top("id"))
-      .select(col("id"), col("score"), col("vector_preview"))
-      .orderBy(desc("score"), asc("id"))
-      .limit(k)
+    if (maxCandidates <= 0) {
+      // UNCAPPED probe: keep the distinct() dedup — on a skewed corpus the
+      // band-duplication factor multiplies scored rows up to 32x (the
+      // round-1 measured 16M-vs-950k blowup), which the cap otherwise
+      // bounds.
+      val qp = queryPostings(spark, querySig, p)
+      val cand = index.join(broadcast(qp), joinKeys).select("id").distinct()
+      // the query vector travels as DATA (broadcast 1-row frame), not as a
+      // 128-literal expression: every probe then reuses the same compiled
+      // plan — codegen recompilation per query was the dominant latency cost
+      import graft.functions.TopKByScore.top_k_by_score_distinct
+      val qdf = Seq(Tuple1(querySig.toSeq)).toDF("qsig")
+      val top = sigs.join(broadcast(cand), sigs("doc_id") === cand("id"))
+        .crossJoin(broadcast(qdf))
+        .select(
+          col("id"),
+          graft.functions.GraftFunctions.est_jaccard(col("sig"), col("qsig")).as("score"))
+        .agg(top_k_by_score_distinct(col("score"), col("id"), k).as("topk"))
+        .select(posexplode(col("topk")).as(Seq("pos", "hit")))
+        .select(col("hit.id").as("id"), col("hit.score").as("score"))
+      // re-attach the vector preview: the k-row top side broadcasts, the
+      // cached sigs are scanned once with a codegen hash probe. The agg
+      // already yields <= k rows; the trailing limit makes the final sort a
+      // TakeOrderedAndProject (no range exchange) instead of a global Sort.
+      sigs.select(col("doc_id"), slice(col("sig"), 1, 10).as("vector_preview"))
+        .join(broadcast(top), col("doc_id") === top("id"))
+        .select(col("id"), col("score"), col("vector_preview"))
+        .orderBy(desc("score"), asc("id"))
+        .limit(k)
+    } else {
+      // CAPPED probe, latency-tuned: the query hits exactly one bucket per
+      // band, so its per-band hit counts are the <=32 stats rows matching
+      // its keys. Collect them from the CACHED stats table (one tiny job;
+      // the probe side is a jobless LocalRelation broadcast, and the plan
+      // shape is constant — no per-query literals, no codegen churn) and
+      // fold the allowed band prefix ON THE DRIVER — 32 additions, the
+      // moral equivalent of the reference's dict lookups + early exit.
+      // The probe plan then needs just two more jobs: build the candidate
+      // broadcast, and the scoring scan whose top-k aggregate carries the
+      // vector preview as a payload (no re-join, no final sort).
+      val qp = queryPostings(spark, querySig, p)
+      val sized = bucketSizes(index).join(broadcast(qp), joinKeys)
+        .select("band", "n").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      var before = 0L
+      val allowedBands = sized.takeWhile { case (_, n) =>
+        val ok = before < maxCandidates; before += n; ok
+      }.map(_._1).toSet
+      val rows = (0 until p.bands).filter(allowedBands).map { b =>
+        (b, querySig.slice(b * p.rows, (b + 1) * p.rows).toSeq)
+      }
+      val qpAllowed = withBucketKeys(rows.toDF("band", "band_key"))
+      // band-duplicated candidate rows are cap-bounded and the
+      // id-deduplicating top-k aggregate absorbs them (per-id scores are
+      // identical — same signature pair), so no distinct() exchange.
+      val cand = index.join(broadcast(qpAllowed), joinKeys).select("id")
+      import graft.functions.TopKByScore.top_k_by_score_distinct_preview
+      val qdf = Seq(Tuple1(querySig.toSeq)).toDF("qsig")
+      sigs.join(broadcast(cand), sigs("doc_id") === cand("id"))
+        .crossJoin(broadcast(qdf))
+        .agg(top_k_by_score_distinct_preview(
+          graft.functions.GraftFunctions.est_jaccard(col("sig"), col("qsig")),
+          col("doc_id"), slice(col("sig"), 1, 10), k).as("topk"))
+        .select(posexplode(col("topk")).as(Seq("pos", "hit")))
+        // the aggregate's eval() emits entries already sorted (score desc,
+        // id asc); posexplode preserves array order, so no trailing sort
+        .select(col("hit.id").as("id"), col("hit.score").as("score"),
+          col("hit.preview").as("vector_preview"))
+    }
   }
 
   /** Probe a disk-resident BUCKETED postings table (saved via

@@ -11,10 +11,14 @@ import java.nio.ByteBuffer
 
 /** Bounded top-k buffer: keeps the k best (score desc, id asc) pairs.
   * Array-backed with lazy worst tracking — update is O(1) amortized until
-  * full, O(k) on eviction scan (k is small: 5-100). */
-final class TopKBuffer(val k: Int, val distinctIds: Boolean = false) {
+  * full, O(k) on eviction scan (k is small: 5-100). With `withPayload`,
+  * each entry also carries an opaque long-array payload (e.g. a vector
+  * preview) so the top-k result needs no re-join back to the source. */
+final class TopKBuffer(val k: Int, val distinctIds: Boolean = false,
+                       val withPayload: Boolean = false) {
   val scores = new Array[Double](k)
   val ids = new Array[Long](k)
+  val payloads: Array[Array[Long]] = if (withPayload) new Array[Array[Long]](k) else null
   var size = 0
 
   @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
@@ -30,7 +34,9 @@ final class TopKBuffer(val k: Int, val distinctIds: Boolean = false) {
     w
   }
 
-  def add(score: Double, id: Long): Unit = {
+  def add(score: Double, id: Long): Unit = add(score, id, null)
+
+  def add(score: Double, id: Long, payload: Array[Long]): Unit = {
     if (distinctIds) {
       // dedup by id: keep the better (score, id) entry. With per-id-unique
       // scores (the LSH case) this equals pre-deduplicating the input,
@@ -38,32 +44,42 @@ final class TopKBuffer(val k: Int, val distinctIds: Boolean = false) {
       var i = 0
       while (i < size) {
         if (ids(i) == id) {
-          if (worse(scores(i), ids(i), score, id)) scores(i) = score
+          if (worse(scores(i), ids(i), score, id)) {
+            scores(i) = score
+            if (withPayload) payloads(i) = payload
+          }
           return
         }
         i += 1
       }
     }
     if (size < k) {
-      scores(size) = score; ids(size) = id; size += 1
+      scores(size) = score; ids(size) = id
+      if (withPayload) payloads(size) = payload
+      size += 1
     } else if (k > 0) {
       val w = worstIdx
       if (worse(scores(w), ids(w), score, id)) {
         scores(w) = score; ids(w) = id
+        if (withPayload) payloads(w) = payload
       }
     }
   }
 
   def mergeFrom(o: TopKBuffer): Unit = {
     var i = 0
-    while (i < o.size) { add(o.scores(i), o.ids(i)); i += 1 }
+    while (i < o.size) {
+      add(o.scores(i), o.ids(i), if (o.payloads != null) o.payloads(i) else null)
+      i += 1
+    }
   }
 
+  /** Buffer indices sorted score desc, id asc. */
+  def sortedIdx: Array[Int] =
+    (0 until size).toArray.sortBy(i => (-scores(i), ids(i)))
+
   /** (score, id) pairs sorted score desc, id asc. */
-  def sorted: Array[(Double, Long)] = {
-    val out = (0 until size).map(i => (scores(i), ids(i))).toArray
-    out.sortBy { case (s, i) => (-s, i) }
-  }
+  def sorted: Array[(Double, Long)] = sortedIdx.map(i => (scores(i), ids(i)))
 }
 
 /** Grouped partial+final top-k as a real aggregate function: map-side
@@ -80,24 +96,38 @@ case class TopKByScore(
     idExpr: Expression,
     k: Int,
     distinctIds: Boolean = false,
+    payloadExpr: Option[Expression] = None,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKBuffer] {
 
-  override def children: Seq[Expression] = Seq(scoreExpr, idExpr)
+  override def children: Seq[Expression] = Seq(scoreExpr, idExpr) ++ payloadExpr
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
     StructType(Seq(
       StructField("score", DoubleType, nullable = false),
-      StructField("id", LongType, nullable = false))), containsNull = false)
+      StructField("id", LongType, nullable = false)) ++
+      payloadExpr.map(_ =>
+        StructField("preview", ArrayType(LongType, containsNull = false), nullable = true))),
+    containsNull = false)
 
-  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k, distinctIds)
+  override def createAggregationBuffer(): TopKBuffer =
+    new TopKBuffer(k, distinctIds, payloadExpr.isDefined)
 
   override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
     val s = scoreExpr.eval(input)
     val i = idExpr.eval(input)
-    if (s != null && i != null)
-      buf.add(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    if (s != null && i != null) {
+      val p = payloadExpr match {
+        case Some(e) =>
+          e.eval(input) match {
+            case a: org.apache.spark.sql.catalyst.util.ArrayData => a.toLongArray()
+            case _ => null
+          }
+        case None => null
+      }
+      buf.add(s.asInstanceOf[Double], i.asInstanceOf[Long], p)
+    }
     buf
   }
 
@@ -106,28 +136,66 @@ case class TopKByScore(
   }
 
   override def eval(buf: TopKBuffer): Any = {
-    val rows = buf.sorted.map { case (s, i) =>
-      new GenericInternalRow(Array[Any](s, i))
+    val rows: Array[Any] = buf.sortedIdx.map { i =>
+      if (buf.withPayload) {
+        val p = buf.payloads(i)
+        new GenericInternalRow(Array[Any](buf.scores(i), buf.ids(i),
+          if (p == null) null else new GenericArrayData(p)))
+      } else new GenericInternalRow(Array[Any](buf.scores(i), buf.ids(i)))
     }
-    new GenericArrayData(rows.asInstanceOf[Array[Any]])
+    new GenericArrayData(rows)
   }
 
   override def serialize(buf: TopKBuffer): Array[Byte] = {
-    val bb = ByteBuffer.allocate(8 + buf.size * 16)
+    var payloadBytes = 0
+    if (buf.withPayload) {
+      var i = 0
+      while (i < buf.size) {
+        payloadBytes += 4 + (if (buf.payloads(i) == null) 0 else buf.payloads(i).length * 8)
+        i += 1
+      }
+    }
+    val bb = ByteBuffer.allocate(8 + buf.size * 16 + payloadBytes)
     bb.putInt(buf.k).putInt(buf.size)
     var i = 0
     while (i < buf.size) {
-      bb.putDouble(buf.scores(i)); bb.putLong(buf.ids(i)); i += 1
+      bb.putDouble(buf.scores(i)); bb.putLong(buf.ids(i))
+      if (buf.withPayload) {
+        val p = buf.payloads(i)
+        if (p == null) bb.putInt(-1)
+        else {
+          bb.putInt(p.length)
+          var j = 0
+          while (j < p.length) { bb.putLong(p(j)); j += 1 }
+        }
+      }
+      i += 1
     }
     bb.array()
   }
 
   override def deserialize(bytes: Array[Byte]): TopKBuffer = {
     val bb = ByteBuffer.wrap(bytes)
-    val buf = new TopKBuffer(bb.getInt(), distinctIds)
+    val buf = new TopKBuffer(bb.getInt(), distinctIds, payloadExpr.isDefined)
     val n = bb.getInt()
     var i = 0
-    while (i < n) { buf.add(bb.getDouble(), bb.getLong()); i += 1 }
+    while (i < n) {
+      val s = bb.getDouble(); val id = bb.getLong()
+      val p =
+        if (!buf.withPayload) null
+        else {
+          val len = bb.getInt()
+          if (len < 0) null
+          else {
+            val arr = new Array[Long](len)
+            var j = 0
+            while (j < len) { arr(j) = bb.getLong(); j += 1 }
+            arr
+          }
+        }
+      buf.add(s, id, p)
+      i += 1
+    }
     buf
   }
 
@@ -136,7 +204,8 @@ case class TopKByScore(
   override def withNewInputAggBufferOffset(o: Int): TopKByScore =
     copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): TopKByScore =
-    copy(scoreExpr = cs(0), idExpr = cs(1))
+    copy(scoreExpr = cs(0), idExpr = cs(1),
+      payloadExpr = if (cs.length > 2) Some(cs(2)) else None)
   override def prettyName: String = "top_k_by_score"
 }
 
@@ -153,5 +222,17 @@ object TopKByScore {
   def top_k_by_score_distinct(score: Column, id: Column, k: Int): Column =
     Bridge.column(
       TopKByScore(Bridge.expression(score), Bridge.expression(id), k, distinctIds = true)
+        .toAggregateExpression())
+
+  /** Distinct-by-id variant that also carries a long-array payload per
+    * entry (array<struct<score, id, preview>>): the single-probe plan
+    * keeps the vector preview inside the aggregation instead of re-joining
+    * the top-k back to the signature table — one fewer scan, broadcast and
+    * sort per probe. */
+  def top_k_by_score_distinct_preview(score: Column, id: Column,
+                                      preview: Column, k: Int): Column =
+    Bridge.column(
+      TopKByScore(Bridge.expression(score), Bridge.expression(id), k,
+        distinctIds = true, payloadExpr = Some(Bridge.expression(preview)))
         .toAggregateExpression())
 }
