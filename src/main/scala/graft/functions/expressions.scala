@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.types._
 
 /** Custom codegen-friendly Catalyst expressions for the kernels the
@@ -227,6 +227,42 @@ case class RollingFingerprint(child: Expression) extends UnaryExpression {
   override def prettyName: String = "rolling_fingerprint"
 }
 
+/** (array<float> vector, array<double> scales) -> array<int>: per-dim
+  * symmetric int8 quantization codes (Kernels.quantizeI8) — the 4x
+  * embedding-I/O compression path for 100 TB vector scans. */
+case class QuantizeI8(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    graft.core.Kernels.quantizeI8(
+      l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) => s"graft.core.Kernels.quantizeI8($l, $r)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): QuantizeI8 =
+    copy(left = l, right = r)
+  override def prettyName: String = "quantize_i8"
+}
+
+/** (array<int> codes, array<int> codes, array<double> scales) -> double:
+  * -||dequant(x) - dequant(y)||_2 with exact int subtraction before the
+  * single per-dim scale multiply (Kernels.negL2Quant). */
+case class NegL2Quant(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(x: Any, y: Any, s: Any): Any =
+    graft.core.Kernels.negL2Quant(
+      x.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      y.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      s.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y, s) => s"graft.core.Kernels.negL2Quant($x, $y, $s)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): NegL2Quant =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "neg_l2_quant"
+}
+
 /** Column-level entry points (the public function surface of the engine). */
 object GraftFunctions {
   private def col(e: Expression): Column = org.apache.spark.sql.graftbridge.Bridge.column(e)
@@ -246,6 +282,9 @@ object GraftFunctions {
   def rolling_fingerprint(c: Column): Column = col(RollingFingerprint(ex(c)))
   def rhp_bucket(c: Column, planes: Int): Column = col(RhpBucket(ex(c), planes))
   def repetition_stats(c: Column): Column = col(RepetitionStats(ex(c)))
+  def quantize_i8(v: Column, s: Column): Column = col(QuantizeI8(ex(v), ex(s)))
+  def neg_l2_quant(x: Column, y: Column, s: Column): Column =
+    col(NegL2Quant(ex(x), ex(y), ex(s)))
 
   /** Register all engine functions for SQL use. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -266,5 +305,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("rhp_bucket",
       es => RhpBucket(es(0), es(1).eval().asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("repetition_stats", es => RepetitionStats(es.head), "built-in")
+    reg.createOrReplaceTempFunction("quantize_i8", es => QuantizeI8(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("neg_l2_quant", es => NegL2Quant(es(0), es(1), es(2)), "built-in")
   }
 }

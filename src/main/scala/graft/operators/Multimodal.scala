@@ -123,6 +123,34 @@ object Multimodal {
           expr(s"substring(payload, 1, int(least(cast($w as bigint) * $h, length(payload))))"))
           .otherwise(col("payload")))
 
+  /** Partition-batched payload summary — (media_id, kind, n_frames,
+    * payload_len, payload_sum): the byte-exact observable a transform gate
+    * pins (unsigned byte sum is order-insensitive integer arithmetic, so
+    * an SQL oracle reproduces it without re-deriving byte ORDER). Same
+    * iterator-per-partition shape as [[extractFeatures]]. */
+  def payloadStats(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType),
+      StructField("n_frames", IntegerType),
+      StructField("payload_len", IntegerType, nullable = false),
+      StructField("payload_sum", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("kind"), col("meta.n_frames").as("n_frames"),
+        col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload =
+            if (r.isNullAt(3)) Array.empty[Byte] else r.getAs[Array[Byte]](3)
+          var s = 0L
+          var i = 0
+          while (i < payload.length) { s += payload(i) & 0xff; i += 1 }
+          Row(r.getLong(0), r.getString(1),
+            if (r.isNullAt(2)) null else r.getInt(2), payload.length, s)
+        }
+      }(enc)
+  }
+
   /** Frame sampling stub for videos: keep every `stride`-th frame's byte
     * window (payload length / n_frames bytes per frame) by concatenating
     * the kept windows; n_frames updated accordingly. Non-videos pass
