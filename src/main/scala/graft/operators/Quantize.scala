@@ -57,4 +57,41 @@ object Quantize {
         .groupBy("query_id")
         .agg(top_k_by_score(col("score"), col("id"), k).as("topk")))
   }
+
+  /** IVF pruning over the COMPRESSED corpus — the combined 100 TB ANN
+    * path: vectors are assigned to their float-space nearest trained
+    * centroid at index time, each query probes its `nprobe` nearest
+    * centroids, and only the probed clusters' int8 codes are scanned
+    * (centroid pruning cuts candidates k/nprobe-fold, quantization cuts
+    * the surviving scan's I/O 4x). Assignment and probing broadcast the
+    * tiny centroid table; the candidate join keys on centroid_id so the
+    * scan stays an equi-join, never all-pairs. Output (query_id, rank, id). */
+  def ivfQuantizedTopK(embs: DataFrame, cents: DataFrame, scales: DataFrame,
+                       queries: DataFrame, k: Int, nprobe: Int = 3,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.TopKByScore.top_k_by_score
+    val base = embs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val c = cents.select(col("centroid_id").cast("long").as("centroid_id"), col("cv"))
+    def argminCents(points: DataFrame, outId: String, n: Int): DataFrame =
+      Ann.explodeTopK(
+        points.crossJoin(broadcast(c))
+          .select(col("query_id"), col("centroid_id").as("id"),
+            neg_l2_float(col("v"), col("cv")).as("score"))
+          .groupBy("query_id")
+          .agg(top_k_by_score(col("score"), col("id"), n).as("topk")))
+        .select(col("query_id").as(outId), col("id").as("centroid_id"))
+    val assigned = argminCents(base.select(col("id").as("query_id"), col("v")), "id", 1)
+      .join(quantize(embs, scales, idCol, vecCol), "id")
+    val q = queries.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val probes = argminCents(q.select(col("id").as("query_id"), col("v")), "qid", nprobe)
+      .join(quantize(queries, scales, idCol, vecCol)
+        .select(col("id").as("qid"), col("codes").as("qcodes")), "qid")
+      .crossJoin(broadcast(scales))
+    Ann.explodeTopK(
+      assigned.join(broadcast(probes), "centroid_id")
+        .select(col("qid").as("query_id"), col("id"),
+          neg_l2_quant(col("codes"), col("qcodes"), col("scales")).as("score"))
+        .groupBy("query_id")
+        .agg(top_k_by_score(col("score"), col("id"), k).as("topk")))
+  }
 }

@@ -59,6 +59,17 @@ class QuantizeSpec extends SparkSpec {
     assert(hits >= 20 * 5 * 0.8, s"recall too low: $hits/100")
   }
 
+  test("IVF over quantized codes with all clusters probed equals the full quantized scan") {
+    val cents = embs.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    val q = embs.filter(col("vec_id") < 8)
+    val ivf = Quantize.ivfQuantizedTopK(embs, cents, scales, q, k = 5, nprobe = 6)
+      .orderBy("query_id", "rank").collect().map(r => (r.getLong(0), r.getLong(2)))
+    val full = Quantize.quantizedTopK(codes, scales, codes.filter(col("id") < 8), k = 5)
+      .orderBy("query_id", "rank").collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(ivf.toSeq == full.toSeq)
+  }
+
   test("quantize plan is a shuffle-free codegen projection over the scan") {
     val df = Quantize.quantize(embs, scales)
     df.collect() // materialize so AQE finalizes and codegen spans print
