@@ -179,4 +179,44 @@ object Ann {
       .groupBy("query_id")
       .agg(top_k_by_score(col("score"), col("id"), k).as("topk")))
   }
+
+  /** Filtered vector search: cosine top-k restricted to candidates whose
+    * metadata label equals the query's — the "search within my tenant /
+    * language / shard" form every vector store exposes. The label is an
+    * equi-join key, so candidate generation hash-joins per label (never
+    * all-pairs); at 100 TB a label-partitioned corpus makes each probe a
+    * co-located partition scan. Output: (query_id, rank, id). */
+  def filteredTopK(embs: DataFrame, queries: DataFrame, k: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   labelCol: String = "label"): DataFrame = {
+    import graft.functions.TopKByScore.top_k_by_score
+    val base = embs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+      col(labelCol).as("lbl"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("qv"), col(labelCol).as("lbl"))
+    explodeTopK(base.join(broadcast(q), "lbl")
+      .select(col("query_id"), col("id"), cosine_sim(col("v"), col("qv")).as("score"))
+      .groupBy("query_id")
+      .agg(top_k_by_score(col("score"), col("id"), k).as("topk")))
+  }
+
+  /** Reciprocal-rank fusion of two (query_id, rank, id) result lists:
+    * score = Σ 1/(c + rank) over the lists containing the id (the
+    * standard hybrid-retrieval merge for combining lexical and embedding
+    * top-k). Both terms are single IEEE divisions added in fixed order,
+    * so the fused ordering is reproducible cross-engine. The inputs are
+    * per-query top-k lists — (queries × k) rows each — so the full-outer
+    * merge join touches only already-reduced data, never the corpora. */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, c: Int = 60): DataFrame = {
+    import graft.functions.TopKByScore.top_k_by_score
+    val ta = a.select(col("query_id"), col("id"),
+      (lit(1.0) / (lit(c) + col("rank"))).as("ra"))
+    val tb = b.select(col("query_id"), col("id"),
+      (lit(1.0) / (lit(c) + col("rank"))).as("rb"))
+    explodeTopK(ta.join(tb, Seq("query_id", "id"), "full_outer")
+      .select(col("query_id"), col("id"),
+        (coalesce(col("ra"), lit(0.0)) + coalesce(col("rb"), lit(0.0))).as("score"))
+      .groupBy("query_id")
+      .agg(top_k_by_score(col("score"), col("id"), k).as("topk")))
+  }
 }

@@ -39,6 +39,36 @@ class AnnSpec extends SparkSpec {
     assert(hits >= 20 * 5 * 0.5, s"recall too low: $hits/100")
   }
 
+  test("filtered search returns only same-label hits and matches the restricted brute force") {
+    val queries = embs.filter(col("vec_id") < 10)
+    val got = Ann.filteredTopK(embs, queries, k = 5)
+    val labels = embs.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    got.collect().foreach { r =>
+      assert(labels(r.getLong(2)) == labels(r.getLong(0)),
+        s"query ${r.getLong(0)} hit ${r.getLong(2)} crosses labels")
+    }
+    // per query, identical to brute force over only that query's label slice
+    val qLabel = labels(3L)
+    val restricted = Ann.bruteForceTopK(
+      embs.filter(col("label") === qLabel), embs.filter(col("vec_id") === 3), k = 5, cosine_sim)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq.sorted
+    val mine = got.filter(col("query_id") === 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq.sorted
+    assert(mine == restricted)
+  }
+
+  test("RRF fusion ranks ids present in both lists above single-list ids at equal rank") {
+    import spark.implicits._
+    val a = Seq((1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L)).toDF("query_id", "rank", "id")
+    val b = Seq((1L, 1, 20L), (1L, 2, 11L), (1L, 3, 21L)).toDF("query_id", "rank", "id")
+    val fused = Ann.rrfFuse(a, b, k = 5).orderBy("rank")
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    // id 11 appears in both (ranks 2+2: 2/62) — beats every single-list id (max 1/61)
+    assert(fused.head == (1, 11L), fused.toSeq.toString)
+    // equal single-list scores tie-break by id: rank-1 ids 10 and 20 next
+    assert(fused.slice(1, 3).map(_._2).toSeq == Seq(10L, 20L), fused.toSeq.toString)
+  }
+
   test("results table writes and reads back as JSON lines") {
     val dir = java.nio.file.Files.createTempDirectory("graft-json").toString
     val queries = embs.filter(col("vec_id") < 3)
