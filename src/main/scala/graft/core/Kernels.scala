@@ -272,6 +272,22 @@ object Kernels {
     -math.sqrt(s)
   }
 
+  /** SQUARED L2 over float vectors (no sqrt): the summable form — product
+    * quantization's ADC adds per-subspace squared partials, which only
+    * decomposes before the square root. Same double-widened fixed-order
+    * arithmetic as [[negL2Float]]. */
+  def sqL2Float(x: ArrayData, y: ArrayData): Double = {
+    val n = x.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
   /** Per-dimension symmetric int8 quantization: code_d =
     * clamp(floor(x_d / s_d + 0.5), -127, 127). floor(+0.5) instead of a
     * library round so both engines (IEEE double divide, exact floor)

@@ -164,6 +164,22 @@ case class NegL2Float(left: Expression, right: Expression) extends BinaryExpress
   override def prettyName: String = "neg_l2_float"
 }
 
+/** (array<float>, array<float>) -> double: SQUARED L2 (no sqrt) — the
+  * summable sub-distance for product quantization's ADC tables. */
+case class SqL2Float(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    graft.core.Kernels.sqL2Float(
+      l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) => s"graft.core.Kernels.sqL2Float($l, $r)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SqL2Float =
+    copy(left = l, right = r)
+  override def prettyName: String = "sq_l2_float"
+}
+
 /** array<float> -> boolean: conjunctive QED bin-window predicate (O15) as
   * one codegen expression; the window/bounds arrays ride along as
   * reference objects, keeping the plan literal-free and constraint-cheap. */
@@ -279,6 +295,7 @@ object GraftFunctions {
   def cosine_sim(l: Column, r: Column): Column = col(CosineSim(ex(l), ex(r)))
   def neg_l2_long(l: Column, r: Column): Column = col(NegL2Long(ex(l), ex(r)))
   def neg_l2_float(l: Column, r: Column): Column = col(NegL2Float(ex(l), ex(r)))
+  def sq_l2_float(l: Column, r: Column): Column = col(SqL2Float(ex(l), ex(r)))
   def rolling_fingerprint(c: Column): Column = col(RollingFingerprint(ex(c)))
   def rhp_bucket(c: Column, planes: Int): Column = col(RhpBucket(ex(c), planes))
   def repetition_stats(c: Column): Column = col(RepetitionStats(ex(c)))
@@ -301,6 +318,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("neg_l2_long", es => NegL2Long(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("neg_l2_float", es => NegL2Float(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("sq_l2_float", es => SqL2Float(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("rolling_fingerprint", es => RollingFingerprint(es.head), "built-in")
     reg.createOrReplaceTempFunction("rhp_bucket",
       es => RhpBucket(es(0), es(1).eval().asInstanceOf[Int]), "built-in")

@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.{Ann, Pq}
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.functions._
+
+/** Product quantization: codebook shape, code determinism under
+  * repartitioning, and ADC ranking sanity against exact search. */
+class PqSpec extends SparkSpec {
+
+  private lazy val embs =
+    spark.read.parquet(s"$testDataDir/embeddings.parquet").cache()
+  private lazy val books = Pq.train(embs, m = 8, subDim = 8, k = 16, iters = 2).cache()
+
+  test("codebooks: 8 subspaces x 16 codewords of 8 dims") {
+    val rows = books.collect()
+    assert(rows.length == 128)
+    assert(rows.map(_.getAs[Long]("centroid_id")).toSet == (0L until 16L).toSet)
+    assert(rows.forall(_.getSeq[Float](books.columns.indexOf("cv")).length == 8))
+  }
+
+  test("codes are partition-invariant (same argmin under repartition)") {
+    val a = Pq.encode(embs, books, m = 8, subDim = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    val b = Pq.encode(embs.repartition(13), books, m = 8, subDim = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == embs.count() * 8)
+  }
+
+  test("ADC top-1 recall against exact L2 is reasonable and self-match is near-top") {
+    val queries = embs.filter(col("vec_id") < 20)
+    val codes = Pq.encode(embs, books, m = 8, subDim = 8)
+    val adc = Pq.adcTopK(codes, books, queries, k = 5, m = 8, subDim = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // PQ distance of a vector to itself is the quantization error — small,
+    // so the query itself lands in its own top-5 for most queries
+    val selfHits = (0L until 20L).count(q => adc.exists(t => t._1 == q && t._3 == q))
+    assert(selfHits >= 15, s"self in top-5 only $selfHits/20")
+    val exact = Ann.bruteForceTopK(embs, queries, k = 5, neg_l2_float)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+    val hits = adc.groupBy(_._1).map { case (q, rows) =>
+      rows.map(_._3).toSet.intersect(exact(q).map(_._2).toSet).size
+    }.sum
+    // the synthetic embeddings are near-random — the adversarial case for
+    // PQ (no subspace structure to exploit), so the bar is a sanity floor,
+    // not a quality target: far above the ~1% a random top-5 would score
+    assert(hits >= 20 * 5 * 0.2, s"ADC recall too low: $hits/100")
+  }
+}
