@@ -38,4 +38,20 @@ object Sampling {
     * falls below `pct`. */
   def samplePct(df: DataFrame, pct: Int, idCol: String = "doc_id"): DataFrame =
     df.filter(hashBucket(col(idCol)) < pct)
+
+  /** Stratified deterministic sample — the data-mixing primitive for
+    * training corpora (keep 100% of low-resource strata, down-sample the
+    * dominant ones): each row keeps iff its id-hash bucket falls below
+    * its group's rate (pct out of 100; `defaultPct` for unlisted groups).
+    * A pure projection+filter (no shuffle, no rand()); membership is
+    * stable across runs, partitionings, and engines, so a mixture is
+    * reproducible and auditable at any scale. */
+  def stratifiedSample(df: DataFrame, groupCol: String,
+                       rates: Map[String, Int], defaultPct: Int = 100,
+                       idCol: String = "doc_id"): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultPct): Column) {
+      case (acc, (g, pct)) => when(col(groupCol) === g, pct).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol)) < rate)
+  }
 }

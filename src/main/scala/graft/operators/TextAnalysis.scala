@@ -102,4 +102,25 @@ object TextAnalysis {
       tokenCount(col(textCol)).as("n_tokens"),
       subwordCount(col(textCol)).as("n_subwords"),
       fingerprint(col(textCol)).as("fingerprint"))
+
+  /** Exact TF-IDF statistics in the log-free ratio form: per (doc, term)
+    * — tf, df, and tf * (N / df). The ratio replaces the usual
+    * log(N/df) so every value is one IEEE divide and one multiply,
+    * bit-identical cross-engine (libm log is not correctly rounded and
+    * differs between runtimes); the ranking it induces per term count is
+    * the same. Scale shape: one explode + two hash aggregations; the
+    * (term)-keyed join is vocabulary-sized, the corpus-sized side joins
+    * by hash — never broadcast. */
+  def tfidf(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(toks(col(textCol))).as("term"))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        (col("tf") * (col("n_docs").cast("double") / col("df").cast("double")))
+          .as("tfidf"))
+  }
 }
