@@ -47,4 +47,22 @@ class PqSpec extends SparkSpec {
     // not a quality target: far above the ~1% a random top-5 would score
     assert(hits >= 20 * 5 * 0.2, s"ADC recall too low: $hits/100")
   }
+
+  test("IVF-PQ probing every cluster equals the full ADC scan exactly") {
+    val queries = embs.filter(col("vec_id") < 8)
+    val codes = Pq.encode(embs, books, m = 8, subDim = 8)
+    // trivial coarse quantizer: 4 centroids from the corpus itself
+    val cents = embs.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    // coarse assignment = 1-NN argmin over the centroids
+    val assign = Ann.bruteForceTopK(cents.select(col("centroid_id").as("vec_id"),
+      col("cv").as("embedding")), embs, k = 1, neg_l2_float)
+      .select(col("query_id").as("id"), col("id").as("centroid_id"))
+    val full = Pq.adcTopK(codes, books, queries, k = 5, m = 8, subDim = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    val ivf = Pq.ivfAdcTopK(codes, assign, books, cents, queries,
+      k = 5, nprobe = 4, m = 8, subDim = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    assert(ivf.toSeq == full.toSeq)
+  }
 }
