@@ -1,0 +1,127 @@
+package graft.api
+
+import graft.functions.GraftFunctions._
+import graft.operators.{Ann, Pq}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver-facing vector-search API — the embedding-side counterpart of
+  * [[QueryEngine]] (the reference exposes only the signature probe; a
+  * user replacing it for embedding workloads needs the same build-once /
+  * query-many surface). `build` trains and caches the index artifacts —
+  * coarse k-means centroids, the inverted-list assignment, and the
+  * product-quantization codebooks + code table — then `topK` answers
+  * batch queries through the mode matching the scale budget:
+  *
+  *  - `exact`: brute-force cosine over the float corpus (the oracle)
+  *  - `ivf`:   coarse-pruned float scan of `nprobe` clusters
+  *  - `pq`:    ADC over the 32-bit codes (compressed full scan)
+  *  - `ivfpq`: coarse-pruned ADC — the 100 TB default: candidate
+  *             generation is an equi-join on centroid_id and scoring
+  *             never touches the float corpus
+  *
+  * Every artifact is a DataFrame, so `save`/`load` persist the whole
+  * index as parquet and a restarted cluster resumes without retraining
+  * (the QueryEngine restart-safety story, applied to vectors).
+  */
+final class VectorEngine private (
+    val spark: SparkSession,
+    val embs: DataFrame,      // (id, v float[])
+    val cents: DataFrame,     // (centroid_id, cv)
+    val assigned: DataFrame,  // (id, centroid_id)
+    val codebooks: DataFrame, // (subspace, centroid_id, cv)
+    val codes: DataFrame,     // (id, subspace, code)
+    val m: Int, val subDim: Int) {
+
+  def warmUp(): VectorEngine = {
+    embs.count(); cents.count(); assigned.count()
+    codebooks.count(); codes.count(); this
+  }
+
+  /** Batch top-k: `queries` is (vec_id, embedding); output
+    * (query_id, rank, id) — rank 1 best. */
+  def topK(queries: DataFrame, k: Int = 10, mode: String = "ivfpq",
+           nprobe: Int = 3): DataFrame = mode match {
+    case "exact" =>
+      Ann.bruteForceTopK(asEmbs(embs), queries, k, cosine_sim)
+    case "ivf" =>
+      Ann.ivfTopK(asEmbs(embs), cents, queries, k, nprobe)
+    case "pq" =>
+      Pq.adcTopK(codes, codebooks, queries, k, m, subDim)
+    case "ivfpq" =>
+      Pq.ivfAdcTopK(codes, assigned, codebooks, cents, queries, k, nprobe, m, subDim)
+    case other => throw new IllegalArgumentException(
+      s"unknown mode '$other' (exact | ivf | pq | ivfpq)")
+  }
+
+  /** Single-vector probe through the same compiled plans: the vector
+    * becomes a one-row broadcast query frame (data, not plan literals).
+    * Returns (id, rank) pairs, best first. */
+  def query(vector: Array[Float], k: Int = 10, mode: String = "ivfpq",
+            nprobe: Int = 3): Seq[(Long, Int)] = {
+    import spark.implicits._
+    val q = Seq((0L, vector.toSeq)).toDF("vec_id", "embedding")
+    topK(q, k, mode, nprobe).orderBy("rank")
+      .collect().map(r => (r.getLong(2), r.getInt(1))).toSeq
+  }
+
+  /** Persist every index artifact; `load` restores without retraining. */
+  def save(dir: String): Unit = {
+    embs.write.mode("overwrite").parquet(s"$dir/embs")
+    cents.write.mode("overwrite").parquet(s"$dir/cents")
+    assigned.write.mode("overwrite").parquet(s"$dir/assigned")
+    codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
+    codes.write.mode("overwrite").parquet(s"$dir/codes")
+    import spark.implicits._
+    Seq((m, subDim)).toDF("m", "sub_dim")
+      .coalesce(1).write.mode("overwrite").json(s"$dir/params")
+  }
+
+  /** Release the cached artifacts; the engine must not be queried after. */
+  def close(): Unit =
+    Seq(embs, cents, assigned, codebooks, codes)
+      .foreach(_.unpersist(blocking = false))
+
+  private def asEmbs(df: DataFrame): DataFrame =
+    df.select(col("id").as("vec_id"), col("v").as("embedding"))
+}
+
+object VectorEngine {
+
+  /** Offline index build: train the coarse quantizer (seeded k-means),
+    * assign every vector to its inverted list, train per-subspace PQ
+    * codebooks, and encode the corpus — all cached. `dims` must equal
+    * m * subDim and the embedding width. */
+  def build(embs: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
+            nCents: Int = 8, centIters: Int = 4,
+            m: Int = 8, subDim: Int = 8, pqK: Int = 16, pqIters: Int = 2): VectorEngine = {
+    import graft.functions.TopKByScore.top_k_by_score
+    val spark = embs.sparkSession
+    val base = embs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")).cache()
+    val cents = Ann.kmeansTrain(embs, nCents, centIters, idCol, vecCol)
+    val assigned = Ann.explodeTopK(
+      base.select(col("id").as("query_id"), col("v"))
+        .crossJoin(broadcast(cents))
+        .select(col("query_id"), col("centroid_id").as("id"),
+          neg_l2_float(col("v"), col("cv")).as("score"))
+        .groupBy("query_id")
+        .agg(top_k_by_score(col("score"), col("id"), 1).as("topk")))
+      .select(col("query_id").as("id"), col("id").as("centroid_id"))
+      .cache()
+    val books = Pq.train(embs, m, subDim, pqK, pqIters, idCol, vecCol).cache()
+    val codes = Pq.encode(embs, books, m, subDim, idCol, vecCol).cache()
+    new VectorEngine(spark, base, cents, assigned, books, codes, m, subDim)
+  }
+
+  /** Restore a saved index (no retraining). */
+  def load(spark: SparkSession, dir: String): VectorEngine = {
+    val p = spark.read.json(s"$dir/params").head()
+    new VectorEngine(spark,
+      spark.read.parquet(s"$dir/embs").cache(),
+      spark.read.parquet(s"$dir/cents").cache(),
+      spark.read.parquet(s"$dir/assigned").cache(),
+      spark.read.parquet(s"$dir/codebooks").cache(),
+      spark.read.parquet(s"$dir/codes").cache(),
+      p.getAs[Long]("m").toInt, p.getAs[Long]("sub_dim").toInt)
+  }
+}

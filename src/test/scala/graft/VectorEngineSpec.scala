@@ -1,0 +1,59 @@
+package graft
+
+import graft.api.VectorEngine
+import graft.functions.GraftFunctions._
+import graft.operators.Ann
+import org.apache.spark.sql.functions._
+
+/** VectorEngine lifecycle: mode equivalences, single-vector probe,
+  * save/load round-trip without retraining. */
+class VectorEngineSpec extends SparkSpec {
+
+  private lazy val embs =
+    spark.read.parquet(s"$testDataDir/embeddings.parquet").cache()
+  private lazy val eng = VectorEngine.build(embs).warmUp()
+
+  test("exact mode equals the brute-force cosine oracle") {
+    val queries = embs.filter(col("vec_id") < 5)
+    val got = eng.topK(queries, k = 5, mode = "exact")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    val want = Ann.bruteForceTopK(embs, queries, k = 5, cosine_sim)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("ivfpq with nprobe=all-clusters equals pq mode") {
+    val queries = embs.filter(col("vec_id") < 5)
+    val pq = eng.topK(queries, k = 5, mode = "pq")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    val ivfpq = eng.topK(queries, k = 5, mode = "ivfpq", nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    assert(ivfpq.toSeq == pq.toSeq)
+  }
+
+  test("single-vector probe finds the vector's own id first in exact mode") {
+    val v = embs.filter(col("vec_id") === 7).head()
+      .getSeq[Float](1).toArray
+    val hits = eng.query(v, k = 3, mode = "exact")
+    assert(hits.head == (7L, 1))
+  }
+
+  test("unknown mode is rejected") {
+    intercept[IllegalArgumentException] {
+      eng.topK(embs.limit(1), mode = "hnsw")
+    }
+  }
+
+  test("save/load round-trip answers identically without retraining") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vec").toString
+    eng.save(dir)
+    val back = VectorEngine.load(spark, dir)
+    val queries = embs.filter(col("vec_id") < 3)
+    val a = eng.topK(queries, k = 5, mode = "ivfpq")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    val b = back.topK(queries, k = 5, mode = "ivfpq")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    assert(a.toSeq == b.toSeq)
+    back.close()
+  }
+}
