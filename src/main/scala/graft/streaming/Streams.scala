@@ -75,6 +75,25 @@ object Streams {
       }
   }
 
+  /** Stream-stream interval join — the streaming twin of the batch banded
+    * range join (operators/Joins.rangeCountJoin): each left event joins
+    * right events of the same key with r.ts in (l.ts, l.ts + window].
+    * Both sides carry watermarks and the join condition bounds event time
+    * in both directions, so Spark's symmetric hash join can evict state
+    * once the watermark passes — state stays O(key x window), not
+    * unbounded. Inputs must have (keyCol, ts: timestamp, id) columns;
+    * output (keyCol, l_id, l_ts, r_id, r_ts). */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   window: String = "1 hour",
+                   watermark: String = "2 hours"): DataFrame = {
+    val l = left.select(col(keyCol).as("k"), col("ts").as("l_ts"), col("id").as("l_id"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col(keyCol).as("k2"), col("ts").as("r_ts"), col("id").as("r_id"))
+      .withWatermark("r_ts", watermark)
+    l.join(r, expr(s"k = k2 AND r_ts > l_ts AND r_ts <= l_ts + interval $window"))
+      .select(col("k").as(keyCol), col("l_id"), col("l_ts"), col("r_id"), col("r_ts"))
+  }
+
   /** Micro-batch LSH probe: each arriving (query_id, sig) row is joined
     * against the cached postings index and scored; per-batch top-k results
     * are appended to `sink` (an in-memory or parquet path handler).

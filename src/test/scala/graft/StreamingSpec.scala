@@ -120,4 +120,26 @@ class StreamingSpec extends SparkSpec {
       .collect().zipWithIndex.map { case (r, i) => (0L, i + 1, r.getLong(0)) }
     assert(results.sortBy(_._2).toSeq == want.toSeq)
   }
+
+  test("stream-stream interval join matches the batch range semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // views u1@00:10 and u1@02:00; clicks u1@00:40 (in 00:10's hour),
+    // u1@01:30 (in neither window), u2@00:20 (other key)
+    val views = MemoryStream[(Long, Timestamp, Long)]
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    views.addData((1L, ts(0, 10), 100L), (1L, ts(2, 0), 101L))
+    clicks.addData((1L, ts(0, 40), 200L), (1L, ts(1, 30), 201L), (2L, ts(0, 20), 202L))
+    val joined = Streams.intervalJoin(
+      views.toDF().toDF("user_id", "ts", "id"),
+      clicks.toDF().toDF("user_id", "ts", "id"), "user_id")
+    val q = joined.writeStream.format("memory").queryName("ij_stream")
+      .outputMode("append").start()
+    withQuery(q) {
+      val got = spark.table("ij_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      assert(got.toSeq == Seq((1L, 100L, 200L)))
+    }
+  }
 }
