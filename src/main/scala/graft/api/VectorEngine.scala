@@ -65,6 +65,22 @@ final class VectorEngine private (
       .collect().map(r => (r.getLong(2), r.getInt(1))).toSeq
   }
 
+  /** Incremental growth (the FAISS `add()` contract): new vectors are
+    * assigned and PQ-encoded under the EXISTING trained centroids and
+    * codebooks — no retraining, so previous codes stay valid and the add
+    * is a narrow broadcast pass over only the new rows. Returns a NEW
+    * engine sharing the trained models; `close()` the old one when done
+    * (its caches are superseded). Ids must not collide. */
+  def addVectors(newEmbs: DataFrame, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): VectorEngine = {
+    val nb = newEmbs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")).cache()
+    val nAssigned = VectorEngine.assign(nb, cents).cache()
+    val nCodes = Pq.encode(newEmbs, codebooks, m, subDim, idCol, vecCol).cache()
+    new VectorEngine(spark, embs.unionByName(nb).cache(), cents,
+      assigned.unionByName(nAssigned).cache(), codebooks,
+      codes.unionByName(nCodes).cache(), m, subDim)
+  }
+
   /** Persist every index artifact; `load` restores without retraining. */
   def save(dir: String): Unit = {
     embs.write.mode("overwrite").parquet(s"$dir/embs")
@@ -88,18 +104,11 @@ final class VectorEngine private (
 
 object VectorEngine {
 
-  /** Offline index build: train the coarse quantizer (seeded k-means),
-    * assign every vector to its inverted list, train per-subspace PQ
-    * codebooks, and encode the corpus — all cached. `dims` must equal
-    * m * subDim and the embedding width. */
-  def build(embs: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
-            nCents: Int = 8, centIters: Int = 4,
-            m: Int = 8, subDim: Int = 8, pqK: Int = 16, pqIters: Int = 2): VectorEngine = {
+  /** Coarse argmin assignment of (id, v) rows to broadcast centroids —
+    * ties to the smaller centroid_id (the kmeansTrain discipline). */
+  private[api] def assign(base: DataFrame, cents: DataFrame): DataFrame = {
     import graft.functions.TopKByScore.top_k_by_score
-    val spark = embs.sparkSession
-    val base = embs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")).cache()
-    val cents = Ann.kmeansTrain(embs, nCents, centIters, idCol, vecCol)
-    val assigned = Ann.explodeTopK(
+    Ann.explodeTopK(
       base.select(col("id").as("query_id"), col("v"))
         .crossJoin(broadcast(cents))
         .select(col("query_id"), col("centroid_id").as("id"),
@@ -107,7 +116,19 @@ object VectorEngine {
         .groupBy("query_id")
         .agg(top_k_by_score(col("score"), col("id"), 1).as("topk")))
       .select(col("query_id").as("id"), col("id").as("centroid_id"))
-      .cache()
+  }
+
+  /** Offline index build: train the coarse quantizer (seeded k-means),
+    * assign every vector to its inverted list, train per-subspace PQ
+    * codebooks, and encode the corpus — all cached. `dims` must equal
+    * m * subDim and the embedding width. */
+  def build(embs: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
+            nCents: Int = 8, centIters: Int = 4,
+            m: Int = 8, subDim: Int = 8, pqK: Int = 16, pqIters: Int = 2): VectorEngine = {
+    val spark = embs.sparkSession
+    val base = embs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")).cache()
+    val cents = Ann.kmeansTrain(embs, nCents, centIters, idCol, vecCol)
+    val assigned = assign(base, cents).cache()
     val books = Pq.train(embs, m, subDim, pqK, pqIters, idCol, vecCol).cache()
     val codes = Pq.encode(embs, books, m, subDim, idCol, vecCol).cache()
     new VectorEngine(spark, base, cents, assigned, books, codes, m, subDim)

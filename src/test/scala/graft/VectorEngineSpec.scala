@@ -44,6 +44,25 @@ class VectorEngineSpec extends SparkSpec {
     }
   }
 
+  test("addVectors grows the index under the existing models") {
+    import spark.implicits._
+    // a new vector identical to vec 7's embedding, with a fresh id
+    val v7 = embs.filter(col("vec_id") === 7).head().getSeq[Float](1)
+    val grown = eng.addVectors(Seq((9001L, v7)).toDF("vec_id", "embedding"))
+    assert(grown.codes.count() == eng.codes.count() + 8)
+    // same vector under the same (not retrained) codebooks -> same codes
+    // and same coarse assignment as the original id 7
+    def codesOf(e: graft.api.VectorEngine, id: Long) =
+      e.codes.filter(col("id") === id).orderBy("subspace")
+        .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    assert(codesOf(grown, 9001L) == codesOf(grown, 7L))
+    val asg = grown.assigned.filter(col("id").isin(7L, 9001L))
+      .collect().map(_.getLong(1)).toSet
+    assert(asg.size == 1, s"assignments differ: $asg")
+    // old engine untouched
+    assert(eng.codes.filter(col("id") === 9001L).count() == 0)
+  }
+
   test("save/load round-trip answers identically without retraining") {
     val dir = java.nio.file.Files.createTempDirectory("graft-vec").toString
     eng.save(dir)
