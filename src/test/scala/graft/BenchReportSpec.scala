@@ -32,4 +32,30 @@ class BenchReportSpec extends SparkSpec {
     val back = spark.read.option("header", "true").csv(dir)
     assert(back.count() == 2)
   }
+
+  test("ANN method family report: exact truth vs ivf vs pq vs ivfpq") {
+    val embs = spark.read.parquet(s"$testDataDir/embeddings.parquet").cache()
+    val eng = graft.api.VectorEngine.build(embs).warmUp()
+    val queries = embs.filter(col("vec_id") < 10)
+    def asPred(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("query_id")
+      .agg(transform(array_sort(collect_list(struct(col("rank"), col("id")))),
+        x => x.getField("id")).as("ids"))
+    def timedRun(name: String, mode: String): BenchReport.MethodRun = {
+      val t0 = System.nanoTime()
+      val res = eng.topK(queries, k = 5, mode = mode)
+      res.count()
+      BenchReport.MethodRun(name, asPred(res), (System.nanoTime() - t0) / 1e9, 10)
+    }
+    val truthRun = timedRun("exact", "exact")
+    val runs = Seq(truthRun, timedRun("ivf", "ivf"),
+      timedRun("pq", "pq"), timedRun("ivfpq", "ivfpq"))
+    val rep = BenchReport.report(spark, runs, truthRun.pred, k = 5)
+    val rows = rep.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rows("exact") == 1.0)                 // truth against itself
+    assert(rows.keySet == Set("exact", "ivf", "pq", "ivfpq"))
+    // pruned/compressed methods trade recall, but must beat random (~1%)
+    assert(rows("ivf") > 0.2 && rows("pq") > 0.2 && rows("ivfpq") > 0.1,
+      rows.toString)
+  }
 }
