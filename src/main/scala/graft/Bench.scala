@@ -129,7 +129,20 @@ object Bench {
           .count()
       }
       val brute100 = minOf3(() => bruteBatch())
-      // drop the probe engine's cached 20k-doc pipelines: the catalog pass
+      // vector-search probes at the same 20k scale: the VectorEngine
+      // lifecycle — build (coarse k-means + inverted lists + PQ
+      // codebooks/codes), exact cosine batch-100, and the compressed
+      // coarse-pruned IVF-PQ batch-100 (the 100 TB query shape)
+      val tV = System.nanoTime()
+      val veng = graft.api.VectorEngine.build(
+        graft.sources.SyntheticCorpus.vectors(spark, 20000)).warmUp()
+      val vecBuild = (System.nanoTime() - tV) / 1e9
+      val vq = veng.embs.filter(col("id") < 100)
+        .select(col("id").as("vec_id"), col("v").as("embedding"))
+      def vecBatch(mode: String): Long = veng.topK(vq, k = 5, mode = mode).count()
+      val vecExact = minOf3(() => vecBatch("exact"))
+      val vecIvfpq = minOf3(() => vecBatch("ivfpq"))
+      // drop the probe engines' cached 20k-row pipelines: the catalog pass
       // that follows must not pay CacheManager plan-compares and memory
       // pressure against them (mirror of the clearCache() on entry)
       spark.catalog.clearCache()
@@ -138,6 +151,9 @@ object Bench {
         "x_lsh_single_query_avg_sec_20kdocs" -> singleAvg,
         "x_lsh_batch100_queries_sec_20kdocs" -> batch100,
         "x_lsh_batch1000_queries_sec_20kdocs" -> batch1000,
-        "x_brute_batch100_queries_sec_20kdocs" -> brute100)
+        "x_brute_batch100_queries_sec_20kdocs" -> brute100,
+        "x_vec_build_sec_20kvecs" -> vecBuild,
+        "x_vec_exact_batch100_sec_20kvecs" -> vecExact,
+        "x_vec_ivfpq_batch100_sec_20kvecs" -> vecIvfpq)
     } catch { case _: Throwable => Map.empty[String, Double] }
 }

@@ -30,8 +30,8 @@ final class VectorEngine private (
     val cents: DataFrame,     // (centroid_id, cv)
     val assigned: DataFrame,  // (id, centroid_id)
     val codebooks: DataFrame, // (subspace, centroid_id, cv)
-    val codes: DataFrame,     // (id, subspace, code)
-    val m: Int, val subDim: Int) {
+    val codes: DataFrame,     // (id, codes int[m]) — packed, kernel-ready
+    val m: Int, val subDim: Int, val pqK: Int) {
 
   def warmUp(): VectorEngine = {
     embs.count(); cents.count(); assigned.count()
@@ -47,9 +47,10 @@ final class VectorEngine private (
     case "ivf" =>
       Ann.ivfTopK(asEmbs(embs), cents, queries, k, nprobe)
     case "pq" =>
-      Pq.adcTopK(codes, codebooks, queries, k, m, subDim)
+      Pq.adcTopK(codes, codebooks, queries, k, m, subDim, pqK)
     case "ivfpq" =>
-      Pq.ivfAdcTopK(codes, assigned, codebooks, cents, queries, k, nprobe, m, subDim)
+      Pq.ivfAdcTopK(codes, assigned, codebooks, cents, queries, k, nprobe,
+        m, subDim, pqK)
     case other => throw new IllegalArgumentException(
       s"unknown mode '$other' (exact | ivf | pq | ivfpq)")
   }
@@ -75,10 +76,11 @@ final class VectorEngine private (
                  vecCol: String = "embedding"): VectorEngine = {
     val nb = newEmbs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")).cache()
     val nAssigned = VectorEngine.assign(nb, cents).cache()
-    val nCodes = Pq.encode(newEmbs, codebooks, m, subDim, idCol, vecCol).cache()
+    val nCodes = Pq.packCodes(
+      Pq.encode(newEmbs, codebooks, m, subDim, idCol, vecCol)).cache()
     new VectorEngine(spark, embs.unionByName(nb).cache(), cents,
       assigned.unionByName(nAssigned).cache(), codebooks,
-      codes.unionByName(nCodes).cache(), m, subDim)
+      codes.unionByName(nCodes).cache(), m, subDim, pqK)
   }
 
   /** Persist every index artifact; `load` restores without retraining. */
@@ -89,7 +91,7 @@ final class VectorEngine private (
     codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
     codes.write.mode("overwrite").parquet(s"$dir/codes")
     import spark.implicits._
-    Seq((m, subDim)).toDF("m", "sub_dim")
+    Seq((m, subDim, pqK)).toDF("m", "sub_dim", "pq_k")
       .coalesce(1).write.mode("overwrite").json(s"$dir/params")
   }
 
@@ -127,11 +129,14 @@ object VectorEngine {
             m: Int = 8, subDim: Int = 8, pqK: Int = 16, pqIters: Int = 2): VectorEngine = {
     val spark = embs.sparkSession
     val base = embs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")).cache()
-    val cents = Ann.kmeansTrain(embs, nCents, centIters, idCol, vecCol)
+    base.count() // materialize ONCE: training iterates over this table,
+                 // and an uncached source (e.g. a generator) would be
+                 // recomputed every Lloyd's round
+    val cents = Ann.kmeansTrain(base, nCents, centIters, "id", "v")
     val assigned = assign(base, cents).cache()
-    val books = Pq.train(embs, m, subDim, pqK, pqIters, idCol, vecCol).cache()
-    val codes = Pq.encode(embs, books, m, subDim, idCol, vecCol).cache()
-    new VectorEngine(spark, base, cents, assigned, books, codes, m, subDim)
+    val books = Pq.train(base, m, subDim, pqK, pqIters, "id", "v").cache()
+    val codes = Pq.packCodes(Pq.encode(base, books, m, subDim, "id", "v")).cache()
+    new VectorEngine(spark, base, cents, assigned, books, codes, m, subDim, pqK)
   }
 
   /** Restore a saved index (no retraining). */
@@ -143,6 +148,7 @@ object VectorEngine {
       spark.read.parquet(s"$dir/assigned").cache(),
       spark.read.parquet(s"$dir/codebooks").cache(),
       spark.read.parquet(s"$dir/codes").cache(),
-      p.getAs[Long]("m").toInt, p.getAs[Long]("sub_dim").toInt)
+      p.getAs[Long]("m").toInt, p.getAs[Long]("sub_dim").toInt,
+      p.getAs[Long]("pq_k").toInt)
   }
 }

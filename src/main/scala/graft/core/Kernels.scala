@@ -288,6 +288,23 @@ object Kernels {
     s
   }
 
+  /** ADC score from PACKED per-vector PQ codes: -(Σ_s lut[s*k + codes[s]])
+    * with the per-query lookup table laid out (subspace-major, code-minor)
+    * — identical summation order and arithmetic to the row-form scoring
+    * (one double add per subspace), so scores are bit-identical; this
+    * form just replaces the m-row join+regroup per vector with m array
+    * reads inside one codegen projection. */
+  def adcScore(codes: ArrayData, lut: ArrayData, k: Int): Double = {
+    val m = codes.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < m) {
+      s += lut.getDouble(i * k + codes.getInt(i))
+      i += 1
+    }
+    -s
+  }
+
   /** Per-dimension symmetric int8 quantization: code_d =
     * clamp(floor(x_d / s_d + 0.5), -127, 127). floor(+0.5) instead of a
     * library round so both engines (IEEE double divide, exact floor)

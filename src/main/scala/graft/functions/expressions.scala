@@ -180,6 +180,23 @@ case class SqL2Float(left: Expression, right: Expression) extends BinaryExpressi
   override def prettyName: String = "sq_l2_float"
 }
 
+/** (array<int> codes, array<double> lut) -> double: packed-code ADC score
+  * -(Σ_s lut[s*k + codes[s]]) — see Kernels.adcScore. */
+case class AdcScore(left: Expression, right: Expression, k: Int)
+  extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(c: Any, l: Any): Any =
+    graft.core.Kernels.adcScore(
+      c.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, l) => s"graft.core.Kernels.adcScore($c, $l, $k)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): AdcScore =
+    copy(left = l, right = r)
+  override def prettyName: String = "adc_score"
+}
+
 /** array<float> -> boolean: conjunctive QED bin-window predicate (O15) as
   * one codegen expression; the window/bounds arrays ride along as
   * reference objects, keeping the plan literal-free and constraint-cheap. */
@@ -296,6 +313,8 @@ object GraftFunctions {
   def neg_l2_long(l: Column, r: Column): Column = col(NegL2Long(ex(l), ex(r)))
   def neg_l2_float(l: Column, r: Column): Column = col(NegL2Float(ex(l), ex(r)))
   def sq_l2_float(l: Column, r: Column): Column = col(SqL2Float(ex(l), ex(r)))
+  def adc_score(codes: Column, lut: Column, k: Int): Column =
+    col(AdcScore(ex(codes), ex(lut), k))
   def rolling_fingerprint(c: Column): Column = col(RollingFingerprint(ex(c)))
   def rhp_bucket(c: Column, planes: Int): Column = col(RhpBucket(ex(c), planes))
   def repetition_stats(c: Column): Column = col(RepetitionStats(ex(c)))

@@ -9,44 +9,86 @@ import org.apache.spark.sql.functions._
   * Neighbor Search", TPAMI 2011): split each D-dim vector into `m`
   * subspaces of `subDim` dims, train a small k-means codebook per
   * subspace, and store each vector as `m` small integer codes —
-  * compressing a float corpus ~`(4*subDim)/1`-fold per subspace. Queries
+  * compressing the float corpus ~(4*subDim)-fold per subspace. Queries
   * are answered by ADC (asymmetric distance computation): per query,
   * precompute the m×k lookup table of squared sub-distances to every
-  * codeword, then score a vector by m table lookups and an add.
+  * codeword, then score a vector by m table reads and adds.
   *
   * Scale shape: codebooks are tiny (m*k rows) and broadcast everywhere;
-  * encoding is a broadcast join + per-row argmin (narrow); the ADC scan
-  * joins the code postings against the broadcast LUT on (subspace, code)
-  * — a hash equi-join over already-compressed data, never all-pairs on
-  * floats. Every arithmetic step is double-widened fixed-order (the
-  * kmeansTrain discipline), so a DuckDB oracle reproduces codes and
-  * rankings bit-for-bit.
+  * ALL m subspaces train in ONE Lloyd's loop (the per-iteration state is
+  * keyed by (subspace, centroid_id), so m chains cost the same number of
+  * Spark jobs as one); scoring reads PACKED codes — one array<int>[m]
+  * per vector — through a single codegen kernel, so the ADC scan is one
+  * narrow projection over compressed rows, exactly the brute-force scan
+  * shape but over 32-bit codes instead of 256-byte floats. Every
+  * arithmetic step is double-widened fixed-order (the kmeansTrain
+  * discipline), so a DuckDB oracle reproduces codes and rankings
+  * bit-for-bit.
   */
 object Pq {
 
-  /** Train per-subspace codebooks: (subspace, centroid_id, cv) with
-    * `cv` of length `subDim`. Reuses [[Ann.kmeansTrain]] (seeded md5
-    * init, integer-quantized means) on each vector slice. */
+  /** Train per-subspace codebooks: (subspace, centroid_id, cv) with `cv`
+    * of length `subDim`. Same arithmetic as [[Ann.kmeansTrain]] run per
+    * subspace slice (seeded md5 init — the SAME k seed rows for every
+    * subspace — argmin assignment with ties to the smaller centroid_id,
+    * integer-quantized order-independent means, empty clusters keep
+    * their previous centroid), but all m subspaces advance in one joint
+    * iteration: per round ONE broadcast-assign pass and ONE hash
+    * aggregation keyed by (subspace, centroid_id), localCheckpointed
+    * once — m codebooks for the job count of one. */
   def train(embs: DataFrame, m: Int, subDim: Int, k: Int = 8, iters: Int = 2,
-            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    (0 until m).map { s =>
-      Ann.kmeansTrain(
-        embs.select(col(idCol),
-          slice(col(vecCol), s * subDim + 1, subDim).as("sub")),
-        k = k, iters = iters, idCol = idCol, vecCol = "sub")
-        .withColumn("subspace", lit(s))
-    }.reduce(_ unionByName _)
+            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val scale = 1048576.0 // 2^20: power of two, so un-scaling divides exactly
+    val base = embs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val subs = subSlices(base, m, subDim)
+    // seed ids: the k rows sorting first by (md5(id), id) — a tiny
+    // TakeOrderedAndProject + in-array rank (no window), shared verbatim
+    // by every subspace (the slice does not change the seed order)
+    val seeds = base
+      .select(struct(md5(col("id").cast("string")).as("o1"), col("id").as("id")).as("s"))
+      .orderBy(col("s.o1"), col("s.id"))
+      .limit(k)
+      .agg(array_sort(collect_list(col("s"))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("centroid_id", "s")))
+      .select(col("centroid_id").cast("long").as("centroid_id"), col("s.id").as("id"))
+    var cents = subs.join(broadcast(seeds), "id")
+      .select(col("subspace"), col("centroid_id"), col("sub").as("cv"))
+      .localCheckpoint(true)
+    var it = 0
+    while (it < iters) {
+      val assigned = subs.join(broadcast(cents), "subspace")
+        .select(col("id"), col("subspace"), col("centroid_id"),
+          neg_l2_float(col("sub"), col("cv")).as("score"))
+        .groupBy("id", "subspace")
+        .agg(top_k_by_score(col("score"), col("centroid_id"), 1).as("topk"))
+        .select(col("id"), col("subspace"),
+          col("topk").getItem(0).getField("id").as("centroid_id"))
+      val means = assigned.join(subs, Seq("id", "subspace"))
+        .select(col("subspace"), col("centroid_id"),
+          posexplode(col("sub")).as(Seq("dim", "x")))
+        .groupBy("subspace", "centroid_id", "dim")
+        .agg(sum(round(col("x").cast("double") * scale).cast("long")).as("sx"),
+          count(lit(1)).as("n"))
+        .withColumn("cx",
+          ((col("sx").cast("double") / col("n").cast("double")) / scale).cast("float"))
+        .groupBy("subspace", "centroid_id")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("cx")))),
+          s => s.getField("cx")).as("cv"))
+      cents = means
+        .unionByName(cents.join(means.select("subspace", "centroid_id"),
+          Seq("subspace", "centroid_id"), "left_anti"))
+        .localCheckpoint(true)
+      it += 1
+    }
+    cents
+  }
 
   /** Encode every vector: (id, subspace, code) — code = argmin codeword
     * by L2 over the slice, ties to the smaller centroid_id. */
   def encode(embs: DataFrame, codebooks: DataFrame, m: Int, subDim: Int,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val subs = (0 until m).map { s =>
-      embs.select(col(idCol).cast("long").as("id"),
-        lit(s).as("subspace"),
-        slice(col(vecCol), s * subDim + 1, subDim).as("sub"))
-    }.reduce(_ unionByName _)
-    subs.join(broadcast(codebooks), "subspace")
+    val base = embs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    subSlices(base, m, subDim).join(broadcast(codebooks), "subspace")
       .select(col("id"), col("subspace"),
         neg_l2_float(col("sub"), col("cv")).as("score"),
         col("centroid_id"))
@@ -56,63 +98,47 @@ object Pq {
         col("topk").getItem(0).getField("id").as("code"))
   }
 
-  /** Per-query ADC lookup table: (query_id, subspace, code, d) — the
-    * squared sub-distance from the query's slice to every codeword.
-    * Tiny (queries × m × k rows); always broadcast. */
-  private def queryLut(queries: DataFrame, codebooks: DataFrame,
-                       m: Int, subDim: Int,
-                       idCol: String, vecCol: String): DataFrame = {
-    val qsubs = (0 until m).map { s =>
-      queries.select(col(idCol).cast("long").as("query_id"),
-        lit(s).as("subspace"),
-        slice(col(vecCol), s * subDim + 1, subDim).as("qsub"))
-    }.reduce(_ unionByName _)
-    qsubs.join(broadcast(codebooks), "subspace")
-      .select(col("query_id"), col("subspace"),
-        col("centroid_id").as("code"),
-        sq_l2_float(col("qsub"), col("cv")).as("d"))
-  }
-
-  /** Sum the per-subspace partials in fixed subspace order and rank:
-    * input (query_id, id, subspace, d) -> (query_id, rank, id). */
-  private def rankBySummedPartials(parts: DataFrame, k: Int): DataFrame = {
-    val scored = parts
-      .groupBy("query_id", "id")
-      .agg(array_sort(collect_list(struct(col("subspace"), col("d")))).as("ds"))
-      .select(col("query_id"), col("id"),
-        (-aggregate(col("ds"), lit(0.0), (acc, x) => acc + x.getField("d"))).as("score"))
-    Ann.explodeTopK(
-      scored.groupBy("query_id")
-        .agg(top_k_by_score(col("score"), col("id"), k).as("topk")))
-  }
+  /** Pack row-form codes into one array<int>[m] per vector (subspace
+    * order) — the persisted compressed-corpus layout the ADC kernel
+    * scans. */
+  def packCodes(codes: DataFrame): DataFrame =
+    codes.groupBy("id")
+      .agg(transform(array_sort(collect_list(struct(col("subspace"), col("code")))),
+        x => x.getField("code").cast("int")).as("codes"))
 
   /** ADC top-k: for each query, rank the encoded corpus by
     * -(Σ_s sqL2(q_s, codeword[code_s])) — the per-subspace squared
-    * partials are summed in fixed subspace order so the score (and thus
-    * the ranking and its ties) reproduces cross-engine. Codes may be
-    * precomputed (pass `codes`) or derived here. Output (query_id, rank, id). */
-  def adcTopK(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
-              k: Int, m: Int, subDim: Int,
+    * partials are summed in fixed subspace order (one codegen kernel over
+    * packed codes + the query's packed LUT), so the score and its ties
+    * reproduce cross-engine. `packed` is the [[packCodes]] layout — the
+    * persisted artifact, packed once, scanned by every query. `codewords`
+    * is the per-subspace codebook size k (the LUT stride).
+    * Output (query_id, rank, id). */
+  def adcTopK(packed: DataFrame, codebooks: DataFrame, queries: DataFrame,
+              k: Int, m: Int, subDim: Int, codewords: Int = 16,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val lut = queryLut(queries, codebooks, m, subDim, idCol, vecCol)
-    rankBySummedPartials(
-      codes.join(broadcast(lut), Seq("subspace", "code"))
-        .select(col("query_id"), col("id"), col("subspace"), col("d")), k)
+    val lut = packLut(queryLut(queries, codebooks, m, subDim, idCol, vecCol))
+    Ann.explodeTopK(
+      packed.crossJoin(broadcast(lut))
+        .select(col("query_id"), col("id"),
+          adc_score(col("codes"), col("lut"), codewords).as("score"))
+        .groupBy("query_id")
+        .agg(top_k_by_score(col("score"), col("id"), k).as("topk")))
   }
 
   /** IVF-PQ (the construction FAISS calls IVFPQ — coarse quantizer +
     * product codes): each query probes its `nprobe` nearest coarse
-    * centroids, and ONLY the probed clusters' members are scored, by ADC
-    * lookups over their PQ codes — the float corpus is never touched at
-    * query time. This is the 100 TB vector-search plan: inverted lists
-    * keyed by centroid_id (hash equi-join, never all-pairs), codes 64x
-    * smaller than the vectors they stand for, and per-query LUTs small
-    * enough to broadcast always. `assigned` is (id, centroid_id) from
-    * the coarse quantizer (the same argmin Ann.ivfTopK builds).
-    * Output (query_id, rank, id). */
-  def ivfAdcTopK(codes: DataFrame, assigned: DataFrame, codebooks: DataFrame,
+    * centroids, and ONLY the probed clusters' members are scored, by the
+    * ADC kernel over their packed codes — the float corpus is never
+    * touched at query time. This is the 100 TB vector-search plan:
+    * inverted lists keyed by centroid_id (hash equi-join, never
+    * all-pairs), codes 64x smaller than the vectors they stand for, and
+    * per-query LUTs small enough to broadcast always. `assigned` is
+    * (id, centroid_id) from the coarse quantizer (the same argmin
+    * Ann.ivfTopK builds). Output (query_id, rank, id). */
+  def ivfAdcTopK(packed: DataFrame, assigned: DataFrame, codebooks: DataFrame,
                  cents: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
-                 m: Int, subDim: Int,
+                 m: Int, subDim: Int, codewords: Int = 16,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = cents.select(col("centroid_id").cast("long").as("centroid_id"), col("cv"))
     val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
@@ -125,10 +151,43 @@ object Pq {
       .select(col("query_id"), col("id").as("centroid_id"))
     val cands = assigned.join(broadcast(probes), "centroid_id")
       .select(col("query_id"), col("id"))
-    val lut = queryLut(queries, codebooks, m, subDim, idCol, vecCol)
-    rankBySummedPartials(
-      codes.join(cands, "id")
-        .join(broadcast(lut), Seq("query_id", "subspace", "code"))
-        .select(col("query_id"), col("id"), col("subspace"), col("d")), k)
+    val lut = packLut(queryLut(queries, codebooks, m, subDim, idCol, vecCol))
+    Ann.explodeTopK(
+      packed.join(cands, "id")
+        .join(broadcast(lut), "query_id")
+        .select(col("query_id"), col("id"),
+          adc_score(col("codes"), col("lut"), codewords).as("score"))
+        .groupBy("query_id")
+        .agg(top_k_by_score(col("score"), col("id"), k).as("topk")))
   }
+
+  /** (id, subspace, sub): every vector sliced into its m subspace views —
+    * a narrow union of projections, no shuffle. */
+  private def subSlices(base: DataFrame, m: Int, subDim: Int): DataFrame =
+    (0 until m).map { s =>
+      base.select(col("id"), lit(s).as("subspace"),
+        slice(col("v"), s * subDim + 1, subDim).as("sub"))
+    }.reduce(_ unionByName _)
+
+  /** Per-query ADC lookup table rows: (query_id, subspace, code, d) — the
+    * squared sub-distance from the query's slice to every codeword. */
+  private def queryLut(queries: DataFrame, codebooks: DataFrame,
+                       m: Int, subDim: Int,
+                       idCol: String, vecCol: String): DataFrame = {
+    val q = queries.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    subSlices(q, m, subDim)
+      .select(col("id").as("query_id"), col("subspace"), col("sub").as("qsub"))
+      .join(broadcast(codebooks), "subspace")
+      .select(col("query_id"), col("subspace"),
+        col("centroid_id").as("code"),
+        sq_l2_float(col("qsub"), col("cv")).as("d"))
+  }
+
+  /** Pack a query's LUT rows into one array<double>[m*k] laid out
+    * subspace-major, code-minor — the kernel's read layout. */
+  private def packLut(lut: DataFrame): DataFrame =
+    lut.groupBy("query_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("subspace"), col("code"), col("d")))),
+        x => x.getField("d")).as("lut"))
 }

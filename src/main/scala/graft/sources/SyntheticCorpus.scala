@@ -43,4 +43,14 @@ object SyntheticCorpus {
             i => concat(lit("w"), pmod(xxhash64(col("id"), i, lit(seed)), lit(vocabSize)))))
           .as("text"))
   }
+
+  /** vectors(vec_id, embedding float[dims]): hash-uniform components in
+    * [-1, 1) — the same partition-invariant id-derived construction as
+    * [[docs]], for benchmarking vector paths at arbitrary corpus sizes. */
+  def vectors(spark: SparkSession, n: Long, dims: Int = 64,
+              seed: Int = 7): DataFrame =
+    spark.range(n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dims - 1)),
+        d => (u(col("id"), d, seed) * 2.0 - 1.0).cast("float")).as("embedding"))
 }

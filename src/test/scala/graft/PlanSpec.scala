@@ -123,4 +123,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashJoin"), p.take(3000))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("PQ ADC scan streams packed codes against the broadcast LUT") {
+    import graft.operators.Pq
+    val embs = spark.read.parquet(s"$testDataDir/embeddings.parquet")
+    val books = Pq.train(embs, m = 4, subDim = 16, k = 4, iters = 1)
+    val codes = Pq.packCodes(Pq.encode(embs, books, m = 4, subDim = 16))
+    val q = Pq.adcTopK(codes, books, embs.filter(col("vec_id") < 3),
+      k = 5, m = 4, subDim = 16, codewords = 4)
+    q.count()
+    val p = plan(q)
+    // the per-query LUT is tiny and explicitly broadcast (a broadcast
+    // nested-loop against the streamed code rows — the brute-scan shape
+    // over compressed rows); the codes side must never sort or shuffle
+    // for scoring
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"))
+    // partial+final grouped top-k (the reference's scatter/gather shape)
+    assert(p.contains("partial_top_k_by_score") || p.contains("TopKByScore"),
+      p.take(3000))
+  }
 }

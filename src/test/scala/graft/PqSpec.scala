@@ -30,7 +30,7 @@ class PqSpec extends SparkSpec {
 
   test("ADC top-1 recall against exact L2 is reasonable and self-match is near-top") {
     val queries = embs.filter(col("vec_id") < 20)
-    val codes = Pq.encode(embs, books, m = 8, subDim = 8)
+    val codes = Pq.packCodes(Pq.encode(embs, books, m = 8, subDim = 8))
     val adc = Pq.adcTopK(codes, books, queries, k = 5, m = 8, subDim = 8)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     // PQ distance of a vector to itself is the quantization error — small,
@@ -50,7 +50,7 @@ class PqSpec extends SparkSpec {
 
   test("IVF-PQ probing every cluster equals the full ADC scan exactly") {
     val queries = embs.filter(col("vec_id") < 8)
-    val codes = Pq.encode(embs, books, m = 8, subDim = 8)
+    val codes = Pq.packCodes(Pq.encode(embs, books, m = 8, subDim = 8))
     // trivial coarse quantizer: 4 centroids from the corpus itself
     val cents = embs.filter(col("vec_id") < 4)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
