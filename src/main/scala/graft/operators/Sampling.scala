@@ -54,4 +54,30 @@ object Sampling {
     }
     df.filter(hashBucket(col(idCol)) < rate)
   }
+
+  /** Deterministic sequence packing (the GPT-pretraining layout: shuffle
+    * documents, concatenate, cut into `budget`-token chunks): documents
+    * are dealt into `buckets` independent streams by id hash — the
+    * parallelism unit, each stream packs with one partitioned window,
+    * never a global sort — ordered pseudo-randomly inside the stream by
+    * the same hash, and assigned the chunk their first token falls in:
+    * seq_id = bucket * 2^32 + (tokens-before-this-doc div budget). All
+    * integer arithmetic: reproducible across runs, partitionings, and
+    * engines. `tokenCol` is the per-doc token count. Output: input
+    * columns + (bucket, seq_id). */
+  def packSequences(df: DataFrame, tokenCol: Column, budget: Int = 512,
+                    buckets: Int = 32, idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_bucket")
+      .orderBy(col("_ord"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("_bucket", hashBucket(col(idCol), buckets))
+      .withColumn("_ord", md5(col(idCol).cast("string")))
+      .withColumn("_tok", tokenCol.cast("long"))
+      .withColumn("_before", sum(col("_tok")).over(w) - col("_tok"))
+      .withColumn("seq_id",
+        col("_bucket").cast("long") * (1L << 32) + expr(s"_before div ${budget}L"))
+      .withColumnRenamed("_bucket", "bucket")
+      .drop("_ord", "_tok", "_before")
+  }
 }

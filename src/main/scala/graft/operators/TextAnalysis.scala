@@ -103,6 +103,19 @@ object TextAnalysis {
       subwordCount(col(textCol)).as("n_subwords"),
       fingerprint(col(textCol)).as("fingerprint"))
 
+  /** PII redaction patterns — shared verbatim with the DuckDB oracle
+    * (both Java regex and RE2 interpret these identically; keep to the
+    * common subset: classes, quantifiers, no backrefs/lookaround). */
+  final val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  final val PhoneRe = "\\+?\\d[\\d -]{6,}\\d"
+
+  /** Scrub emails then phone-like digit runs — the standard pre-training
+    * PII pass, as a pure codegen projection (regexp_replace replaces ALL
+    * matches in Spark; the oracle passes the 'g' flag for parity). */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
   /** Exact TF-IDF statistics in the log-free ratio form: per (doc, term)
     * — tf, df, and tf * (N / df). The ratio replaces the usual
     * log(N/df) so every value is one IEEE divide and one multiply,

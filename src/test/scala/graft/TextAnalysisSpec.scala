@@ -33,4 +33,47 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p.take(2000))
     assert(p.contains("* Project"), p.take(2000)) // '*' = inside WholeStageCodegen
   }
+
+  test("PII redaction scrubs emails and phone runs, leaves clean text alone") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      "write to bob.smith+x@corp.example.org today",
+      "call +1 555 123 4567 now",
+      "nothing sensitive here",
+      "two hits: a@b.io and 555-123-9999")
+      .toDF("text").select(TextAnalysis.redactPii(col("text")).as("r"))
+      .collect().map(_.getString(0))
+    assert(rows(0) == "write to <EMAIL> today")
+    assert(rows(1) == "call <PHONE> now")
+    assert(rows(2) == "nothing sensitive here")
+    assert(rows(3) == "two hits: <EMAIL> and <PHONE>")
+  }
+
+  test("sequence packing: chunk boundaries respect cumulative token counts per bucket") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$testDataDir/documents.parquet")
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    val packed = graft.operators.Sampling.packSequences(
+      docs, col("n_tokens"), budget = 512, buckets = 8)
+      .collect()
+      .map(r => (r.getAs[Int]("bucket"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("n_tokens"), r.getAs[Long]("seq_id")))
+    // recompute the packing per bucket in plain Scala and compare
+    packed.groupBy(_._1).foreach { case (b, rows) =>
+      val inOrder = rows.sortBy { case (_, id, _, _) =>
+        (java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString, id)
+      }
+      var cum = 0L
+      inOrder.foreach { case (_, _, tok, seqId) =>
+        assert(seqId == b.toLong * (1L << 32) + cum / 512, s"bucket $b")
+        cum += tok
+      }
+    }
+    // a document appears exactly once
+    assert(packed.map(_._2).distinct.length == packed.length)
+  }
 }
