@@ -18,7 +18,10 @@ class InvarianceSpec extends SparkSpec {
     // different reducer count; these queries carry the engine's FP
     // surfaces (quality scores, decimal sums, cosine, est-Jaccard, MRR)
     val queries = Seq("q01_lineitem_agg", "t01_text_analysis", "s01_events_hourly",
-      "a01_cosine_topk", "o26_metrics_summary", "s03_skew_agg")
+      "a01_cosine_topk", "o26_metrics_summary", "s03_skew_agg",
+      // round-4 surfaces: window as-of, banded range join, sequence
+      // packing (partitioned window), packed-code ADC ranking
+      "j01_asof_join", "j02_range_join", "u03_pack_sequences", "a12_pq_topk")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       spark.conf.set("spark.sql.shuffle.partitions", "4")
