@@ -151,6 +151,36 @@ object Multimodal {
       }(enc)
   }
 
+  /** Audio analysis at the codec boundary: per fixed-size chunk of the
+    * (stub-decoded) waveform bytes, the integer chunk energy — sum of
+    * unsigned byte values. A real PCM decoder slots into the same
+    * partition-batched iterator; non-audio rows are filtered out BEFORE
+    * decode (predicate pushdown reaches the scan, the codec never runs
+    * on images/videos). Output (media_id, chunk, energy) — one row per
+    * chunk, exploded inside the partition pass, no shuffle. */
+  def audioChunkEnergy(media: DataFrame, chunkBytes: Int = 32): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("chunk", IntegerType, nullable = false),
+      StructField("energy", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.filter(col("kind") === "audio")
+      .select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val payload =
+            if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+          payload.grouped(chunkBytes).zipWithIndex.map { case (cs, i) =>
+            var s = 0L
+            var j = 0
+            while (j < cs.length) { s += cs(j) & 0xff; j += 1 }
+            Row(id, i, s)
+          }
+        }
+      }(enc)
+  }
+
   /** Frame sampling stub for videos: keep every `stride`-th frame's byte
     * window (payload length / n_frames bytes per frame) by concatenating
     * the kept windows; n_frames updated accordingly. Non-videos pass
