@@ -48,6 +48,23 @@ class PqSpec extends SparkSpec {
     assert(hits >= 20 * 5 * 0.2, s"ADC recall too low: $hits/100")
   }
 
+  test("joint trainer equals per-subspace kmeansTrain exactly") {
+    import org.apache.spark.sql.functions.slice
+    val joint = Pq.train(embs, m = 2, subDim = 32, k = 4, iters = 2)
+      .collect()
+      .map(r => (r.getAs[Int]("subspace"), r.getAs[Long]("centroid_id")) ->
+        r.getSeq[Float](r.fieldIndex("cv")).toList).toMap
+    val perSlice = (0 until 2).flatMap { s =>
+      Ann.kmeansTrain(
+        embs.select(col("vec_id"), slice(col("embedding"), s * 32 + 1, 32).as("sub")),
+        k = 4, iters = 2, idCol = "vec_id", vecCol = "sub")
+        .collect()
+        .map(r => (s, r.getAs[Long]("centroid_id")) ->
+          r.getSeq[Float](r.fieldIndex("cv")).toList)
+    }.toMap
+    assert(joint == perSlice)
+  }
+
   test("IVF-PQ probing every cluster equals the full ADC scan exactly") {
     val queries = embs.filter(col("vec_id") < 8)
     val codes = Pq.packCodes(Pq.encode(embs, books, m = 8, subDim = 8))
