@@ -86,6 +86,10 @@ object Ann {
     // k rows), never a single-task sort of the full table; the rank that
     // numbers the centroids is then derived by sorting the k survivors
     // inside ONE k-element array (a single tiny hash aggregate, no window)
+    // tiny tables (k rows) coalesce to ONE partition before each eager
+    // checkpoint: materializing k rows across the full shuffle-partition
+    // count costs a task per empty partition per round — pure scheduler
+    // overhead that dominated the measured build time
     var cents = base
       .select(struct(md5(col("id").cast("string")).as("o1"), col("id").as("id"),
         col("v").as("v")).as("s"))
@@ -94,6 +98,7 @@ object Ann {
       .agg(array_sort(collect_list(col("s"))).as("arr"))
       .select(posexplode(col("arr")).as(Seq("centroid_id", "s")))
       .select(col("centroid_id").cast("long").as("centroid_id"), col("s.v").as("cv"))
+      .coalesce(1)
       .localCheckpoint(true)
     var it = 0
     while (it < iters) {
@@ -117,6 +122,7 @@ object Ann {
           s => s.getField("cx")).as("cv"))
       cents = means
         .unionByName(cents.join(means.select("centroid_id"), Seq("centroid_id"), "left_anti"))
+        .coalesce(1)
         .localCheckpoint(true)
       it += 1
     }

@@ -51,8 +51,11 @@ object Pq {
       .agg(array_sort(collect_list(col("s"))).as("arr"))
       .select(posexplode(col("arr")).as(Seq("centroid_id", "s")))
       .select(col("centroid_id").cast("long").as("centroid_id"), col("s.id").as("id"))
+    // m*k rows: coalesce to one partition before each eager checkpoint
+    // (the Ann.kmeansTrain rationale — empty-partition tasks dominated)
     var cents = subs.join(broadcast(seeds), "id")
       .select(col("subspace"), col("centroid_id"), col("sub").as("cv"))
+      .coalesce(1)
       .localCheckpoint(true)
     var it = 0
     while (it < iters) {
@@ -77,6 +80,7 @@ object Pq {
       cents = means
         .unionByName(cents.join(means.select("subspace", "centroid_id"),
           Seq("subspace", "centroid_id"), "left_anti"))
+        .coalesce(1)
         .localCheckpoint(true)
       it += 1
     }
