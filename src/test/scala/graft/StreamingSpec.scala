@@ -121,6 +121,25 @@ class StreamingSpec extends SparkSpec {
     assert(results.sortBy(_._2).toSeq == want.toSeq)
   }
 
+  test("built-in dropDuplicatesWithinWatermark dedups replayed event ids") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val stream = MemoryStream[(Long, Timestamp, Long)]
+    stream.addData((1L, ts(0, 0), 100L), (1L, ts(0, 5), 100L), // replay of 100
+      (1L, ts(0, 10), 101L), (2L, ts(0, 15), 100L)) // same id, other payload col is fine
+    val deduped = stream.toDF().toDF("user_id", "ts", "event_id")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream.format("memory").queryName("ddw_stream")
+      .outputMode("append").start()
+    withQuery(q) {
+      val got = spark.table("ddw_stream")
+        .collect().map(_.getLong(2)).sorted
+      assert(got.toSeq == Seq(100L, 101L)) // one row per event_id survives
+    }
+  }
+
   test("stream-stream interval join matches the batch range semantics") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
