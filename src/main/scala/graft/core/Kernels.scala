@@ -296,10 +296,19 @@ object Kernels {
     * reads inside one codegen projection. */
   def adcScore(codes: ArrayData, lut: ArrayData, k: Int): Double = {
     val m = codes.numElements()
+    // a LUT stride smaller than the trained codebook size would silently
+    // read a neighboring subspace's slot; fail fast on shape mismatch
+    if (lut.numElements() != m * k)
+      throw new IllegalArgumentException(
+        s"adc_score: lut length ${lut.numElements()} != m*k = ${m * k}")
     var s = 0.0
     var i = 0
     while (i < m) {
-      s += lut.getDouble(i * k + codes.getInt(i))
+      val c = codes.getInt(i)
+      if (c < 0 || c >= k)
+        throw new IllegalArgumentException(
+          s"adc_score: code $c out of range [0, $k) in subspace $i")
+      s += lut.getDouble(i * k + c)
       i += 1
     }
     -s

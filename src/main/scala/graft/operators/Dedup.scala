@@ -173,9 +173,11 @@ object Dedup {
       .withColumn("bucket", Ann.rhpBucket(col("v"), planes))
     val l = b.select(col("bucket"), col("id").as("a"), col("v").as("va"))
     val r = b.select(col("bucket"), col("id").as("b"), col("v").as("vb"))
+    // no distinct(): each vector has exactly ONE rhp bucket, so the bucket
+    // equi-join cannot emit a duplicate (a, b) pair — unlike the multi-band
+    // LSH / multi-block SimHash paths where the dedup is load-bearing
     l.join(r, "bucket").filter(col("a") < col("b"))
       .select(col("a"), col("b"), cosine_sim(col("va"), col("vb")).as("cos"))
-      .distinct()
       .filter(col("cos") >= threshold)
   }
 }

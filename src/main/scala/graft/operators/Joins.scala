@@ -27,9 +27,10 @@ object Joins {
     * is the plan a native as-of engine (kdb, QuestDB) executes, with AQE
     * handling key skew.
     *
-    * The right side must be unique per (keys, ts) — pre-aggregate it if
-    * not — otherwise which equal-ts right row wins is tie-broken by the
-    * union order, which is not deterministic.
+    * Duplicate right rows per (keys, ts) are resolved DETERMINISTICALLY:
+    * the max payload struct (field-order comparison) wins — the same
+    * max-by aggregation both engines compute identically, instead of a
+    * union-order tie-break that would vary run to run.
     *
     * Output: every left column, plus each payload column as
     * `$prefix$name` (nullable).
@@ -44,8 +45,13 @@ object Joins {
     // the match is inclusive; right=2 after left when strict
     val rightSide = if (allowEqual) 0 else 2
     val r2 = right.select(
-      keyCols :+ col(tsCol).cast("long").as("_ts") :+
-        lit(rightSide).as("_side") :+ rStruct.as("_r"): _*)
+      keyCols :+ col(tsCol).cast("long").as("_ts") :+ rStruct.as("_r0"): _*)
+      // one partial+final hash agg on (keys, ts): unique inputs pass
+      // through untouched; duplicate (keys, ts) rows collapse to the max
+      // payload struct so the winner is data-determined, not order-determined
+      .groupBy(keyCols :+ col("_ts"): _*)
+      .agg(max(col("_r0")).as("_r"))
+      .select(keyCols :+ col("_ts") :+ lit(rightSide).as("_side") :+ col("_r"): _*)
     val l2 = left
       .withColumn("_l", struct(left.columns.map(col): _*))
       .select(

@@ -124,6 +124,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("embedding near-dup plans without a distinct exchange over scored pairs") {
+    import graft.operators.Dedup
+    val embs = spark.read.parquet(s"$testDataDir/embeddings.parquet")
+    val q = Dedup.nearEmbeddingCosine(embs, threshold = 0.1, planes = 8)
+    val p = plan(q)
+    // each vector lands in exactly one RHP bucket, so pairs are unique by
+    // construction: the only aggregate-shaped node allowed is none at all —
+    // a HashAggregate in this plan means a distinct() crept back in
+    assert(!p.contains("HashAggregate"), p.take(3000))
+    assert(!p.contains("CartesianProduct"))
+    // the whole query is: scan -> bucket equi-join -> score+filter; the
+    // only exchanges are the join's two sides (or fewer if broadcast)
+    val exchanges = p.linesIterator.count(l => l.trim.startsWith("Exchange") ||
+      l.contains(") Exchange"))
+    assert(exchanges <= 2, s"expected <= 2 exchanges, got $exchanges\n${p.take(3000)}")
+  }
+
   test("PQ ADC scan streams packed codes against the broadcast LUT") {
     import graft.operators.Pq
     val embs = spark.read.parquet(s"$testDataDir/embeddings.parquet")
