@@ -26,18 +26,37 @@ final class QueryEngine private (
   import QueryEngine.Candidate
 
   /** Warm the caches (O22 cluster warm-up: the eager `postings.count`),
-    * including the bucket-stats table capped probes consult. */
+    * including the bucket-stats table capped probes consult — and, for
+    * indexes under `Lsh.DriverStatsMaxEntries` postings, the driver-side
+    * serving replica (bucket members + signatures) that answers
+    * single-vector probes with ZERO Spark jobs, the reference's own
+    * in-memory serving shape. */
   def warmUp(): QueryEngine = {
-    sigs.count(); index.count(); Lsh.bucketSizes(index).count(); this
+    sigs.count(); index.count()
+    Lsh.warmDriverStats(index); Lsh.warmDriverIndex(sigs, index)
+    this
   }
 
   /** Single-vector top-k probe, k-padded like the reference response.
-    * `maxCandidates` defaults to the reference's cap (minhash_lsh.py:70). */
+    * `maxCandidates` defaults to the reference's cap (minhash_lsh.py:70).
+    * A warmed small index answers entirely on the driver (no Spark jobs —
+    * sub-ms, the reference's in-process latency class); otherwise the
+    * distributed probe plan runs (the only path for big indexes). Both
+    * paths are bit-identical (QueryEngineSpec). */
   def query(vector: Array[Long], k: Int = 10, maxCandidates: Int = 2000): Seq[Candidate] = {
-    val hits = Lsh.querySignature(sigs, index, vector, k, params, maxCandidates)
-      .collect()
-      .map(r => Candidate(r.getLong(0), r.getDouble(1), r.getSeq[Long](2)))
-      .toSeq
+    val hits = Lsh.driverIndexFor(index) match {
+      case Some(di) =>
+        // bucket keys from the driver-evaluated XxHash64 expression —
+        // bit-identical to the index side, no plan analysis per probe
+        Lsh.queryDriverIndex(di, Lsh.queryKeysLocal(vector, params), vector,
+          k, maxCandidates)
+          .map { case (id, score, prev) => Candidate(id, score, prev) }
+      case None =>
+        Lsh.querySignature(sigs, index, vector, k, params, maxCandidates)
+          .collect()
+          .map(r => Candidate(r.getLong(0), r.getDouble(1), r.getSeq[Long](2)))
+          .toSeq
+    }
     // minhash_lsh.py:98-102,128-133: no candidates -> [(-1, 0.0)] then pad
     val base = if (hits.isEmpty) Seq(Candidate(-1L, 0.0, Nil)) else hits
     base.padTo(k, Candidate(-1L, 0.0, Nil)).take(k)

@@ -117,6 +117,146 @@ object Lsh {
     }
   }
 
+  /** DRIVER-resident bucket stats for small-enough indexes: the
+    * (band, key64, key64b) -> n map a capped single probe folds its band
+    * prefix from with ZERO Spark jobs — the exact analog of the
+    * reference's in-process dict lookups + early exit (minhash_lsh.py:
+    * 76-96, where the whole index is driver-local anyway). Collected ONCE
+    * per index at warm-up time ([[warmDriverStats]], called by
+    * `QueryEngine.warmUp`); probes never trigger the collect. Indexes
+    * whose stats exceed [[DriverStatsMaxEntries]] keep the distributed
+    * join path — a driver map stops being scale-safe there (at 100 TB the
+    * stats table itself is distributed), so the threshold bounds driver
+    * memory at ~tens of MB. */
+  final val DriverStatsMaxEntries: Long = 1L << 20
+  private val statsMapCache =
+    new java.util.LinkedHashMap[DataFrame, Map[(Int, Long, Long), Long]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[DataFrame, Map[(Int, Long, Long), Long]]): Boolean =
+        size() > sizeCacheMax
+    }
+
+  /** Collect the index's bucket stats into the driver map if it is small
+    * enough (one count + one collect over the CACHED stats table — warm-up
+    * cost, not probe cost). Returns whether the driver map is available. */
+  def warmDriverStats(index: DataFrame): Boolean = {
+    val already = statsMapCache.synchronized {
+      val it = statsMapCache.entrySet().iterator()
+      while (it.hasNext) if (it.next().getKey.sparkSession.sparkContext.isStopped) it.remove()
+      statsMapCache.containsKey(index)
+    }
+    if (already) true
+    else {
+      val stats = bucketSizes(index)
+      if (stats.count() > DriverStatsMaxEntries) false
+      else {
+        val m = stats.collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+          .toMap
+        statsMapCache.synchronized(statsMapCache.put(index, m))
+        true
+      }
+    }
+  }
+
+  private def driverStats(index: DataFrame): Option[Map[(Int, Long, Long), Long]] =
+    statsMapCache.synchronized(Option(statsMapCache.get(index)))
+
+  /** Driver-RESIDENT serving replica of a small index: bucket -> member
+    * ids and id -> signature, the reference's per-worker in-memory tables
+    * (worker_tasks.py:79-117) rebuilt on the driver. A warmed capped
+    * probe over it runs ZERO Spark jobs — candidate lookup, scoring and
+    * top-k are in-process, the reference's own serving architecture — so
+    * single-vector latency drops from the multi-job scheduler floor
+    * (~250 ms) to sub-millisecond. Strictly a fast path: results are
+    * bit-identical to [[querySignature]] (same band-prefix cap fold, same
+    * m/128 estimated-Jaccard arithmetic, same score-desc/id-asc order),
+    * pinned by QueryEngineSpec. Indexes above [[DriverStatsMaxEntries]]
+    * postings never build one — at 100 TB the index is disk/cluster
+    * resident and probes stay distributed (or go through the bucketed
+    * parquet path). */
+  final class DriverIndex private[Lsh] (
+      private[Lsh] val postings: java.util.HashMap[(Long, Long), Array[Long]],
+      private[Lsh] val sigById: java.util.HashMap[Long, Array[Long]])
+
+  private val driverIndexCache =
+    new java.util.LinkedHashMap[DataFrame, DriverIndex](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[DataFrame, DriverIndex]): Boolean =
+        size() > sizeCacheMax
+    }
+
+  /** Build the driver serving replica if the index is small enough (one
+    * collect over the cached postings + one over the cached signatures —
+    * warm-up cost). Returns whether the replica is available. */
+  def warmDriverIndex(sigs: DataFrame, index: DataFrame): Boolean = {
+    val already = driverIndexCache.synchronized {
+      val it = driverIndexCache.entrySet().iterator()
+      while (it.hasNext) if (it.next().getKey.sparkSession.sparkContext.isStopped) it.remove()
+      driverIndexCache.containsKey(index)
+    }
+    if (already) true
+    else if (index.count() > DriverStatsMaxEntries) false
+    else {
+      val posts = new java.util.HashMap[(Long, Long), Array[Long]]()
+      index.select("key64", "key64b", "id").collect()
+        .groupBy(r => (r.getLong(0), r.getLong(1)))
+        .foreach { case (k, rows) =>
+          // keep bucket members in id order: the distributed path's
+          // aggregate is order-insensitive, but determinism here is free
+          posts.put(k, rows.map(_.getLong(2)).sorted)
+        }
+      val sm = new java.util.HashMap[Long, Array[Long]]()
+      sigs.select("doc_id", "sig").collect()
+        .foreach(r => sm.put(r.getLong(0), r.getSeq[Long](1).toArray))
+      driverIndexCache.synchronized(driverIndexCache.put(index, new DriverIndex(posts, sm)))
+      true
+    }
+  }
+
+  def driverIndexFor(index: DataFrame): Option[DriverIndex] =
+    driverIndexCache.synchronized(Option(driverIndexCache.get(index)))
+
+  /** Zero-job capped probe against a driver replica: the same band-prefix
+    * cap fold, candidate dedup, m/128 estimated-Jaccard and
+    * (score desc, id asc) top-k as the distributed capped path — executed
+    * in-process. `qpRows` is the query's (band, key64, key64b) triple list
+    * (from the jobless [[queryPostings]] LocalRelation collect).
+    * Returns (id, score, 10-slot preview), best first. */
+  def queryDriverIndex(di: DriverIndex, qpRows: Array[(Int, Long, Long)],
+                       querySig: Array[Long], k: Int,
+                       maxCandidates: Int): Seq[(Long, Double, Seq[Long])] = {
+    val byBand = qpRows.sortBy(_._1)
+    var before = 0L
+    val candSet = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < byBand.length && (maxCandidates <= 0 || before < maxCandidates)) {
+      val (_, key, keyB) = byBand(i)
+      val ids = di.postings.get((key, keyB))
+      if (ids != null) {
+        before += ids.length
+        var j = 0
+        while (j < ids.length) { candSet.add(ids(j)); j += 1 }
+      }
+      i += 1
+    }
+    val scored = new scala.collection.mutable.ArrayBuffer[(Long, Double)](candSet.size())
+    val it = candSet.iterator()
+    while (it.hasNext) {
+      val id = it.next().longValue()
+      val sig = di.sigById.get(id)
+      if (sig != null) {
+        // identical arithmetic to Kernels.estJaccard: integer match count,
+        // ONE double division by 128 — an exact dyadic rational
+        var eq = 0; var d = 0
+        while (d < sig.length) { if (sig(d) == querySig(d)) eq += 1; d += 1 }
+        scored += ((id, eq.toDouble / sig.length.toDouble))
+      }
+    }
+    scored.sortBy { case (id, s) => (-s, id) }.take(k)
+      .map { case (id, s) => (id, s, di.sigById.get(id).take(10).toSeq) }.toSeq
+  }
+
   /** Allowed-band whitelist from per-(group, band) bucket sizes: for each
     * group, the smallest band prefix whose cumulative sizes reach the cap
     * (inclusive). `sized` is (groupCols..., band, n); returns
@@ -136,6 +276,26 @@ object Lsh {
             (a, y) => a + y.getField("n")).as("before"))),
         s => s.getField("before") < maxCandidates)).as("s"): _*)
       .select(groupCols.map(col) :+ col("s.band").as("band"): _*)
+  }
+
+  /** The query's (band, key64, key64b) bucket keys computed ON the driver
+    * by evaluating the SAME Catalyst XxHash64 expression the index build
+    * runs — bit-identical keys, no DataFrame, no plan analysis, no job.
+    * The zero-overhead form of [[queryPostings]] for the driver-resident
+    * serving path. */
+  def queryKeysLocal(querySig: Array[Long], p: Params = Params()): Array[(Int, Long, Long)] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    (0 until p.bands).map { b =>
+      val slice = Literal.create(
+        new GenericArrayData(querySig.slice(b * p.rows, (b + 1) * p.rows)),
+        ArrayType(LongType, containsNull = false))
+      val bandLit = Literal(b)
+      val k = XxHash64(Seq(bandLit, slice), 42L).eval(null).asInstanceOf[Long]
+      val kb = XxHash64(Seq(slice, bandLit), 42L).eval(null).asInstanceOf[Long]
+      (b, k, kb)
+    }.toArray
   }
 
   /** Postings rows for a single query signature — a 32-row DataFrame built
@@ -211,18 +371,29 @@ object Lsh {
     } else {
       // CAPPED probe, latency-tuned: the query hits exactly one bucket per
       // band, so its per-band hit counts are the <=32 stats rows matching
-      // its keys. Collect them from the CACHED stats table (one tiny job;
-      // the probe side is a jobless LocalRelation broadcast, and the plan
-      // shape is constant — no per-query literals, no codegen churn) and
-      // fold the allowed band prefix ON THE DRIVER — 32 additions, the
-      // moral equivalent of the reference's dict lookups + early exit.
-      // The probe plan then needs just two more jobs: build the candidate
-      // broadcast, and the scoring scan whose top-k aggregate carries the
-      // vector preview as a payload (no re-join, no final sort).
+      // its keys. When the index warmed its DRIVER stats map, those counts
+      // are pure map lookups over the jobless LocalRelation collect of the
+      // query's keys — the probe runs ZERO stats jobs, exactly the
+      // reference's in-process dict lookups + early exit. Larger indexes
+      // fall back to one tiny join against the CACHED stats table (the
+      // probe side is a jobless LocalRelation broadcast; constant plan
+      // shape, no codegen churn). Either way the allowed band prefix is
+      // folded ON THE DRIVER — 32 additions — and the probe plan needs
+      // just two jobs: build the candidate broadcast, and the scoring
+      // scan whose top-k aggregate carries the vector preview as a
+      // payload (no re-join, no final sort).
       val qp = queryPostings(spark, querySig, p)
-      val sized = bucketSizes(index).join(broadcast(qp), joinKeys)
-        .select("band", "n").collect()
-        .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      val sized = driverStats(index) match {
+        case Some(m) =>
+          qp.select("band", "key64", "key64b").collect()
+            .flatMap { r =>
+              m.get((r.getInt(0), r.getLong(1), r.getLong(2))).map(r.getInt(0) -> _)
+            }.sortBy(_._1)
+        case None =>
+          bucketSizes(index).join(broadcast(qp), joinKeys)
+            .select("band", "n").collect()
+            .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      }
       var before = 0L
       val allowedBands = sized.takeWhile { case (_, n) =>
         val ok = before < maxCandidates; before += n; ok

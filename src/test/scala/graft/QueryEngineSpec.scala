@@ -25,6 +25,38 @@ class QueryEngineSpec extends SparkSpec {
     assert(json.startsWith("""{"candidates":[{"id":3,"score":1.0"""))
   }
 
+  test("driver-evaluated bucket keys equal the LocalRelation projection's") {
+    val docs = spark.read.parquet(s"$testDataDir/documents.parquet")
+    val eng = QueryEngine.build(docs,
+      mp = graft.core.MinHashPipeline.Params(kShingle = 3))
+    val qSig = eng.sigs.filter(col("doc_id") === 5).head().getSeq[Long](1).toArray
+    val viaDf = graft.core.Lsh.queryPostings(spark, qSig, eng.params)
+      .select("band", "key64", "key64b").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val local = graft.core.Lsh.queryKeysLocal(qSig, eng.params).sortBy(_._1).toSeq
+    assert(local == viaDf)
+    eng.close()
+  }
+
+  test("driver-stats capped probe equals the distributed stats-join probe") {
+    val docs = spark.read.parquet(s"$testDataDir/documents.parquet")
+    // un-warmed engine: capped probes take the stats-JOIN path
+    val cold = QueryEngine.build(docs,
+      mp = graft.core.MinHashPipeline.Params(kShingle = 3))
+    // warmed engine over the same corpus: capped probes fold the band
+    // prefix from the DRIVER map with zero stats jobs
+    val warm = QueryEngine.build(docs,
+      mp = graft.core.MinHashPipeline.Params(kShingle = 3)).warmUp()
+    for (qid <- Seq(0L, 7L, 42L)) {
+      val qSig = cold.sigs.filter(col("doc_id") === qid).head().getSeq[Long](1).toArray
+      assert(warm.query(qSig, 5) == cold.query(qSig, 5), s"qid=$qid")
+      // tight caps exercise a truncated band prefix through both paths
+      assert(warm.query(qSig, 5, maxCandidates = 3) ==
+        cold.query(qSig, 5, maxCandidates = 3), s"qid=$qid capped")
+    }
+    cold.close(); warm.close()
+  }
+
   test("save/load round-trip preserves query results") {
     val docs = spark.read.parquet(s"$testDataDir/documents.parquet")
     val eng = QueryEngine.build(docs,
