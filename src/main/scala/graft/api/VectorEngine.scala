@@ -31,7 +31,10 @@ final class VectorEngine private (
     val assigned: DataFrame,  // (id, centroid_id)
     val codebooks: DataFrame, // (subspace, centroid_id, cv)
     val codes: DataFrame,     // (id, codes int[m]) — packed, kernel-ready
-    val m: Int, val subDim: Int, val pqK: Int) {
+    val m: Int, val subDim: Int, val pqK: Int,
+    // backing caches that assigned/codes may be mere projections of
+    // (the fused assign+encode table) — released by close()
+    private val extraCaches: Seq[DataFrame] = Nil) {
 
   def warmUp(): VectorEngine = {
     embs.count(); cents.count(); assigned.count()
@@ -69,18 +72,20 @@ final class VectorEngine private (
   /** Incremental growth (the FAISS `add()` contract): new vectors are
     * assigned and PQ-encoded under the EXISTING trained centroids and
     * codebooks — no retraining, so previous codes stay valid and the add
-    * is a narrow broadcast pass over only the new rows. Returns a NEW
-    * engine sharing the trained models; `close()` the old one when done
-    * (its caches are superseded). Ids must not collide. */
+    * is ONE narrow broadcast pass over only the new rows (the fused
+    * assign+encode projection). Returns a NEW engine sharing the trained
+    * models; `close()` the old one when done (its caches are superseded).
+    * Ids must not collide. */
   def addVectors(newEmbs: DataFrame, idCol: String = "vec_id",
                  vecCol: String = "embedding"): VectorEngine = {
     val nb = newEmbs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")).cache()
-    val nAssigned = VectorEngine.assign(nb, cents).cache()
-    val nCodes = Pq.packCodes(
-      Pq.encode(newEmbs, codebooks, m, subDim, idCol, vecCol)).cache()
+    val combined = VectorEngine.fusedAssignEncode(
+      nb, cents, codebooks, cents.count().toInt, m, pqK).cache()
     new VectorEngine(spark, embs.unionByName(nb).cache(), cents,
-      assigned.unionByName(nAssigned).cache(), codebooks,
-      codes.unionByName(nCodes).cache(), m, subDim, pqK)
+      assigned.unionByName(combined.select("id", "centroid_id")).cache(),
+      codebooks,
+      codes.unionByName(combined.select("id", "codes")).cache(), m, subDim, pqK,
+      extraCaches = Seq(combined))
   }
 
   /** Persist every index artifact; `load` restores without retraining. */
@@ -97,7 +102,7 @@ final class VectorEngine private (
 
   /** Release the cached artifacts; the engine must not be queried after. */
   def close(): Unit =
-    Seq(embs, cents, assigned, codebooks, codes)
+    (Seq(embs, cents, assigned, codebooks, codes) ++ extraCaches)
       .foreach(_.unpersist(blocking = false))
 
   private def asEmbs(df: DataFrame): DataFrame =
@@ -108,7 +113,7 @@ object VectorEngine {
 
   /** Coarse argmin assignment of (id, v) rows to broadcast centroids —
     * ties to the smaller centroid_id (the kmeansTrain discipline). */
-  private[api] def assign(base: DataFrame, cents: DataFrame): DataFrame = {
+  private[graft] def assign(base: DataFrame, cents: DataFrame): DataFrame = {
     import graft.functions.TopKByScore.top_k_by_score
     Ann.explodeTopK(
       base.select(col("id").as("query_id"), col("v"))
@@ -120,10 +125,31 @@ object VectorEngine {
       .select(col("query_id").as("id"), col("id").as("centroid_id"))
   }
 
+  /** ONE corpus pass computing (id, centroid_id, codes): the coarse
+    * assignment (pq_encode with m=1 over the flattened centroids) and the
+    * PQ codes (pq_encode over the flattened codebooks) in a single narrow
+    * codegen projection against two one-row broadcasts. Bit-identical to
+    * assign() + Pq.encode()+packCodes() (VectorEngineSpec pins it) but
+    * with zero shuffles and no m-way exploded join — the pass the old
+    * build paid three jobs and two shuffles for. */
+  private[graft] def fusedAssignEncode(base: DataFrame, cents: DataFrame,
+                                     codebooks: DataFrame, nCents: Int,
+                                     m: Int, pqK: Int): DataFrame = {
+    val centsRow = Pq.packCodebooks(
+      cents.select(lit(0).as("subspace"), col("centroid_id"), col("cv")))
+      .select(col("books_flat").as("cents_flat"))
+    val booksRow = Pq.packCodebooks(codebooks)
+    base.crossJoin(broadcast(centsRow)).crossJoin(broadcast(booksRow))
+      .select(col("id"),
+        element_at(pq_encode(col("v"), col("cents_flat"), 1, nCents), 1)
+          .cast("long").as("centroid_id"),
+        pq_encode(col("v"), col("books_flat"), m, pqK).as("codes"))
+  }
+
   /** Offline index build: train the coarse quantizer (seeded k-means),
-    * assign every vector to its inverted list, train per-subspace PQ
-    * codebooks, and encode the corpus — all cached. `dims` must equal
-    * m * subDim and the embedding width. */
+    * train per-subspace PQ codebooks, then assign + encode the whole
+    * corpus in ONE fused pass — all cached. `dims` must equal m * subDim
+    * and the embedding width. */
   def build(embs: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
             nCents: Int = 8, centIters: Int = 4,
             m: Int = 8, subDim: Int = 8, pqK: Int = 16, pqIters: Int = 2): VectorEngine = {
@@ -133,10 +159,12 @@ object VectorEngine {
                  // and an uncached source (e.g. a generator) would be
                  // recomputed every Lloyd's round
     val cents = Ann.kmeansTrain(base, nCents, centIters, "id", "v")
-    val assigned = assign(base, cents).cache()
     val books = Pq.train(base, m, subDim, pqK, pqIters, "id", "v").cache()
-    val codes = Pq.packCodes(Pq.encode(base, books, m, subDim, "id", "v")).cache()
-    new VectorEngine(spark, base, cents, assigned, books, codes, m, subDim, pqK)
+    val combined = fusedAssignEncode(base, cents, books, nCents, m, pqK).cache()
+    new VectorEngine(spark, base, cents,
+      combined.select("id", "centroid_id"), books,
+      combined.select("id", "codes"), m, subDim, pqK,
+      extraCaches = Seq(combined))
   }
 
   /** Restore a saved index (no retraining). */

@@ -314,6 +314,46 @@ object Kernels {
     -s
   }
 
+  /** Encode one vector into `m` PQ codes against a FLAT codebook array
+    * laid out (subspace-major, codeword-minor, dim-innermost): for each
+    * subspace, the argmin codeword by the SAME -sqrt(Σ squared double
+    * diffs) score and smaller-id tie-break as the row-form encode
+    * (neg_l2_float + top_k(1)), so codes are bit-identical — this form
+    * just turns the m-way exploded join + two shuffles into one narrow
+    * codegen projection. `m = 1` with `k = nCents` performs the coarse
+    * IVF assignment under the identical discipline, which is how
+    * VectorEngine fuses assignment and encoding into ONE corpus pass. */
+  def pqEncode(v: ArrayData, books: ArrayData, m: Int, k: Int): ArrayData = {
+    val dims = v.numElements()
+    val subDim = dims / m
+    if (books.numElements() != m * k * subDim)
+      throw new IllegalArgumentException(
+        s"pq_encode: books length ${books.numElements()} != m*k*subDim = ${m * k * subDim}")
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = Double.NegativeInfinity
+      var bestC = 0
+      var c = 0
+      while (c < k) {
+        val off = (s * k + c) * subDim
+        var acc = 0.0
+        var d = 0
+        while (d < subDim) {
+          val diff = v.getFloat(s * subDim + d).toDouble - books.getFloat(off + d).toDouble
+          acc += diff * diff
+          d += 1
+        }
+        val score = -math.sqrt(acc)
+        if (score > best) { best = score; bestC = c } // strict: ties keep the smaller id
+        c += 1
+      }
+      out(s) = bestC
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Per-dimension symmetric int8 quantization: code_d =
     * clamp(floor(x_d / s_d + 0.5), -127, 127). floor(+0.5) instead of a
     * library round so both engines (IEEE double divide, exact floor)

@@ -197,6 +197,24 @@ case class AdcScore(left: Expression, right: Expression, k: Int)
   override def prettyName: String = "adc_score"
 }
 
+/** (array<float> vector, array<float> flat codebooks) -> array<int>:
+  * per-subspace argmin PQ codes in one codegen projection
+  * (Kernels.pqEncode); m=1 performs the coarse IVF assignment. */
+case class PqEncode(left: Expression, right: Expression, m: Int, k: Int)
+  extends BinaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any, b: Any): Any =
+    graft.core.Kernels.pqEncode(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], m, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, b) => s"graft.core.Kernels.pqEncode($v, $b, $m, $k)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqEncode =
+    copy(left = l, right = r)
+  override def prettyName: String = "pq_encode"
+}
+
 /** array<float> -> boolean: conjunctive QED bin-window predicate (O15) as
   * one codegen expression; the window/bounds arrays ride along as
   * reference objects, keeping the plan literal-free and constraint-cheap. */
@@ -315,6 +333,8 @@ object GraftFunctions {
   def sq_l2_float(l: Column, r: Column): Column = col(SqL2Float(ex(l), ex(r)))
   def adc_score(codes: Column, lut: Column, k: Int): Column =
     col(AdcScore(ex(codes), ex(lut), k))
+  def pq_encode(v: Column, books: Column, m: Int, k: Int): Column =
+    col(PqEncode(ex(v), ex(books), m, k))
   def rolling_fingerprint(c: Column): Column = col(RollingFingerprint(ex(c)))
   def rhp_bucket(c: Column, planes: Int): Column = col(RhpBucket(ex(c), planes))
   def repetition_stats(c: Column): Column = col(RepetitionStats(ex(c)))

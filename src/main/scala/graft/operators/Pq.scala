@@ -59,16 +59,21 @@ object Pq {
       .localCheckpoint(true)
     var it = 0
     while (it < iters) {
-      val assigned = subs.join(broadcast(cents), "subspace")
-        .select(col("id"), col("subspace"), col("centroid_id"),
-          neg_l2_float(col("sub"), col("cv")).as("score"))
-        .groupBy("id", "subspace")
-        .agg(top_k_by_score(col("score"), col("centroid_id"), 1).as("topk"))
-        .select(col("id"), col("subspace"),
-          col("topk").getItem(0).getField("id").as("centroid_id"))
-      val means = assigned.join(subs, Seq("id", "subspace"))
-        .select(col("subspace"), col("centroid_id"),
-          posexplode(col("sub")).as(Seq("dim", "x")))
+      // joint assignment of ALL m subspaces via one pq_encode projection
+      // over the broadcast flattened codebooks (same score arithmetic and
+      // tie-break as the neg_l2_float + top_k(1) aggregate it replaces —
+      // which cost a 16x-exploded object aggregate plus a join back to the
+      // slices per round, the dominant build cost). The vector rides
+      // along, so the means update slices it directly with NO join.
+      val booksRow = packCodebooks(cents)
+      val means = base.crossJoin(broadcast(booksRow))
+        .select(col("v"),
+          graft.functions.GraftFunctions.pq_encode(col("v"), col("books_flat"), m, k)
+            .as("codes"))
+        .select(col("v"), posexplode(col("codes")).as(Seq("subspace", "code")))
+        .select(col("subspace"), col("code").cast("long").as("centroid_id"),
+          posexplode(slice(col("v"), col("subspace") * subDim + 1, lit(subDim)))
+            .as(Seq("dim", "x")))
         .groupBy("subspace", "centroid_id", "dim")
         .agg(sum(round(col("x").cast("double") * scale).cast("long")).as("sx"),
           count(lit(1)).as("n"))
@@ -81,6 +86,8 @@ object Pq {
         .unionByName(cents.join(means.select("subspace", "centroid_id"),
           Seq("subspace", "centroid_id"), "left_anti"))
         .coalesce(1)
+        // checkpoint every round (the kmeansTrain rationale: the next
+        // round consumes cents twice — broadcast + anti-join)
         .localCheckpoint(true)
       it += 1
     }
@@ -164,6 +171,15 @@ object Pq {
         .groupBy("query_id")
         .agg(top_k_by_score(col("score"), col("id"), k).as("topk")))
   }
+
+  /** One-row (books_flat: array<float>) frame: the codebooks flattened
+    * (subspace-major, codeword-minor, dim-innermost) — the broadcastable
+    * layout [[graft.core.Kernels.pqEncode]] scans. Pass a coarse-centroid
+    * table as (subspace=0, centroid_id, cv) to get the assignment form. */
+  def packCodebooks(codebooks: DataFrame): DataFrame =
+    codebooks.agg(flatten(transform(
+      array_sort(collect_list(struct(col("subspace"), col("centroid_id"), col("cv")))),
+      x => x.getField("cv"))).as("books_flat"))
 
   /** (id, subspace, sub): every vector sliced into its m subspace views —
     * a narrow union of projections, no shuffle. */

@@ -13,6 +13,24 @@ class VectorEngineSpec extends SparkSpec {
     spark.read.parquet(s"$testDataDir/embeddings.parquet").cache()
   private lazy val eng = VectorEngine.build(embs).warmUp()
 
+  test("fused assign+encode pass is bit-identical to the row-form path") {
+    import graft.operators.Pq
+    // row-form reference: the gated (a05/a11) join+aggregate pipeline
+    val base = embs.select(col("vec_id").cast("long").as("id"),
+      col("embedding").as("v"))
+    val wantAssigned = VectorEngine.assign(base, eng.cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val wantCodes = Pq.packCodes(
+      Pq.encode(embs, eng.codebooks, eng.m, eng.subDim))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).mkString(","))).sorted.toSeq
+    val gotAssigned = eng.assigned
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val gotCodes = eng.codes
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).mkString(","))).sorted.toSeq
+    assert(gotAssigned == wantAssigned)
+    assert(gotCodes == wantCodes)
+  }
+
   test("exact mode equals the brute-force cosine oracle") {
     val queries = embs.filter(col("vec_id") < 5)
     val got = eng.topK(queries, k = 5, mode = "exact")
