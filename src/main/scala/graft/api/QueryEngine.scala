@@ -86,7 +86,16 @@ final class QueryEngine private (
     * stays valid — callers growing repeatedly should `close()` the old
     * engine or its superseded caches accumulate. Doc ids must not collide
     * with existing ones. At cluster scale the same shape appends postings
-    * partitions to the saved parquet/bucketed table instead. */
+    * partitions to the saved parquet/bucketed table instead.
+    *
+    * Repeated adds AUTO-COMPACT: the cap re-application references the
+    * unioned index three times, so unchecked growth would TRIPLE the
+    * logical plan per add (3^n nodes after n adds — analysis cost, not
+    * data cost). When the grown index plan exceeds
+    * [[QueryEngine.CompactThreshold]] nodes, the new engine is returned
+    * compacted (amortized O(1) materializations per add, the vector-
+    * doubling discipline); plan depth stays flat for any add count
+    * (InvarianceSpec). */
   def addDocuments(docs: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id"): QueryEngine = {
     val newSigs = MinHashPipeline.withSignature(docs, textCol, mpParams)
@@ -95,7 +104,9 @@ final class QueryEngine private (
     val allIndex = Lsh.capBuckets(
       index.unionByName(Lsh.postings(newSigs, "doc_id", "sig", params)),
       params.maxBucketSize).cache()
-    new QueryEngine(spark, allSigs, allIndex, params, mpParams)
+    val grown = new QueryEngine(spark, allSigs, allIndex, params, mpParams)
+    val nodes = allIndex.queryExecution.analyzed.collect { case _ => 1 }.sum
+    if (nodes > QueryEngine.CompactThreshold) grown.compact() else grown
   }
 
   /** Release this engine's cached tables (the grown-engine lifecycle
@@ -103,6 +114,21 @@ final class QueryEngine private (
   def close(): Unit = {
     sigs.unpersist(blocking = false)
     index.unpersist(blocking = false)
+  }
+
+  /** Re-materialize a repeatedly-grown engine: N addDocuments calls leave
+    * sigs/index as N-deep union-of-union plans whose analysis cost grows
+    * with every add; compact() truncates both to single materialized
+    * tables (eager localCheckpoint — plan depth 1) and releases the
+    * superseded caches. The durable equivalent is a save/load round-trip
+    * (parquet-backed instead of executor-memory-backed); at cluster scale
+    * with dynamic executors prefer that or a reliable checkpoint dir.
+    * Returns a NEW engine; the old one must not be queried after. */
+  def compact(): QueryEngine = {
+    val cSigs = sigs.localCheckpoint(true)
+    val cIndex = index.localCheckpoint(true)
+    close()
+    new QueryEngine(spark, cSigs, cIndex, params, mpParams)
   }
 
   /** JSON response shaped like the reference's endpoint payload. */
@@ -143,6 +169,9 @@ final class QueryEngine private (
 
 object QueryEngine {
   case class Candidate(id: Long, score: Double, vectorPreview: Seq[Long])
+
+  /** Analyzed-plan node budget before addDocuments auto-compacts. */
+  final val CompactThreshold = 256
 
   /** Driver-side signature of one text through the SAME kernels the
     * distributed pipeline runs (Shingling null guard included) — no Spark

@@ -81,11 +81,14 @@ final class VectorEngine private (
     val nb = newEmbs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")).cache()
     val combined = VectorEngine.fusedAssignEncode(
       nb, cents, codebooks, cents.count().toInt, m, pqK).cache()
-    new VectorEngine(spark, embs.unionByName(nb).cache(), cents,
+    val grown = new VectorEngine(spark, embs.unionByName(nb).cache(), cents,
       assigned.unionByName(combined.select("id", "centroid_id")).cache(),
       codebooks,
       codes.unionByName(combined.select("id", "codes")).cache(), m, subDim, pqK,
       extraCaches = Seq(combined))
+    // bound plan growth under repeated adds (the QueryEngine discipline)
+    val nodes = grown.codes.queryExecution.analyzed.collect { case _ => 1 }.sum
+    if (nodes > QueryEngine.CompactThreshold) grown.compact() else grown
   }
 
   /** Persist every index artifact; `load` restores without retraining. */
@@ -104,6 +107,21 @@ final class VectorEngine private (
   def close(): Unit =
     (Seq(embs, cents, assigned, codebooks, codes) ++ extraCaches)
       .foreach(_.unpersist(blocking = false))
+
+  /** Re-materialize a repeatedly-grown engine (the QueryEngine.compact
+    * contract): truncates the union-of-union lineage of the corpus-sized
+    * tables to plan depth 1 and releases the superseded caches. The tiny
+    * trained models (cents/codebooks) are shared with the new engine —
+    * they never grow. Returns a NEW engine; the old one must not be
+    * queried after. */
+  def compact(): VectorEngine = {
+    val cEmbs = embs.localCheckpoint(true)
+    val cAssigned = assigned.localCheckpoint(true)
+    val cCodes = codes.localCheckpoint(true)
+    (Seq(embs, assigned, codes) ++ extraCaches).foreach(_.unpersist(blocking = false))
+    new VectorEngine(spark, cEmbs, cents, cAssigned, codebooks, cCodes,
+      m, subDim, pqK)
+  }
 
   private def asEmbs(df: DataFrame): DataFrame =
     df.select(col("id").as("vec_id"), col("v").as("embedding"))

@@ -33,6 +33,70 @@ class InvarianceSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("10 sequential adds answer correctly and compact() flattens the plan") {
+    import graft.api.{QueryEngine, VectorEngine}
+    import graft.sources.SyntheticCorpus
+    // ANALYZED plan size: the depth every new query over the table pays in
+    // analysis/cache-lookup cost (optimizedPlan would hide it behind the
+    // InMemoryRelation substitution)
+    def planNodes(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect { case _ => 1 }.sum
+    // --- signature engine: 10 incremental doc batches -------------------
+    // the cap re-application would otherwise TRIPLE the plan per add
+    // (3^10 nodes); auto-compaction must keep analysis cost flat
+    val mp = graft.core.MinHashPipeline.Params(kShingle = 1)
+    val batches = (1 to 10).map(i =>
+      SyntheticCorpus.docs(spark, 5, seed = 100 + i)
+        .withColumn("doc_id", col("doc_id") + i * 1000))
+    var eng = QueryEngine.build(SyntheticCorpus.docs(spark, 30), mp = mp)
+    val stale = scala.collection.mutable.ArrayBuffer.empty[graft.api.QueryEngine]
+    for (more <- batches) {
+      stale += eng
+      eng = eng.addDocuments(more)
+    }
+    // flat plan depth across 10 adds (auto-compaction bound, not 3^10)
+    val grownDepth = planNodes(eng.index)
+    assert(grownDepth <= 3 * QueryEngine.CompactThreshold,
+      s"index plan grew to $grownDepth nodes")
+    val qSig = eng.sigs.filter(col("doc_id") === 3).head().getSeq[Long](1).toArray
+    val before = eng.query(qSig, 5)
+    // the grown engine answers exactly like a from-scratch build over the
+    // full corpus (keep-smallest cap algebra is closed under union)
+    val fresh = QueryEngine.build(
+      batches.foldLeft(SyntheticCorpus.docs(spark, 30))(_ unionByName _), mp = mp)
+    assert(fresh.query(qSig, 5) == before)
+    val compacted = eng.compact()
+    assert(compacted.query(qSig, 5) == before)
+    // compacted plans are single materialized scans
+    assert(planNodes(compacted.index) <= 2)
+    assert(planNodes(compacted.sigs) <= 2)
+    // adds after compaction keep working (same cap algebra)
+    val regrown = compacted.addDocuments(
+      SyntheticCorpus.docs(spark, 5, seed = 999).withColumn("doc_id", col("doc_id") + 99000))
+    assert(regrown.query(qSig, 5).length == 5)
+    regrown.close(); compacted.close(); fresh.close(); stale.foreach(_.close())
+    // --- vector engine: 10 incremental vector batches -------------------
+    var veng = VectorEngine.build(SyntheticCorpus.vectors(spark, 100))
+    val staleV = scala.collection.mutable.ArrayBuffer.empty[VectorEngine]
+    for (i <- 1 to 10) {
+      val more = SyntheticCorpus.vectors(spark, 5, seed = 100 + i)
+        .withColumn("vec_id", col("vec_id") + i * 1000)
+      staleV += veng
+      veng = veng.addVectors(more)
+    }
+    assert(planNodes(veng.codes) <= 3 * QueryEngine.CompactThreshold)
+    val q = veng.embs.filter(col("id") < 3)
+      .select(col("id").as("vec_id"), col("v").as("embedding"))
+    val beforeV = veng.topK(q, k = 3, mode = "ivfpq", nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    val compactedV = veng.compact()
+    val afterV = compactedV.topK(q, k = 3, mode = "ivfpq", nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(afterV == beforeV)
+    assert(planNodes(compactedV.codes) <= 2)
+    compactedV.close(); staleV.foreach(_.close())
+  }
+
   test("batch probe agrees with the single-vector probe, capped and uncapped") {
     val docs = spark.read.parquet(s"$testDataDir/documents.parquet")
     val sigs = MinHashPipeline.withSignature(docs, "text",
