@@ -8,9 +8,18 @@ import org.apache.spark.sql.SparkSession
   * Two passes: a warmup pass materializes the shared signature/postings
   * caches and compiles codegen (the reference times its LSH queries with a
   * prebuilt index too — results_synthetic.csv measures query-only), then
-  * the timed pass measures steady-state per-query wall time. Two extra
+  * the timed pass measures steady-state per-query wall time. The
   * `x_`-prefixed entries report reference-comparable probe numbers at the
-  * reference's own scale (20 000 docs, prebuilt index, k=5).
+  * reference's own scale (20 000 docs, prebuilt index, k=5) plus a 10x
+  * scale point (200k) for the flat-probe-cost / linear-build evidence.
+  *
+  * TIMING METHODOLOGY (changed in round 4, kept since): probes are
+  * min-of-3 after one warmup run and probes run BEFORE the catalog pass;
+  * catalog queries are min-of-2 (round 5). BENCH_r01-r03 were
+  * single-sample with probes last — cross-round comparisons against
+  * those files carry ±2-3x noise on sub-second entries; r4+ numbers are
+  * steady-state minima (comparable to the reference's prebuilt-index,
+  * query-only measurements).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -39,17 +48,29 @@ object Bench {
     if (!probesOnly) SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
+    // min-of-2 per catalog query: a single sample on a shared box folds
+    // GC/JIT pauses into the number (observed 2.9x spread on a trivial
+    // sub-second group-by between rounds); the min is the reproducible
+    // steady-state cost, which is what round-over-round diffs should see
     val results =
       if (probesOnly) Map.empty[String, Double]
       else SparkEntry.queries.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        name -> (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          (System.nanoTime() - t0) / 1e9
+        }.min
       }
-    val qs = (results ++ probeMetrics).map { case (k, v) => "\"" + k + "\":" + v }
+    // 6-decimal (μs) values keep the one-line JSON short enough that tail
+    // capture can't truncate it mid-object (r4's driver log cut a
+    // 17-digit-doubles line)
+    def f6(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.6f", Double.box(v))
+    val qs = (results ++ probeMetrics).map { case (k, v) => "\"" + k + "\":" + f6(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f6(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    System.out.flush()
     spark.stop()
   }
 
@@ -142,9 +163,63 @@ object Bench {
       def vecBatch(mode: String): Long = veng.topK(vq, k = 5, mode = mode).count()
       val vecExact = minOf3(() => vecBatch("exact"))
       val vecIvfpq = minOf3(() => vecBatch("ivfpq"))
-      // drop the probe engines' cached 20k-row pipelines: the catalog pass
-      // that follows must not pay CacheManager plan-compares and memory
+      // ---- the 10x scale point (200k docs / 200k vectors) ----
+      // The 100 TB design evidence the plan-shape arguments rest on:
+      // batch-probe cost must stay ~flat as the corpus grows 10x (the
+      // max_candidates cap bounds per-query scored rows regardless of
+      // index size) while index build scales ~linearly with rows. Same
+      // generators, same probe plans, same min-of-3 timing as the 20k
+      // reference-scale probes above.
+      veng.close()
+      // disk-resident probe with bucket pruning: the same batch against
+      // the SAVED bucketed postings table — candidate I/O bounded by the
+      // batch's buckets, not the index size (the 100 TB probe path; the
+      // cached-index probe above scans the whole in-memory index instead)
+      def bucketedBatch(e: graft.api.QueryEngine, table: String): Double = {
+        spark.sql(s"DROP TABLE IF EXISTS $table")
+        // a previous JVM's warehouse dir survives the in-memory catalog —
+        // remove the orphaned location or saveAsTable refuses the name
+        val loc = new java.io.File(
+          spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+        if (loc.exists()) {
+          import scala.reflect.io.Directory
+          new Directory(loc).deleteRecursively()
+        }
+        e.saveBucketed(table, buckets = 64)
+        val t = spark.table(table)
+        val qs = e.sigs.filter(col("doc_id") < 100)
+          .select(col("doc_id").as("query_id"), col("sig"))
+        minOf3(() => graft.core.Lsh.queryBatchBucketed(
+          e.sigs, t, qs, k = 5, maxCandidates = 2000).count())
+      }
+      val bucketed100At20k = bucketedBatch(eng, "graft_bench_bucketed_20k")
+      spark.catalog.clearCache()
+      val tB2 = System.nanoTime()
+      val eng200 = QueryEngine.build(
+        SyntheticCorpus.docs(spark, 200000),
+        mp = graft.core.MinHashPipeline.Params(kShingle = 1)).warmUp()
+      val buildSec200 = (System.nanoTime() - tB2) / 1e9
+      def qDf200(n: Int) = eng200.sigs.filter(col("doc_id") < n)
+        .select(col("doc_id").as("query_id"), col("sig"))
+      def lshBatch200(n: Int): Long =
+        graft.core.Lsh.queryBatch(eng200.sigs, eng200.index, qDf200(n), k = 5,
+          maxCandidates = 2000).count()
+      val batch100At200k = minOf3(() => lshBatch200(100))
+      val bucketed100At200k = bucketedBatch(eng200, "graft_bench_bucketed_200k")
+      val tV2 = System.nanoTime()
+      val veng200 = graft.api.VectorEngine.build(
+        graft.sources.SyntheticCorpus.vectors(spark, 200000)).warmUp()
+      val vecBuild200 = (System.nanoTime() - tV2) / 1e9
+      val vq200 = veng200.embs.filter(col("id") < 100)
+        .select(col("id").as("vec_id"), col("v").as("embedding"))
+      val vecIvfpq200 = minOf3(() => veng200.topK(vq200, k = 5, mode = "ivfpq").count())
+      // the contrast row: the exact scan pays the full 10x corpus growth
+      // while the coarse-pruned compressed path above stays ~flat
+      val vecExact200 = minOf3(() => veng200.topK(vq200, k = 5, mode = "exact").count())
+      // drop the probe engines' cached pipelines: the catalog pass that
+      // follows must not pay CacheManager plan-compares and memory
       // pressure against them (mirror of the clearCache() on entry)
+      veng200.close()
       spark.catalog.clearCache()
       Map(
         "x_index_build_sec_20kdocs" -> buildSec,
@@ -154,6 +229,18 @@ object Bench {
         "x_brute_batch100_queries_sec_20kdocs" -> brute100,
         "x_vec_build_sec_20kvecs" -> vecBuild,
         "x_vec_exact_batch100_sec_20kvecs" -> vecExact,
-        "x_vec_ivfpq_batch100_sec_20kvecs" -> vecIvfpq)
-    } catch { case _: Throwable => Map.empty[String, Double] }
+        "x_vec_ivfpq_batch100_sec_20kvecs" -> vecIvfpq,
+        "x_index_build_sec_200kdocs" -> buildSec200,
+        "x_lsh_batch100_queries_sec_200kdocs" -> batch100At200k,
+        "x_lsh_bucketed_batch100_sec_20kdocs" -> bucketed100At20k,
+        "x_lsh_bucketed_batch100_sec_200kdocs" -> bucketed100At200k,
+        "x_vec_build_sec_200kvecs" -> vecBuild200,
+        "x_vec_exact_batch100_sec_200kvecs" -> vecExact200,
+        "x_vec_ivfpq_batch100_sec_200kvecs" -> vecIvfpq200)
+    } catch { case e: Throwable =>
+      // never sink the whole bench line, but say WHY the probes vanished
+      System.err.println(s"[bench] probe metrics failed: $e")
+      e.printStackTrace()
+      Map.empty[String, Double]
+    }
 }

@@ -129,6 +129,11 @@ object Lsh {
     * stats table itself is distributed), so the threshold bounds driver
     * memory at ~tens of MB. */
   final val DriverStatsMaxEntries: Long = 1L << 20
+
+  /** Largest batch the capped [[queryBatch]] will collect to the driver
+    * for the jobless band-prefix fold (≈10 MB of signatures at 128
+    * longs/query); bigger batches keep the fully distributed cap plan. */
+  final val DriverBatchMaxQueries: Int = 10000
   private val statsMapCache =
     new java.util.LinkedHashMap[DataFrame, Map[(Int, Long, Long), Long]](16, 0.75f, true) {
       override def removeEldestEntry(
@@ -468,15 +473,60 @@ object Lsh {
       else {
         // Per-query cap WITHOUT materializing candidates: each query hits
         // one bucket per band, so its per-band hit count is that bucket's
-        // size — join the 32-rows-per-query postings against the cached
-        // bucket-stats table (never the full index), fold each query's
-        // sorted sizes into its allowed band prefix, and probe the index
-        // for allowed (query, band)s only. Over-cap candidate rows are
-        // never generated — the reference's early-exit cost shape.
-        val sized = bucketSizes(index).join(broadcast(qPost), joinKeys)
-          .select("query_id", "band", "n")
-        val allowed = allowedBandPrefix(sized, Seq("query_id"), maxCandidates)
-        val qPostAllowed = qPost.join(allowed, Seq("query_id", "band"))
+        // size. When the index warmed its DRIVER stats map and the batch
+        // is driver-collectable, the whole query side goes local: collect
+        // the batch once, compute each query's band keys by driver-
+        // evaluating the same Catalyst XxHash64 expressions
+        // ([[queryKeysLocal]] — bit-identical to the index build), fold
+        // its allowed band prefix against the stats map (the same
+        // takeWhile as the distributed fold: missing buckets contribute
+        // nothing either way), and inject the allowed postings as a
+        // broadcast LocalRelation — the distributed stats-join and
+        // per-query fold aggregation stages vanish from the plan.
+        // Otherwise: join the 32-rows-per-query postings against the
+        // CACHED bucket-stats table (never the full index), fold each
+        // query's sorted sizes into its allowed band prefix in-plan, and
+        // probe the index for allowed (query, band)s only. Both shapes
+        // never generate over-cap candidate rows — the reference's
+        // early-exit cost shape.
+        val localQPost = driverStats(index).flatMap { m =>
+          val collected = queries.select(col("query_id"), col("sig"))
+            .limit(DriverBatchMaxQueries + 1).collect()
+          if (collected.length > DriverBatchMaxQueries) None
+          else Some {
+            val rows = collected.flatMap { r =>
+              val keys = queryKeysLocal(r.getSeq[Long](1).toArray, p)
+              var before = 0L
+              val out = scala.collection.mutable.ArrayBuffer
+                .empty[org.apache.spark.sql.Row]
+              var i = 0
+              while (i < keys.length && before < maxCandidates) {
+                val (b, k64, k64b) = keys(i)
+                m.get((b, k64, k64b)).foreach { n =>
+                  out += org.apache.spark.sql.Row(r.get(0), b, k64, k64b)
+                  before += n
+                }
+                i += 1
+              }
+              out
+            }
+            import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+            val schema = StructType(Seq(
+              queries.schema.find(_.name == "query_id")
+                .getOrElse(StructField("query_id", LongType)).copy(name = "query_id"),
+              StructField("band", IntegerType, nullable = false),
+              StructField("key64", LongType, nullable = false),
+              StructField("key64b", LongType, nullable = false)))
+            import scala.jdk.CollectionConverters._
+            queries.sparkSession.createDataFrame(rows.toSeq.asJava, schema)
+          }
+        }
+        val qPostAllowed = localQPost.getOrElse {
+          val sized = bucketSizes(index).join(broadcast(qPost), joinKeys)
+            .select("query_id", "band", "n")
+          val allowed = allowedBandPrefix(sized, Seq("query_id"), maxCandidates)
+          qPost.join(allowed, Seq("query_id", "band"))
+        }
         index.join(broadcast(qPostAllowed), joinKeys)
           .select("query_id", "band", "id")
       }
@@ -501,6 +551,27 @@ object Lsh {
     grouped.select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "hit")))
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
         col("hit.id").as("id"), col("hit.score").as("score"))
+  }
+
+  /** Batch probe against a disk-resident BUCKETED postings table (saved
+    * via `QueryEngine.saveBucketed`) with bucket pruning: the BATCH's
+    * distinct `key64` values (≤ |queries| × bands longs — one tiny
+    * driver collect over the query side only, never the index) reach the
+    * parquet scan as literal IN predicates, so Spark reads ONLY the
+    * matching buckets' files. Candidate-generation I/O is then bounded
+    * by the batch's bucket membership, not the index size — the
+    * disk-resident form of the flat-probe-cost claim, and the batch twin
+    * of [[querySignatureBucketed]]. Results are identical to
+    * [[queryBatch]] over the full index (the filter only removes rows
+    * the equi-join would drop). */
+  def queryBatchBucketed(sigs: DataFrame, bucketedIndex: DataFrame,
+                         queries: DataFrame, k: Int,
+                         p: Params = Params(), maxCandidates: Int = 0): DataFrame = {
+    val keys = withBucketKeys(
+      queries.select(posexplode(bandSlices(col("sig"), p)).as(Seq("band", "band_key"))))
+      .select("key64").distinct().collect().map(_.getLong(0)).toSeq
+    val pruned = bucketedIndex.filter(col("key64").isin(keys: _*))
+    queryBatch(sigs, pruned, queries, k, p, maxCandidates)
   }
 
   /** All-pairs near-duplicate candidates from the index: ids sharing at

@@ -134,6 +134,41 @@ class DedupSpec extends SparkSpec {
     assert(viaBucketed.collect().toSeq == viaCached.collect().toSeq)
   }
 
+  test("bucketed BATCH probe prunes buckets and matches queryBatch, capped and uncapped") {
+    val docs500 = spark.read.parquet(s"$testDataDir/documents.parquet")
+    val eng = graft.api.QueryEngine.build(docs500,
+      mp = graft.core.MinHashPipeline.Params(kShingle = 3))
+    spark.sql("DROP TABLE IF EXISTS graft_postings_pb")
+    val loc = new java.io.File("spark-warehouse/graft_postings_pb")
+    if (loc.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(loc).deleteRecursively()
+    }
+    // 3 queries x 32 bands = ≤96 distinct keys over 64 buckets: pruning
+    // must select a strict subset (10 queries over 16 buckets covers all
+    // 16 and proves nothing)
+    eng.saveBucketed("graft_postings_pb", buckets = 64)
+    val t = spark.table("graft_postings_pb")
+    val queries = eng.sigs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("sig"))
+    for (cap <- Seq(0, 50)) {
+      val viaBucketed = graft.core.Lsh.queryBatchBucketed(
+        eng.sigs, t, queries, k = 5, maxCandidates = cap)
+      // the batch's distinct key64 literals must engage bucket pruning —
+      // candidate I/O bounded by the batch's buckets, not the index size
+      val p = viaBucketed.queryExecution.executedPlan.toString
+      val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(p)
+      assert(m.isDefined, p.take(3000))
+      assert(m.get.group(1).toInt < m.get.group(2).toInt)
+      val viaCached = graft.core.Lsh.queryBatch(
+        eng.sigs, eng.index, queries, k = 5, maxCandidates = cap)
+      val key = (r: org.apache.spark.sql.Row) =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))
+      assert(viaBucketed.collect().map(key).sortBy(identity).toSeq ==
+        viaCached.collect().map(key).sortBy(identity).toSeq)
+    }
+  }
+
   test("bucketed postings self-join on key64 plans with no Exchange on either side") {
     val docs500 = spark.read.parquet(s"$testDataDir/documents.parquet")
     val eng = graft.api.QueryEngine.build(docs500,

@@ -114,4 +114,24 @@ class InvarianceSpec extends SparkSpec {
       assert(batch == single, s"cap=$cap qid=$qid")
     }
   }
+
+  test("capped batch probe is identical before and after driver-stats warm-up") {
+    // the warm path folds each query's band prefix on the driver and
+    // injects a LocalRelation; the cold path runs the distributed
+    // stats-join + in-plan fold — outputs must be bit-identical
+    val docs = spark.read.parquet(s"$testDataDir/documents.parquet")
+    val sigs = MinHashPipeline.withSignature(docs, "text",
+      MinHashPipeline.Params(kShingle = 3)).select("doc_id", "sig").cache()
+    val index = Lsh.postings(sigs, "doc_id", "sig").cache()
+    val queries = sigs.filter(col("doc_id") < 25)
+      .select(col("doc_id").as("query_id"), col("sig"))
+    def run() = Lsh.queryBatch(sigs, index, queries, 5, maxCandidates = 200)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(identity).toSeq
+    val cold = run()
+    assert(Lsh.warmDriverStats(index))
+    val warm = run()
+    assert(warm == cold)
+    index.unpersist(); sigs.unpersist()
+  }
 }
