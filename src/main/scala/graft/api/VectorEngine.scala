@@ -42,7 +42,8 @@ final class VectorEngine private (
   }
 
   /** Batch top-k: `queries` is (vec_id, embedding); output
-    * (query_id, rank, id) — rank 1 best. */
+    * (query_id, rank, id) — rank 1 best. `ivfpq_rerank` re-scores the
+    * compressed shortlist (4k deep) exactly — the FAISS refine stage. */
   def topK(queries: DataFrame, k: Int = 10, mode: String = "ivfpq",
            nprobe: Int = 3): DataFrame = mode match {
     case "exact" =>
@@ -54,8 +55,12 @@ final class VectorEngine private (
     case "ivfpq" =>
       Pq.ivfAdcTopK(codes, assigned, codebooks, cents, queries, k, nprobe,
         m, subDim, pqK)
+    case "ivfpq_rerank" =>
+      Pq.ivfAdcRerankTopK(codes, assigned, codebooks, cents, asEmbs(embs),
+        queries, k, shortlist = 4 * k, nprobe = nprobe, m = m,
+        subDim = subDim, codewords = pqK)
     case other => throw new IllegalArgumentException(
-      s"unknown mode '$other' (exact | ivf | pq | ivfpq)")
+      s"unknown mode '$other' (exact | ivf | pq | ivfpq | ivfpq_rerank)")
   }
 
   /** Single-vector probe through the same compiled plans: the vector

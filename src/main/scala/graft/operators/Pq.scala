@@ -172,6 +172,38 @@ object Pq {
         .agg(top_k_by_score(col("score"), col("id"), k).as("topk")))
   }
 
+  /** IVF-PQ with exact re-ranking (the FAISS refine pattern —
+    * Jégou et al. 2011 §V.A's asymmetric re-ranking stage): the
+    * compressed coarse-pruned ADC pass produces a SHORTLIST of
+    * `shortlist` ids per query, then only those rows are re-scored
+    * exactly (float negative squared L2, the metric ADC approximates)
+    * and reduced to the final k — compressed-index recall, exact-scan
+    * precision. The float corpus is probed by a broadcast hash join on
+    * the O(queries × shortlist) shortlist (never scanned ranked); with
+    * a corpus bucketed/sorted by id the probe prunes to the matching
+    * buckets, the point-lookup shape a 100 TB serving tier wants.
+    * Output (query_id, rank, id) — rank by the exact score. */
+  def ivfAdcRerankTopK(packed: DataFrame, assigned: DataFrame,
+                       codebooks: DataFrame, cents: DataFrame,
+                       embs: DataFrame, queries: DataFrame,
+                       k: Int, shortlist: Int, nprobe: Int,
+                       m: Int, subDim: Int, codewords: Int = 16,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(shortlist >= k, "shortlist must be >= k")
+    val short = ivfAdcTopK(packed, assigned, codebooks, cents, queries,
+      shortlist, nprobe, m, subDim, codewords, idCol, vecCol)
+      .select(col("query_id"), col("id"))
+    val base = embs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+    Ann.explodeTopK(
+      base.join(broadcast(short), "id")
+        .join(broadcast(q), "query_id")
+        .select(col("query_id"), col("id"),
+          neg_l2_float(col("v"), col("qv")).as("score"))
+        .groupBy("query_id")
+        .agg(top_k_by_score(col("score"), col("id"), k).as("topk")))
+  }
+
   /** One-row (books_flat: array<float>) frame: the codebooks flattened
     * (subspace-major, codeword-minor, dim-innermost) — the broadcastable
     * layout [[graft.core.Kernels.pqEncode]] scans. Pass a coarse-centroid

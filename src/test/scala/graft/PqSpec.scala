@@ -48,6 +48,37 @@ class PqSpec extends SparkSpec {
     assert(hits >= 20 * 5 * 0.2, s"ADC recall too low: $hits/100")
   }
 
+  test("ivfpq rerank with exhaustive shortlist equals exact L2 search") {
+    // probe every cluster and shortlist the whole corpus: the compressed
+    // pass then only PROPOSES candidates and the exact re-score decides —
+    // output must equal brute-force neg-L2 top-k bit-for-bit
+    val n = embs.count().toInt
+    val queries = embs.filter(col("vec_id") < 10)
+    val cents = Ann.kmeansTrain(embs, k = 4, iters = 2)
+    val assigned = graft.api.VectorEngine.assign(
+      embs.select(col("vec_id").cast("long").as("id"), col("embedding").as("v")),
+      cents)
+    val codes = Pq.packCodes(Pq.encode(embs, books, m = 8, subDim = 8))
+    val rerank = Pq.ivfAdcRerankTopK(codes, assigned, books, cents, embs,
+      queries, k = 5, shortlist = n, nprobe = 4, m = 8, subDim = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    val exact = Ann.bruteForceTopK(embs, queries, k = 5, neg_l2_float)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(rerank == exact)
+    // a realistic shortlist: rerank recall >= plain ivfpq recall (the
+    // refine stage can only improve the ordering of what ivfpq surfaces)
+    val short = Pq.ivfAdcRerankTopK(codes, assigned, books, cents, embs,
+      queries, k = 5, shortlist = 25, nprobe = 2, m = 8, subDim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val plain = Pq.ivfAdcTopK(codes, assigned, books, cents, queries,
+      k = 5, nprobe = 2, m = 8, subDim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val truth = exact.map(t => (t._1, t._3)).toSet
+    val rs = short.count(truth.contains)
+    val rp = plain.count(truth.contains)
+    assert(rs >= rp, s"rerank recall $rs < ivfpq recall $rp")
+  }
+
   test("joint trainer equals per-subspace kmeansTrain exactly") {
     import org.apache.spark.sql.functions.slice
     val joint = Pq.train(embs, m = 2, subDim = 32, k = 4, iters = 2)
