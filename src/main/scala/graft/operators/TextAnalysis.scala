@@ -93,6 +93,35 @@ object TextAnalysis {
         element_at(col("st"), 4).as("top_bigram_frac"))
   }
 
+  /** Gopher-style rule-based document filter (Rae et al. 2021, App.
+    * A1.1 shape): composes the repetition signals and the composite
+    * quality score into the pretraining keep/drop decision as ONE pure
+    * projection — no shuffle at any scale. The output carries a
+    * failed-rule bitmask (1 too-short, 2 too-long, 4 low-quality,
+    * 8 dominant top token, 16 low distinct-token ratio) so every drop
+    * is auditable; `keep` = no rule failed. */
+  def qualityFilter(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                    minTokens: Long = 16, maxTokens: Long = 1000,
+                    minQuality: Double = 0.5, maxTopTokenFrac: Double = 0.2,
+                    minDistinctRatio: Double = 0.3): DataFrame = {
+    import graft.functions.GraftFunctions.repetition_stats
+    val st = repetition_stats(coalesce(col(textCol), lit("")))
+    docs.select(
+      col(idCol),
+      element_at(st, 1).cast("long").as("n_tokens"),
+      element_at(st, 2).as("distinct_token_ratio"),
+      element_at(st, 3).as("top_token_frac"),
+      qualityScore(col(textCol)).as("quality"))
+      .withColumn("fail_mask", (
+        when(col("n_tokens") < minTokens, 1).otherwise(0) +
+          when(col("n_tokens") > maxTokens, 2).otherwise(0) +
+          when(col("quality") < minQuality, 4).otherwise(0) +
+          when(col("top_token_frac") > maxTopTokenFrac, 8).otherwise(0) +
+          when(col("distinct_token_ratio") < minDistinctRatio, 16).otherwise(0))
+        .cast("int"))
+      .withColumn("keep", col("fail_mask") === 0)
+  }
+
   /** One-stop projection of all text-analysis columns. */
   def analyze(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(
