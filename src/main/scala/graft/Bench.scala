@@ -206,6 +206,14 @@ object Bench {
           maxCandidates = 2000).count()
       val batch100At200k = minOf3(() => lshBatch200(100))
       val bucketed100At200k = bucketedBatch(eng200, "graft_bench_bucketed_200k")
+      // single-probe latency ABOVE the driver-replica threshold (6.4M
+      // postings > 1M): the distributed capped plan with the driver-folded
+      // band prefix — the latency class a >1M-postings index serves at
+      val someSigs200 = eng200.sigs.filter(col("doc_id") < 30)
+        .orderBy("doc_id").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+      val singleAvg200 = minOf3(() =>
+        (5L until 25L).foreach(i => eng200.query(someSigs200(i), 5))) / 20.0
       val tV2 = System.nanoTime()
       val veng200 = graft.api.VectorEngine.build(
         graft.sources.SyntheticCorpus.vectors(spark, 200000)).warmUp()
@@ -232,6 +240,7 @@ object Bench {
         "x_vec_ivfpq_batch100_sec_20kvecs" -> vecIvfpq,
         "x_index_build_sec_200kdocs" -> buildSec200,
         "x_lsh_batch100_queries_sec_200kdocs" -> batch100At200k,
+        "x_lsh_single_query_avg_sec_200kdocs" -> singleAvg200,
         "x_lsh_bucketed_batch100_sec_20kdocs" -> bucketed100At20k,
         "x_lsh_bucketed_batch100_sec_200kdocs" -> bucketed100At200k,
         "x_vec_build_sec_200kvecs" -> vecBuild200,
