@@ -105,13 +105,16 @@ final class QueryEngine private (
       index.unionByName(Lsh.postings(newSigs, "doc_id", "sig", params)),
       params.maxBucketSize).cache()
     val grown = new QueryEngine(spark, allSigs, allIndex, params, mpParams)
-    val nodes = allIndex.queryExecution.analyzed.collect { case _ => 1 }.sum
-    if (nodes > QueryEngine.CompactThreshold) grown.compact() else grown
+    if (QueryEngine.planNodes(allIndex) > QueryEngine.CompactThreshold)
+      grown.compact()
+    else grown
   }
 
-  /** Release this engine's cached tables (the grown-engine lifecycle
+  /** Release this engine's cached tables AND the driver-resident
+    * replica/stats Lsh holds for its index (the grown-engine lifecycle
     * counterpart of addDocuments). The engine must not be queried after. */
   def close(): Unit = {
+    Lsh.evictDriverState(index)
     sigs.unpersist(blocking = false)
     index.unpersist(blocking = false)
   }
@@ -172,6 +175,12 @@ object QueryEngine {
 
   /** Analyzed-plan node budget before addDocuments auto-compacts. */
   final val CompactThreshold = 256
+
+  /** Analyzed-plan node count — the growth metric both engines' add
+    * paths compare against [[CompactThreshold]] (shared so the two
+    * growth disciplines cannot silently diverge). */
+  private[api] def planNodes(df: DataFrame): Int =
+    df.queryExecution.analyzed.collect { case _ => 1 }.sum
 
   /** Driver-side signature of one text through the SAME kernels the
     * distributed pipeline runs (Shingling null guard included) — no Spark

@@ -32,6 +32,10 @@ final class VectorEngine private (
     val codebooks: DataFrame, // (subspace, centroid_id, cv)
     val codes: DataFrame,     // (id, codes int[m]) — packed, kernel-ready
     val m: Int, val subDim: Int, val pqK: Int,
+    // actual trained coarse-centroid count (== cents row count; may be
+    // below the requested k on tiny corpora) — carried so incremental
+    // adds never re-count
+    val nCents: Int,
     // backing caches that assigned/codes may be mere projections of
     // (the fused assign+encode table) — released by close()
     private val extraCaches: Seq[DataFrame] = Nil) {
@@ -85,15 +89,19 @@ final class VectorEngine private (
                  vecCol: String = "embedding"): VectorEngine = {
     val nb = newEmbs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")).cache()
     val combined = VectorEngine.fusedAssignEncode(
-      nb, cents, codebooks, cents.count().toInt, m, pqK).cache()
+      nb, cents, codebooks, nCents, m, pqK).cache()
     val grown = new VectorEngine(spark, embs.unionByName(nb).cache(), cents,
       assigned.unionByName(combined.select("id", "centroid_id")).cache(),
       codebooks,
       codes.unionByName(combined.select("id", "codes")).cache(), m, subDim, pqK,
-      extraCaches = Seq(combined))
+      nCents,
+      // nb rides in extraCaches so close()/compact() release it — without
+      // this every add leaked one cached batch until the context stopped
+      extraCaches = Seq(combined, nb))
     // bound plan growth under repeated adds (the QueryEngine discipline)
-    val nodes = grown.codes.queryExecution.analyzed.collect { case _ => 1 }.sum
-    if (nodes > QueryEngine.CompactThreshold) grown.compact() else grown
+    if (QueryEngine.planNodes(grown.codes) > QueryEngine.CompactThreshold)
+      grown.compact()
+    else grown
   }
 
   /** Persist every index artifact; `load` restores without retraining. */
@@ -125,7 +133,7 @@ final class VectorEngine private (
     val cCodes = codes.localCheckpoint(true)
     (Seq(embs, assigned, codes) ++ extraCaches).foreach(_.unpersist(blocking = false))
     new VectorEngine(spark, cEmbs, cents, cAssigned, codebooks, cCodes,
-      m, subDim, pqK)
+      m, subDim, pqK, nCents)
   }
 
   private def asEmbs(df: DataFrame): DataFrame =
@@ -183,23 +191,29 @@ object VectorEngine {
                  // recomputed every Lloyd's round
     val cents = Ann.kmeansTrain(base, nCents, centIters, "id", "v")
     val books = Pq.train(base, m, subDim, pqK, pqIters, "id", "v").cache()
-    val combined = fusedAssignEncode(base, cents, books, nCents, m, pqK).cache()
+    // the ACTUAL trained counts (tiny corpora yield fewer than requested);
+    // the engine's pqK is the LUT/codebook stride, so it must match what
+    // was trained or every encode/ADC shape check downstream throws
+    val nc = cents.count().toInt
+    val pqKEff = (books.count() / m).toInt
+    val combined = fusedAssignEncode(base, cents, books, nc, m, pqKEff).cache()
     new VectorEngine(spark, base, cents,
       combined.select("id", "centroid_id"), books,
-      combined.select("id", "codes"), m, subDim, pqK,
+      combined.select("id", "codes"), m, subDim, pqKEff, nc,
       extraCaches = Seq(combined))
   }
 
   /** Restore a saved index (no retraining). */
   def load(spark: SparkSession, dir: String): VectorEngine = {
     val p = spark.read.json(s"$dir/params").head()
+    val cents = spark.read.parquet(s"$dir/cents").cache()
     new VectorEngine(spark,
       spark.read.parquet(s"$dir/embs").cache(),
-      spark.read.parquet(s"$dir/cents").cache(),
+      cents,
       spark.read.parquet(s"$dir/assigned").cache(),
       spark.read.parquet(s"$dir/codebooks").cache(),
       spark.read.parquet(s"$dir/codes").cache(),
       p.getAs[Long]("m").toInt, p.getAs[Long]("sub_dim").toInt,
-      p.getAs[Long]("pq_k").toInt)
+      p.getAs[Long]("pq_k").toInt, cents.count().toInt)
   }
 }

@@ -222,6 +222,20 @@ object Lsh {
   def driverIndexFor(index: DataFrame): Option[DriverIndex] =
     driverIndexCache.synchronized(Option(driverIndexCache.get(index)))
 
+  /** Release every driver-side artifact held for `index` (stats map,
+    * serving replica, cached stats table) — called by
+    * `QueryEngine.close()` so a closed engine's tens-of-MB replica does
+    * not stay pinned on the driver until LRU eviction. */
+  def evictDriverState(index: DataFrame): Unit = {
+    statsMapCache.synchronized(statsMapCache.remove(index))
+    driverIndexCache.synchronized(driverIndexCache.remove(index))
+    sizeCache.synchronized {
+      val cached = sizeCache.remove(index)
+      if (cached != null && !index.sparkSession.sparkContext.isStopped)
+        cached.unpersist(blocking = false)
+    }
+  }
+
   /** Zero-job capped probe against a driver replica: the same band-prefix
     * cap fold, candidate dedup, m/128 estimated-Jaccard and
     * (score desc, id asc) top-k as the distributed capped path — executed
@@ -463,7 +477,16 @@ object Lsh {
     * the candidate set is NOT broadcast — it grows with batch size and
     * bucket skew, so AQE picks the join strategy. */
   def queryBatch(sigs: DataFrame, index: DataFrame, queries: DataFrame, k: Int,
-                 p: Params = Params(), maxCandidates: Int = 0): DataFrame = {
+                 p: Params = Params(), maxCandidates: Int = 0): DataFrame =
+    queryBatchImpl(sigs, index, queries, k, p, maxCandidates, None)
+
+  /** `statsOverride`: bucket stats for a one-off index view (the bucketed
+    * pruned scan) — bypasses [[bucketSizes]]' identity-keyed cache, which
+    * a fresh DataFrame per call would churn (each miss builds and caches
+    * a stats table and evicts a live index's). */
+  private def queryBatchImpl(sigs: DataFrame, index: DataFrame, queries: DataFrame,
+                             k: Int, p: Params, maxCandidates: Int,
+                             statsOverride: Option[DataFrame]): DataFrame = {
     import graft.functions.TopKByScore.top_k_by_score_distinct
     val qPost = withBucketKeys(queries.select(col("query_id"),
       posexplode(bandSlices(col("sig"), p)).as(Seq("band", "band_key"))))
@@ -522,7 +545,8 @@ object Lsh {
           }
         }
         val qPostAllowed = localQPost.getOrElse {
-          val sized = bucketSizes(index).join(broadcast(qPost), joinKeys)
+          val sized = statsOverride.getOrElse(bucketSizes(index))
+            .join(broadcast(qPost), joinKeys)
             .select("query_id", "band", "n")
           val allowed = allowedBandPrefix(sized, Seq("query_id"), maxCandidates)
           qPost.join(allowed, Seq("query_id", "band"))
@@ -571,7 +595,11 @@ object Lsh {
       queries.select(posexplode(bandSlices(col("sig"), p)).as(Seq("band", "band_key"))))
       .select("key64").distinct().collect().map(_.getLong(0)).toSeq
     val pruned = bucketedIndex.filter(col("key64").isin(keys: _*))
-    queryBatch(sigs, pruned, queries, k, p, maxCandidates)
+    // stats computed inline over the PRUNED scan (identical counts for the
+    // batch's buckets — pruning only removes non-matching key64 rows)
+    val prunedStats = pruned.groupBy("band", "key64", "key64b")
+      .agg(count(lit(1)).as("n"))
+    queryBatchImpl(sigs, pruned, queries, k, p, maxCandidates, Some(prunedStats))
   }
 
   /** All-pairs near-duplicate candidates from the index: ids sharing at

@@ -99,6 +99,9 @@ object Ann {
       .select(col("centroid_id").cast("long").as("centroid_id"), col("s.v").as("cv"))
       .coalesce(1)
       .localCheckpoint(true)
+    // a corpus smaller than k yields fewer centroids — the kernel's flat
+    // codebook must be sized by the ACTUAL count or its shape check throws
+    val kEff = cents.count().toInt
     var it = 0
     while (it < iters) {
       // assignment via the pq_encode kernel (m=1): argmin centroid in one
@@ -113,7 +116,7 @@ object Ann {
         .select(col("books_flat").as("cents_flat"))
       val means = base.crossJoin(broadcast(centsRow))
         .select(element_at(
-          graft.functions.GraftFunctions.pq_encode(col("v"), col("cents_flat"), 1, k), 1)
+          graft.functions.GraftFunctions.pq_encode(col("v"), col("cents_flat"), 1, kEff), 1)
           .cast("long").as("centroid_id"), col("v"))
         .select(col("centroid_id"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("centroid_id", "dim")

@@ -27,10 +27,14 @@ object Joins {
     * is the plan a native as-of engine (kdb, QuestDB) executes, with AQE
     * handling key skew.
     *
-    * Duplicate right rows per (keys, ts) are resolved DETERMINISTICALLY:
-    * the max payload struct (field-order comparison) wins — the same
-    * max-by aggregation both engines compute identically, instead of a
-    * union-order tie-break that would vary run to run.
+    * Duplicate right rows per (keys, ts) are resolved DETERMINISTICALLY
+    * when `dedupRight` (the default): the max payload struct (field-order
+    * comparison) wins — the same max-by aggregation both engines compute
+    * identically, instead of a union-order tie-break that would vary run
+    * to run. Pass `dedupRight = false` when the right side is already
+    * unique per (keys, ts) — it skips the extra aggregation exchange —
+    * or when a payload column is unorderable (e.g. a map, which the
+    * max-struct aggregation rejects at analysis).
     *
     * Output: every left column, plus each payload column as
     * `$prefix$name` (nullable).
@@ -38,19 +42,24 @@ object Joins {
   def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
                    tsCol: String, payload: Seq[String],
                    prefix: String = "asof_",
-                   allowEqual: Boolean = true): DataFrame = {
+                   allowEqual: Boolean = true,
+                   dedupRight: Boolean = true): DataFrame = {
     val keyCols = keys.map(col)
     val rStruct = struct(payload.map(col): _*)
     // side ordering within an equal timestamp: right=0 before left=1 when
     // the match is inclusive; right=2 after left when strict
     val rightSide = if (allowEqual) 0 else 2
-    val r2 = right.select(
+    val rKeyed = right.select(
       keyCols :+ col(tsCol).cast("long").as("_ts") :+ rStruct.as("_r0"): _*)
-      // one partial+final hash agg on (keys, ts): unique inputs pass
-      // through untouched; duplicate (keys, ts) rows collapse to the max
-      // payload struct so the winner is data-determined, not order-determined
-      .groupBy(keyCols :+ col("_ts"): _*)
-      .agg(max(col("_r0")).as("_r"))
+    val rUnique =
+      if (!dedupRight) rKeyed.select(keyCols :+ col("_ts") :+ col("_r0").as("_r"): _*)
+      else rKeyed
+        // one partial+final hash agg on (keys, ts): unique inputs pass
+        // through untouched; duplicate (keys, ts) rows collapse to the max
+        // payload struct so the winner is data-determined, not order-determined
+        .groupBy(keyCols :+ col("_ts"): _*)
+        .agg(max(col("_r0")).as("_r"))
+    val r2 = rUnique
       .select(keyCols :+ col("_ts") :+ lit(rightSide).as("_side") :+ col("_r"): _*)
     val l2 = left
       .withColumn("_l", struct(left.columns.map(col): _*))

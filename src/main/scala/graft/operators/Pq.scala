@@ -57,6 +57,9 @@ object Pq {
       .select(col("subspace"), col("centroid_id"), col("sub").as("cv"))
       .coalesce(1)
       .localCheckpoint(true)
+    // a corpus smaller than k seeds fewer codewords per subspace — size
+    // the kernel's flat codebook by the actual per-subspace count
+    val kEff = (cents.count() / m).toInt
     var it = 0
     while (it < iters) {
       // joint assignment of ALL m subspaces via one pq_encode projection
@@ -68,7 +71,7 @@ object Pq {
       val booksRow = packCodebooks(cents)
       val means = base.crossJoin(broadcast(booksRow))
         .select(col("v"),
-          graft.functions.GraftFunctions.pq_encode(col("v"), col("books_flat"), m, k)
+          graft.functions.GraftFunctions.pq_encode(col("v"), col("books_flat"), m, kEff)
             .as("codes"))
         .select(col("v"), posexplode(col("codes")).as(Seq("subspace", "code")))
         .select(col("subspace"), col("code").cast("long").as("centroid_id"),

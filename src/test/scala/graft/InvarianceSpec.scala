@@ -115,6 +115,24 @@ class InvarianceSpec extends SparkSpec {
     }
   }
 
+  test("capped SINGLE probe via driver stats (no replica) equals the cold plan") {
+    // the querySignature branch for indexes that warmed their stats map
+    // but are too big for a driver replica (>1M postings, <=1M buckets):
+    // fold the band prefix from the map, keep the distributed probe
+    val docs = spark.read.parquet(s"$testDataDir/documents.parquet")
+    val sigs = MinHashPipeline.withSignature(docs, "text",
+      MinHashPipeline.Params(kShingle = 3)).select("doc_id", "sig").cache()
+    val index = Lsh.postings(sigs, "doc_id", "sig").cache()
+    val qSig = sigs.filter(col("doc_id") === 7).head().getSeq[Long](1).toArray
+    def run() = Lsh.querySignature(sigs, index, qSig, 5, maxCandidates = 200)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Long](2))).toSeq
+    val cold = run()
+    assert(Lsh.warmDriverStats(index)) // stats ONLY — no warmDriverIndex
+    val warm = run()
+    assert(warm == cold)
+    index.unpersist(); sigs.unpersist()
+  }
+
   test("capped batch probe is identical before and after driver-stats warm-up") {
     // the warm path folds each query's band prefix on the driver and
     // injects a LocalRelation; the cold path runs the distributed

@@ -56,6 +56,21 @@ class VectorEngineSpec extends SparkSpec {
     assert(hits.head == (7L, 1))
   }
 
+  test("build handles a corpus smaller than the requested k") {
+    // 5 vectors against the default nCents=8 / pqK=16: training yields 5
+    // centroids and 5 codewords per subspace; every mode must still answer
+    // (this crashed with a pq_encode shape error before the kEff fix)
+    val tiny = graft.sources.SyntheticCorpus.vectors(spark, 5)
+    val eng = graft.api.VectorEngine.build(tiny)
+    assert(eng.nCents == 5 && eng.pqK == 5)
+    val q = tiny.filter(col("vec_id") < 2)
+    for (mode <- Seq("exact", "ivf", "pq", "ivfpq", "ivfpq_rerank")) {
+      val hits = eng.topK(q, k = 3, mode = mode).collect()
+      assert(hits.nonEmpty, mode)
+    }
+    eng.close()
+  }
+
   test("unknown mode is rejected") {
     intercept[IllegalArgumentException] {
       eng.topK(embs.limit(1), mode = "hnsw")
