@@ -595,11 +595,13 @@ object Lsh {
       queries.select(posexplode(bandSlices(col("sig"), p)).as(Seq("band", "band_key"))))
       .select("key64").distinct().collect().map(_.getLong(0)).toSeq
     val pruned = bucketedIndex.filter(col("key64").isin(keys: _*))
-    // stats computed inline over the PRUNED scan (identical counts for the
-    // batch's buckets — pruning only removes non-matching key64 rows)
-    val prunedStats = pruned.groupBy("band", "key64", "key64b")
-      .agg(count(lit(1)).as("n"))
-    queryBatchImpl(sigs, pruned, queries, k, p, maxCandidates, Some(prunedStats))
+    // stats keyed off the CALLER'S table handle (identity-cached): a
+    // serving loop holding one handle pays the full-table stats build
+    // once, then every probe folds its cap at cached-stats cost. The
+    // per-call pruned view cannot be identity-cached, and its counts
+    // restricted by the probe join are identical to the full table's.
+    queryBatchImpl(sigs, pruned, queries, k, p, maxCandidates,
+      Some(bucketSizes(bucketedIndex)))
   }
 
   /** All-pairs near-duplicate candidates from the index: ids sharing at
