@@ -591,9 +591,20 @@ object Lsh {
   def queryBatchBucketed(sigs: DataFrame, bucketedIndex: DataFrame,
                          queries: DataFrame, k: Int,
                          p: Params = Params(), maxCandidates: Int = 0): DataFrame = {
+    // key collection is driver-bounded: bucket pruning needs the keys as
+    // literals, so this path is for latency-class batches (the serving
+    // shape). A batch above the bound should run queryBatch over the
+    // cached/parquet index directly — at that size the scan amortizes
+    // and an IN-list of hundreds of thousands of literals would choke
+    // planning long before the driver ran out of memory.
+    val maxKeys = DriverBatchMaxQueries * p.bands
     val keys = withBucketKeys(
       queries.select(posexplode(bandSlices(col("sig"), p)).as(Seq("band", "band_key"))))
-      .select("key64").distinct().collect().map(_.getLong(0)).toSeq
+      .select("key64").distinct().limit(maxKeys + 1)
+      .collect().map(_.getLong(0)).toSeq
+    require(keys.length <= maxKeys,
+      s"queryBatchBucketed: batch exceeds $maxKeys distinct bucket keys; " +
+        "use queryBatch over the cached index for scan-class batches")
     val pruned = bucketedIndex.filter(col("key64").isin(keys: _*))
     // stats keyed off the CALLER'S table handle (identity-cached): a
     // serving loop holding one handle pays the full-table stats build
