@@ -40,9 +40,11 @@ final class QueryEngine private (
   /** Single-vector top-k probe, k-padded like the reference response.
     * `maxCandidates` defaults to the reference's cap (minhash_lsh.py:70).
     * A warmed small index answers entirely on the driver (no Spark jobs —
-    * sub-ms, the reference's in-process latency class); otherwise the
-    * distributed probe plan runs (the only path for big indexes). Both
-    * paths are bit-identical (QueryEngineSpec). */
+    * sub-ms, the reference's in-process latency class); indexes above the
+    * replica bounds serve capped probes through the LRU probe cache
+    * (hot buckets + their signatures driver-resident; a cold probe pays
+    * one bucket-fetch job, repeats are in-process). Uncapped probes stay
+    * fully distributed. All paths are bit-identical (QueryEngineSpec). */
   def query(vector: Array[Long], k: Int = 10, maxCandidates: Int = 2000): Seq[Candidate] = {
     val hits = Lsh.driverIndexFor(index) match {
       case Some(di) =>
@@ -50,6 +52,10 @@ final class QueryEngine private (
         // bit-identical to the index side, no plan analysis per probe
         Lsh.queryDriverIndex(di, Lsh.queryKeysLocal(vector, params), vector,
           k, maxCandidates)
+          .map { case (id, score, prev) => Candidate(id, score, prev) }
+      case None if maxCandidates > 0 =>
+        Lsh.queryProbeCached(sigs, index, Lsh.queryKeysLocal(vector, params),
+          vector, k, maxCandidates)
           .map { case (id, score, prev) => Candidate(id, score, prev) }
       case None =>
         Lsh.querySignature(sigs, index, vector, k, params, maxCandidates)
@@ -210,23 +216,40 @@ object QueryEngine {
   /** Restore a saved index (restart-safe, unlike the reference's
     * memory-only worker state). Build params are read back from the
     * save-time `params` record so text signing and incremental growth
-    * stay in the saved signatures' shingle space; an index saved without
-    * one (pre-params layout) falls back to defaults. */
+    * stay in the saved signatures' shingle space. Only an index saved
+    * WITHOUT a params record (pre-params layout) falls back to defaults;
+    * a present-but-unreadable record throws — silently defaulting there
+    * would hand queryText/addDocuments a mismatched shingle space, the
+    * exact garbage-scores failure the record exists to prevent. */
   def load(spark: SparkSession, dir: String): QueryEngine = {
     val sigs = spark.read.parquet(s"$dir/signatures").cache()
     val index = spark.read.parquet(s"$dir/postings").cache()
+    val paramsPath = new org.apache.hadoop.fs.Path(s"$dir/params")
+    val fs = paramsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (lp, mp) =
-      try {
-        val r = spark.read.json(s"$dir/params").head()
-        (Lsh.Params(
+      if (!fs.exists(paramsPath)) (Lsh.Params(), MinHashPipeline.Params())
+      else {
+        val r =
+          try spark.read.json(s"$dir/params").head()
+          catch {
+            case e: Exception => throw new IllegalStateException(
+              s"unreadable index params at $dir/params — refusing to " +
+                "default (a mismatched shingle space silently corrupts " +
+                "scores); delete the params dir to force defaults", e)
+          }
+        try (Lsh.Params(
           bands = r.getAs[Long]("bands").toInt,
           numPerm = r.getAs[Long]("num_perm").toInt,
           maxBucketSize = r.getAs[Long]("max_bucket_size").toInt),
           MinHashPipeline.Params(
             kShingle = r.getAs[Long]("k_shingle").toInt,
             byWord = r.getAs[Boolean]("by_word")))
-      } catch {
-        case _: Exception => (Lsh.Params(), MinHashPipeline.Params())
+        catch {
+          case e: Exception => throw new IllegalStateException(
+            s"corrupt index params record at $dir/params — refusing to " +
+              "default (a mismatched shingle space silently corrupts " +
+              "scores); delete the params dir to force defaults", e)
+        }
       }
     new QueryEngine(spark, sigs, index, lp, mp)
   }

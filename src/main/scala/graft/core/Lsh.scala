@@ -126,9 +126,21 @@ object Lsh {
     * `QueryEngine.warmUp`); probes never trigger the collect. Indexes
     * whose stats exceed [[DriverStatsMaxEntries]] keep the distributed
     * join path — a driver map stops being scale-safe there (at 100 TB the
-    * stats table itself is distributed), so the threshold bounds driver
-    * memory at ~tens of MB. */
+    * stats table itself is distributed). Sizing note: the boxed-tuple
+    * Scala Map costs ~200-300 bytes/entry, so a full 2^20-entry map is
+    * ~200-300 MB of driver heap, and the 8-slot LRU bounds the worst case
+    * at ~2 GB — a serving driver should be sized for that, or this
+    * constant lowered. */
   final val DriverStatsMaxEntries: Long = 1L << 20
+
+  /** Ceiling on DISTINCT doc ids the full driver replica
+    * ([[warmDriverIndex]]) will pull signatures for: postings count alone
+    * does not bound the signature collect (a heavily-duplicated corpus
+    * caps to few postings while its sigs table stays huge), so the
+    * replica also requires the REFERENCED id set — the only docs a probe
+    * can ever surface — to stay under this bound (~130 MB of 128-long
+    * signatures). */
+  final val DriverReplicaMaxDocs: Int = 1 << 17
 
   /** Largest batch the capped [[queryBatch]] will collect to the driver
     * for the jobless band-prefix fold (≈10 MB of signatures at 128
@@ -203,19 +215,32 @@ object Lsh {
     if (already) true
     else if (index.count() > DriverStatsMaxEntries) false
     else {
-      val posts = new java.util.HashMap[(Long, Long), Array[Long]]()
-      index.select("key64", "key64b", "id").collect()
-        .groupBy(r => (r.getLong(0), r.getLong(1)))
-        .foreach { case (k, rows) =>
-          // keep bucket members in id order: the distributed path's
-          // aggregate is order-insensitive, but determinism here is free
-          posts.put(k, rows.map(_.getLong(2)).sorted)
-        }
-      val sm = new java.util.HashMap[Long, Array[Long]]()
-      sigs.select("doc_id", "sig").collect()
-        .foreach(r => sm.put(r.getLong(0), r.getSeq[Long](1).toArray))
-      driverIndexCache.synchronized(driverIndexCache.put(index, new DriverIndex(posts, sm)))
-      true
+      val postRows = index.select("key64", "key64b", "id").collect()
+      // gate the signature collect on the REFERENCED id count, not the
+      // postings count: a capped index over a heavily-duplicated corpus
+      // can be tiny while the sigs table is not, and only docs present in
+      // some bucket can ever be candidates — so the replica semi-joins
+      // sigs to the postings ids instead of collecting the whole table
+      val referenced = postRows.map(_.getLong(2)).distinct
+      if (referenced.length > DriverReplicaMaxDocs) false
+      else {
+        val posts = new java.util.HashMap[(Long, Long), Array[Long]]()
+        postRows.groupBy(r => (r.getLong(0), r.getLong(1)))
+          .foreach { case (k, rows) =>
+            // keep bucket members in id order: the distributed path's
+            // aggregate is order-insensitive, but determinism here is free
+            posts.put(k, rows.map(_.getLong(2)).sorted)
+          }
+        val spark = sigs.sparkSession
+        import spark.implicits._
+        val ids = referenced.toSeq.toDF("rid")
+        val sm = new java.util.HashMap[Long, Array[Long]]()
+        sigs.join(broadcast(ids), sigs("doc_id") === col("rid"), "left_semi")
+          .select("doc_id", "sig").collect()
+          .foreach(r => sm.put(r.getLong(0), r.getSeq[Long](1).toArray))
+        driverIndexCache.synchronized(driverIndexCache.put(index, new DriverIndex(posts, sm)))
+        true
+      }
     }
   }
 
@@ -229,6 +254,7 @@ object Lsh {
   def evictDriverState(index: DataFrame): Unit = {
     statsMapCache.synchronized(statsMapCache.remove(index))
     driverIndexCache.synchronized(driverIndexCache.remove(index))
+    probeCaches.synchronized(probeCaches.remove(index))
     sizeCache.synchronized {
       val cached = sizeCache.remove(index)
       if (cached != null && !index.sparkSession.sparkContext.isStopped)
@@ -245,13 +271,25 @@ object Lsh {
   def queryDriverIndex(di: DriverIndex, qpRows: Array[(Int, Long, Long)],
                        querySig: Array[Long], k: Int,
                        maxCandidates: Int): Seq[(Long, Double, Seq[Long])] = {
+    val candSet = foldCandidates(qpRows, maxCandidates,
+      (key, keyB) => di.postings.get((key, keyB)))
+    scoreTopK(candSet, di.sigById.get, querySig, k)
+  }
+
+  /** The shared capped band-prefix fold: walk buckets in band order,
+    * accumulating members until `maxCandidates` accumulate (inclusive of
+    * the crossing bucket — the same takeWhile the distributed plan folds).
+    * `lookup` returns a bucket's member ids or null when the bucket is
+    * empty/absent. */
+  private def foldCandidates(qpRows: Array[(Int, Long, Long)], maxCandidates: Int,
+                             lookup: (Long, Long) => Array[Long]): java.util.TreeSet[java.lang.Long] = {
     val byBand = qpRows.sortBy(_._1)
     var before = 0L
     val candSet = new java.util.TreeSet[java.lang.Long]()
     var i = 0
     while (i < byBand.length && (maxCandidates <= 0 || before < maxCandidates)) {
       val (_, key, keyB) = byBand(i)
-      val ids = di.postings.get((key, keyB))
+      val ids = lookup(key, keyB)
       if (ids != null) {
         before += ids.length
         var j = 0
@@ -259,21 +297,150 @@ object Lsh {
       }
       i += 1
     }
+    candSet
+  }
+
+  /** The shared in-process scoring + top-k: identical arithmetic to
+    * Kernels.estJaccard (integer match count, ONE double division by 128 —
+    * an exact dyadic rational) and the distributed (score desc, id asc)
+    * order. `sigOf` returns a candidate's signature or null (skipped). */
+  private def scoreTopK(candSet: java.util.TreeSet[java.lang.Long],
+                        sigOf: Long => Array[Long], querySig: Array[Long],
+                        k: Int): Seq[(Long, Double, Seq[Long])] = {
     val scored = new scala.collection.mutable.ArrayBuffer[(Long, Double)](candSet.size())
     val it = candSet.iterator()
     while (it.hasNext) {
       val id = it.next().longValue()
-      val sig = di.sigById.get(id)
+      val sig = sigOf(id)
       if (sig != null) {
-        // identical arithmetic to Kernels.estJaccard: integer match count,
-        // ONE double division by 128 — an exact dyadic rational
         var eq = 0; var d = 0
         while (d < sig.length) { if (sig(d) == querySig(d)) eq += 1; d += 1 }
         scored += ((id, eq.toDouble / sig.length.toDouble))
       }
     }
     scored.sortBy { case (id, s) => (-s, id) }.take(k)
-      .map { case (id, s) => (id, s, di.sigById.get(id).take(10).toSeq) }.toSeq
+      .map { case (id, s) => (id, s, sigOf(id).take(10).toSeq) }.toSeq
+  }
+
+  /** LRU serving cache for capped single probes on indexes ABOVE the full
+    * driver-replica bounds: instead of the whole index, only the buckets
+    * recent probes touched (plus their members' signatures) are driver-
+    * resident. A probe whose 32 buckets and candidate signatures are all
+    * resident runs ZERO Spark jobs; a miss pays ONE bucket-fetch job (a
+    * key64-IN filter over the cached index — at 100 TB, a pruned scan of
+    * the bucketed table) and one signature fetch, then populates the
+    * cache. Hot-key serving workloads (the reference's repeated-probe
+    * shape) amortize to in-process latency; cold random probes cost what
+    * the distributed plan costs, ONE extra insert aside. Residency is
+    * bounded by [[ProbeCacheMaxPostings]] resident posting slots and
+    * [[ProbeCacheMaxSigs]] signatures (~24 MB + ~64 MB), independent of
+    * index size — driver memory stays flat at any scale. Results are
+    * bit-identical to the distributed capped probe (same fold, same
+    * scoring — QueryEngineSpec pins it): an absent bucket is stored as an
+    * explicit empty array, so absent-because-empty never aliases
+    * absent-because-not-fetched. */
+  final val ProbeCacheMaxPostings: Long = DriverStatsMaxEntries
+  final val ProbeCacheMaxSigs: Int = 1 << 16
+
+  final class ProbeCache private[Lsh] {
+    private[Lsh] val buckets =
+      new java.util.LinkedHashMap[(Int, Long, Long), Array[Long]](128, 0.75f, true)
+    private[Lsh] var residentPostings: Long = 0L
+    private[Lsh] val sigsById =
+      new java.util.LinkedHashMap[Long, Array[Long]](256, 0.75f, true)
+  }
+
+  private val probeCaches =
+    new java.util.LinkedHashMap[DataFrame, ProbeCache](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[DataFrame, ProbeCache]): Boolean =
+        size() > sizeCacheMax
+    }
+
+  private def probeCacheFor(index: DataFrame): ProbeCache = probeCaches.synchronized {
+    val it = probeCaches.entrySet().iterator()
+    while (it.hasNext) if (it.next().getKey.sparkSession.sparkContext.isStopped) it.remove()
+    var pc = probeCaches.get(index)
+    if (pc == null) { pc = new ProbeCache; probeCaches.put(index, pc) }
+    pc
+  }
+
+  /** Capped single probe through the per-index [[ProbeCache]] — the
+    * serving path for indexes too big for the full driver replica.
+    * Returns (id, score, 10-slot preview), best first; bit-identical to
+    * [[querySignature]] with the same cap. Requires `maxCandidates > 0`
+    * (an uncapped probe's candidate set is unbounded — it must stay
+    * distributed). */
+  def queryProbeCached(sigs: DataFrame, index: DataFrame,
+                       qpRows: Array[(Int, Long, Long)], querySig: Array[Long],
+                       k: Int, maxCandidates: Int): Seq[(Long, Double, Seq[Long])] = {
+    require(maxCandidates > 0, "queryProbeCached requires a candidate cap")
+    val pc = probeCacheFor(index)
+    pc.synchronized {
+      val missing = qpRows.filter(t => !pc.buckets.containsKey(t))
+      if (missing.nonEmpty) {
+        // ONE fetch job for every missing bucket: key64-IN literals reach
+        // the scan (bucket-pruned on a saved bucketed table); exact-triple
+        // membership is re-checked on the driver because key64 alone may
+        // collide across bands
+        val missingSet = missing.toSet
+        val fetched = index
+          .filter(col("key64").isin(missing.map(_._2).distinct.toSeq: _*))
+          .select("band", "key64", "key64b", "id").collect()
+          .map(r => ((r.getInt(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
+          .filter { case (t, _) => missingSet.contains(t) }
+          .groupBy(_._1)
+        missing.foreach { t =>
+          val ids = fetched.get(t).map(_.map(_._2).sorted).getOrElse(Array.empty[Long])
+          pc.buckets.put(t, ids)
+          pc.residentPostings += ids.length
+        }
+        // evict least-recently-probed buckets past the residency bound
+        // (the just-inserted entries are most recent — never evicted here)
+        val it = pc.buckets.entrySet().iterator()
+        while (pc.residentPostings > ProbeCacheMaxPostings && it.hasNext) {
+          pc.residentPostings -= it.next().getValue.length
+          it.remove()
+        }
+      }
+      // fold over the resident buckets: a <=32-entry per-probe lookup map
+      // bridges the (key64, key64b) fold signature to the full-triple
+      // cache keys (and marks each bucket's LRU access exactly once)
+      val byTriple = new java.util.HashMap[(Long, Long), Array[Long]]()
+      qpRows.foreach(t => byTriple.put((t._2, t._3), pc.buckets.get(t)))
+      val cands = foldCandidates(qpRows, maxCandidates, (key, keyB) => {
+        val ids = byTriple.get((key, keyB))
+        if (ids == null || ids.isEmpty) null else ids
+      })
+      // per-probe signature overlay: scoring reads ONLY this map, so LRU
+      // eviction (even mid-probe, when a huge cap makes the candidate set
+      // exceed the sig capacity) can never silently drop a candidate
+      val probeSigs = new java.util.HashMap[Long, Array[Long]]()
+      val missingIds = {
+        val b = Array.newBuilder[Long]
+        val cit = cands.iterator()
+        while (cit.hasNext) {
+          val id = cit.next().longValue()
+          val s = pc.sigsById.get(id)
+          if (s != null) probeSigs.put(id, s) else b += id
+        }
+        b.result()
+      }
+      if (missingIds.nonEmpty) {
+        sigs.filter(col("doc_id").isin(missingIds.toSeq: _*))
+          .select("doc_id", "sig").collect()
+          .foreach { r =>
+            val sig = r.getSeq[Long](1).toArray
+            probeSigs.put(r.getLong(0), sig)
+            pc.sigsById.put(r.getLong(0), sig)
+          }
+        val sit = pc.sigsById.entrySet().iterator()
+        while (pc.sigsById.size() > ProbeCacheMaxSigs && sit.hasNext) {
+          sit.next(); sit.remove()
+        }
+      }
+      scoreTopK(cands, probeSigs.get, querySig, k)
+    }
   }
 
   /** Allowed-band whitelist from per-(group, band) bucket sizes: for each

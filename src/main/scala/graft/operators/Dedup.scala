@@ -165,7 +165,12 @@ object Dedup {
 
   /** Embedding near-dup: pairs with cosine >= threshold, candidates from
     * random-hyperplane LSH buckets (see [[Ann.rhpBucket]]) to avoid the
-    * cross join at scale. */
+    * cross join at scale.
+    *
+    * Precondition: `idCol` values must be UNIQUE (the engines'
+    * ids-must-not-collide contract) — the no-distinct plan below relies
+    * on one bucket row per vector, so duplicate-id inputs would emit
+    * duplicate (a, b) pairs; dedup ids upstream. */
   def nearEmbeddingCosine(embs: DataFrame, threshold: Double = 0.95,
                           planes: Int = 12, idCol: String = "vec_id",
                           vecCol: String = "embedding"): DataFrame = {

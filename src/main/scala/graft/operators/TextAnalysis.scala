@@ -111,7 +111,10 @@ object TextAnalysis {
       element_at(st, 1).cast("long").as("n_tokens"),
       element_at(st, 2).as("distinct_token_ratio"),
       element_at(st, 3).as("top_token_frac"),
-      qualityScore(col(textCol)).as("quality"))
+      // same null guard as the repetition stats: a null text must score
+      // like empty text so the low-quality rule FIRES instead of the
+      // null comparison silently evaluating false
+      qualityScore(coalesce(col(textCol), lit(""))).as("quality"))
       .withColumn("fail_mask", (
         when(col("n_tokens") < minTokens, 1).otherwise(0) +
           when(col("n_tokens") > maxTokens, 2).otherwise(0) +

@@ -57,6 +57,61 @@ class QueryEngineSpec extends SparkSpec {
     cold.close(); warm.close()
   }
 
+  test("probe-cache capped probe is bit-identical to the distributed plan") {
+    val docs = spark.read.parquet(s"$testDataDir/documents.parquet")
+    // un-warmed engine: no full driver replica, so capped single probes
+    // route through the LRU probe cache (cold fetch, then in-process)
+    val eng = QueryEngine.build(docs,
+      mp = graft.core.MinHashPipeline.Params(kShingle = 3))
+    for (qid <- Seq(0L, 7L, 42L)) {
+      val qSig = eng.sigs.filter(col("doc_id") === qid).head().getSeq[Long](1).toArray
+      val dist = graft.core.Lsh.querySignature(
+        eng.sigs, eng.index, qSig, 5, eng.params, maxCandidates = 2000)
+        .collect()
+        .map(r => QueryEngine.Candidate(r.getLong(0), r.getDouble(1), r.getSeq[Long](2)))
+        .toSeq
+      val cold = eng.query(qSig, 5) // populates the cache
+      val hot = eng.query(qSig, 5)  // fully resident — zero Spark jobs
+      val expected = (if (dist.isEmpty) Seq(QueryEngine.Candidate(-1L, 0.0, Nil)) else dist)
+        .padTo(5, QueryEngine.Candidate(-1L, 0.0, Nil)).take(5)
+      assert(cold == expected, s"qid=$qid cold")
+      assert(hot == expected, s"qid=$qid hot")
+      // a tight cap exercises a truncated band prefix through the cache
+      val distCapped = graft.core.Lsh.querySignature(
+        eng.sigs, eng.index, qSig, 5, eng.params, maxCandidates = 3)
+        .collect()
+        .map(r => QueryEngine.Candidate(r.getLong(0), r.getDouble(1), r.getSeq[Long](2)))
+        .toSeq
+      val expCapped = (if (distCapped.isEmpty) Seq(QueryEngine.Candidate(-1L, 0.0, Nil)) else distCapped)
+        .padTo(5, QueryEngine.Candidate(-1L, 0.0, Nil)).take(5)
+      assert(eng.query(qSig, 5, maxCandidates = 3) == expCapped, s"qid=$qid capped")
+    }
+    eng.close()
+  }
+
+  test("load throws on corrupt params, defaults only when absent") {
+    val docs = spark.read.parquet(s"$testDataDir/documents.parquet")
+    val eng = QueryEngine.build(docs,
+      mp = graft.core.MinHashPipeline.Params(kShingle = 1))
+    val dir = Files.createTempDirectory("graft-idx-params").toString
+    eng.save(dir)
+    // corrupt the params record in place: present-but-unreadable => throw
+    val paramsDir = new java.io.File(s"$dir/params")
+    paramsDir.listFiles().filter(_.getName.endsWith(".json"))
+      .foreach { f =>
+        java.nio.file.Files.write(f.toPath,
+          "not json at all".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    val ex = intercept[IllegalStateException](QueryEngine.load(spark, dir))
+    assert(ex.getMessage.contains("params"))
+    // absent record (pre-params layout) => defaults, no throw
+    import scala.reflect.io.Directory
+    new Directory(paramsDir).deleteRecursively()
+    val loaded = QueryEngine.load(spark, dir)
+    assert(loaded.mpParams == graft.core.MinHashPipeline.Params())
+    loaded.close(); eng.close()
+  }
+
   test("save/load round-trip preserves query results") {
     val docs = spark.read.parquet(s"$testDataDir/documents.parquet")
     val eng = QueryEngine.build(docs,
