@@ -10,11 +10,14 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
   * transforms (the Scala analog of `mapInPandas`: one iterator pass per
   * partition, schema declared up front).
   *
-  * No media codecs exist in this environment, so the byte-level decode is
-  * a clearly-marked deterministic STUB (`stubDecode`) — the Spark-side
-  * contract (schema, batching, partitioning, null handling) is real and
-  * tested; swapping `stubDecode` for a JNI/codec call is the only change
-  * needed for production.
+  * The IMAGE path runs a REAL codec: PNG payloads are decoded, resampled
+  * and re-encoded with `javax.imageio` (in the JVM — zero external
+  * dependencies), behind the same partition-batched boundary. Audio/video
+  * byte-level decode remains a clearly-marked deterministic STUB
+  * (`stubDecode`) — no audio/video codec ships in this environment — with
+  * the Spark-side contract (schema, batching, partitioning, null
+  * handling) real and tested; swapping `stubDecode` for a JNI/codec call
+  * is the only change needed for production there.
   */
 object Multimodal {
 
@@ -110,18 +113,139 @@ object Multimodal {
       }(enc)
   }
 
-  /** Resize stub for images: updates meta dims, re-derives payload bytes
-    * proportionally (slice). Non-images pass through unchanged. */
-  def resizeImages(media: DataFrame, w: Int, h: Int): DataFrame =
-    media.withColumn("meta",
-      when(col("kind") === "image",
-        struct(col("meta.mime"), lit(w).as("width"), lit(h).as("height"),
-          col("meta.sample_rate"), col("meta.n_frames")))
-        .otherwise(col("meta")))
-      .withColumn("payload",
-        when(col("kind") === "image",
-          expr(s"substring(payload, 1, int(least(cast($w as bigint) * $h, length(payload))))"))
-          .otherwise(col("payload")))
+  /** The 8-byte PNG signature. */
+  private def isPng(payload: Array[Byte]): Boolean =
+    payload != null && payload.length >= 8 &&
+      payload(0) == 0x89.toByte && payload(1) == 'P' && payload(2) == 'N' &&
+      payload(3) == 'G' && payload(4) == 0x0d && payload(5) == 0x0a &&
+      payload(6) == 0x1a && payload(7) == 0x0a
+
+  /** Grayscale pixel value used by the deterministic PNG fixtures AND the
+    * SQL oracle: a position hash every engine can evaluate. */
+  def fixturePixel(id: Long, x: Int, y: Int): Int =
+    ((id * 31 + x.toLong * 7 + y.toLong * 13) % 256).toInt
+
+  /** Fixture image dims for [[synthesizePngImages]] (small enough that
+    * 100 driver-side encodes are negligible, varied enough to exercise
+    * non-square resizes). */
+  def fixtureDims(id: Long): (Int, Int) =
+    (16 + (id % 16).toInt, 16 + ((id * 3) % 16).toInt)
+
+  /** Encode an 8-bit grayscale image as PNG via `javax.imageio` (in the
+    * JVM — no external codec dependency). */
+  def encodeGrayPng(pixels: Array[Array[Int]]): Array[Byte] = {
+    val h = pixels.length
+    val w = if (h == 0) 0 else pixels(0).length
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, pixels(y)(x)); x += 1 }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Deterministic REAL-PNG media table: every row is an image whose
+    * payload is an actual `javax.imageio`-encoded grayscale PNG with
+    * pixel(x, y) = [[fixturePixel]] — a formula a SQL oracle reproduces
+    * without running a codec, while the Spark side runs the real
+    * decode/encode path. */
+  def synthesizePngImages(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map { i =>
+      val (w, h) = fixtureDims(i.toLong)
+      val px = Array.tabulate(h, w)((y, x) => fixturePixel(i.toLong, x, y))
+      Row(i.toLong, "image", encodeGrayPng(px),
+        Row("image/png", w, h, null, null))
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](rows.asJavaList), mediaSchema)
+  }
+
+  /** Image resize at the codec boundary: PNG payloads are REALLY decoded
+    * (`javax.imageio`), nearest-neighbor resampled to (w, h) — target
+    * pixel (x, y) reads source pixel (x*srcW/w, y*srcH/h), integer floor —
+    * and re-encoded as 8-bit grayscale PNG (non-gray sources read raster
+    * band 0). Non-PNG image payloads keep the documented stub behavior
+    * (bytes re-sliced to the w*h budget — the pre-codec contract, still
+    * exercised for payloads no codec claims); non-images pass through
+    * unchanged. Runs in the same partition-batched `mapPartitions` shape
+    * as [[extractFeatures]] — one iterator pass, no shuffle, codec calls
+    * never on the driver. */
+  def resizeImages(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(media.schema)
+    val kindIdx = media.schema.fieldIndex("kind")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val metaIdx = media.schema.fieldIndex("meta")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val kind = if (r.isNullAt(kindIdx)) null else r.getString(kindIdx)
+        if (kind != "image") r
+        else {
+          val payload = if (r.isNullAt(payloadIdx)) null else r.getAs[Array[Byte]](payloadIdx)
+          val meta = if (r.isNullAt(metaIdx)) null else r.getStruct(metaIdx)
+          val newPayload =
+            if (isPng(payload)) {
+              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+              val srcW = img.getWidth; val srcH = img.getHeight
+              val srcRaster = img.getRaster
+              val px = Array.tabulate(h, w)((y, x) =>
+                srcRaster.getSample(x * srcW / w, y * srcH / h, 0))
+              encodeGrayPng(px)
+            } else if (payload != null) {
+              // stub fallback: first min(w*h, len) bytes
+              payload.take(math.min(w.toLong * h, payload.length.toLong).toInt)
+            } else null
+          val newMeta =
+            if (meta == null) null
+            else Row(meta.get(0), w, h, meta.get(3), meta.get(4))
+          val vals = r.toSeq.toArray
+          vals(payloadIdx) = newPayload
+          vals(metaIdx) = newMeta
+          Row.fromSeq(vals.toIndexedSeq)
+        }
+      }
+    }(enc)
+  }
+
+  /** Decoded-image observables for the gate side of the real-codec path:
+    * (media_id, width, height, pixel_sum) from actually decoding each PNG
+    * payload — the oracle recomputes the same sums from the fixture pixel
+    * formula, so a codec/resample bug breaks the hash. Non-PNG payloads
+    * yield null dims (no codec claims them). Same partition-batched
+    * shape; decode runs on executors. */
+  def decodeImageStats(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("pixel_sum", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.filter(col("kind") === "image")
+      .select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          if (!isPng(payload)) Row(r.getLong(0), null, null, null)
+          else {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            val raster = img.getRaster
+            var s = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) { s += raster.getSample(x, y, 0); x += 1 }
+              y += 1
+            }
+            Row(r.getLong(0), img.getWidth, img.getHeight, s)
+          }
+        }
+      }(enc)
+  }
 
   /** Partition-batched payload summary — (media_id, kind, n_frames,
     * payload_len, payload_sum): the byte-exact observable a transform gate

@@ -51,6 +51,40 @@ class MultimodalSpec extends SparkSpec {
     assert(audioBefore.toSeq == audioAfter.toSeq)
   }
 
+  test("real PNG codec: decode -> nearest-neighbor resize -> encode round-trip") {
+    val pngs = Multimodal.synthesizePngImages(spark, n = 12)
+    // the payloads are REAL PNGs (magic bytes + ImageIO-decodable)
+    val raw = pngs.orderBy("media_id").collect()
+    assert(raw.forall { r =>
+      val p = r.getAs[Array[Byte]]("payload")
+      p.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)
+    })
+    // source decode reproduces the fixture pixel formula
+    val srcStats = Multimodal.decodeImageStats(pngs)
+      .orderBy("media_id").collect()
+    srcStats.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = Multimodal.fixtureDims(id)
+      assert(r.getInt(1) == w && r.getInt(2) == h, s"id=$id dims")
+      val want = (for (y <- 0 until h; x <- 0 until w)
+        yield Multimodal.fixturePixel(id, x, y).toLong).sum
+      assert(r.getLong(3) == want, s"id=$id src pixel_sum")
+    }
+    // resized decode matches the nearest-neighbor formula (executor-side
+    // codec, partition-invariant)
+    val resized = Multimodal.decodeImageStats(
+      Multimodal.resizeImages(pngs.repartition(3), 7, 9))
+      .orderBy("media_id").collect()
+    resized.foreach { r =>
+      val id = r.getLong(0)
+      val (sw, sh) = Multimodal.fixtureDims(id)
+      assert(r.getInt(1) == 7 && r.getInt(2) == 9, s"id=$id resized dims")
+      val want = (for (y <- 0 until 9; x <- 0 until 7)
+        yield Multimodal.fixturePixel(id, x * sw / 7, y * sh / 9).toLong).sum
+      assert(r.getLong(3) == want, s"id=$id resized pixel_sum")
+    }
+  }
+
   test("frame sampling keeps every stride-th frame window") {
     val sampled = Multimodal.sampleFrames(media, stride = 2)
     val vid = media.filter(col("kind") === "video").orderBy("media_id").head()
