@@ -43,7 +43,7 @@ object Bench {
     // in a fresh JVM, before the catalog pass fills the heap with cached
     // plans/broadcasts whose GC pressure would tax them (observed 2-3x
     // on the batch-1000 probe when run last)
-    val probeMetrics = computeProbeMetrics(spark)
+    val (probeMetrics, probeSamples) = computeProbeMetrics(spark)
     // warmup: build caches + codegen
     if (!probesOnly) SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
@@ -68,9 +68,27 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.6f", Double.box(v))
     val qs = (results ++ probeMetrics).map { case (k, v) => "\"" + k + "\":" + f6(v) }
       .mkString("{", ",", "}")
+    // every timed probe sample (not just the min): round-over-round diffs
+    // can then separate box noise (spread across samples) from a plan
+    // regression (all samples moved) without a rerun
+    val ss = probeSamples.map { case (k, vs) =>
+      "\"" + k + "\":" + vs.map(f6).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${f6(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${f6(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","samples":$ss}"""
+    println(line)
     System.out.flush()
+    // durable copy: the driver's stdout tail-capture has truncated this
+    // line two rounds running — the file is the artifact of record
+    try {
+      val out = java.nio.file.Paths.get("target", "bench_result.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write target/bench_result.json: $e")
+    }
     spark.stop()
   }
 
@@ -78,8 +96,10 @@ object Bench {
     * prebuilt index, k=5, max_candidates=2000): steady-state single-vector
     * latency, batch-of-100 LSH throughput through one plan, and the
     * batch-of-100 brute-force counterpart (the reference's headline
-    * relative result is brute-vs-LSH shape — results_synthetic.csv). */
-  def computeProbeMetrics(spark: SparkSession): Map[String, Double] =
+    * relative result is brute-vs-LSH shape — results_synthetic.csv).
+    * Returns (min metrics, all min-of-3 samples per probe). */
+  def computeProbeMetrics(spark: SparkSession): (Map[String, Double], Map[String, Seq[Double]]) = {
+    val samples = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     try {
       import graft.api.QueryEngine
       import graft.sources.SyntheticCorpus
@@ -111,14 +131,25 @@ object Bench {
       // and JIT pauses into the number; the min is the reproducible
       // steady-state cost of the plan — which is what BASELINE.md's
       // prebuilt-index, query-only numbers measure on the reference side.
-      def minOf3(run: () => Unit): Double = {
+      // Every sample is recorded (the `samples` map) so a reader can tell
+      // noise from regression without a rerun.
+      def minOf3(key: String)(run: () => Unit): Double = {
         run() // warmup
-        (1 to 3).map { _ =>
+        val ss = (1 to 3).map { _ =>
           val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
-        }.min
+        }
+        samples(key) = ss
+        ss.min
       }
-      val singleAvg = minOf3(() =>
-        (5L until 25L).foreach(i => eng.query(someSigs(i), 5))) / 20.0
+      // samples for the single-probe keys are per-query (loop time / 20),
+      // matching the metric's unit
+      def singleProbeAvg(key: String)(run: () => Unit): Double = {
+        val m = minOf3(key)(run) / 20.0
+        samples(key) = samples(key).map(_ / 20.0)
+        m
+      }
+      val singleAvg = singleProbeAvg("x_lsh_single_query_avg_sec_20kdocs")(() =>
+        (5L until 25L).foreach(i => eng.query(someSigs(i), 5)))
       // batches through ONE plan (the Spark-native shape), with the
       // reference's max_candidates=2000 cap — the same cap the reference
       // benchmark runs under (minhash_lsh.py:95-96), and the single-probe
@@ -128,11 +159,11 @@ object Bench {
       def lshBatch(n: Int): Long =
         graft.core.Lsh.queryBatch(eng.sigs, eng.index, qDf(n), k = 5,
           maxCandidates = 2000).count()
-      val batch100 = minOf3(() => lshBatch(100))
+      val batch100 = minOf3("x_lsh_batch100_queries_sec_20kdocs")(() => lshBatch(100))
       // batch of 1000: at 100 queries fixed plan overhead still dominates;
       // 1000 queries through one plan shows the amortized throughput a
       // large-scale user cares about
-      val batch1000 = minOf3(() => lshBatch(1000))
+      val batch1000 = minOf3("x_lsh_batch1000_queries_sec_20kdocs")(() => lshBatch(1000))
       // brute-force batch of 100: the reference's no-index fallback scan —
       // negative L2 over SIGNATURES (benchmark_runner.py:109-117), i.e.
       // the reference's own brute-force metric (12.98 ms/query numpy scan
@@ -149,7 +180,7 @@ object Bench {
           .agg(top_k_by_score(col("score"), col("id"), 5).as("topk"))
           .count()
       }
-      val brute100 = minOf3(() => bruteBatch())
+      val brute100 = minOf3("x_brute_batch100_queries_sec_20kdocs")(() => bruteBatch())
       // vector-search probes at the same 20k scale: the VectorEngine
       // lifecycle — build (coarse k-means + inverted lists + PQ
       // codebooks/codes), exact cosine batch-100, and the compressed
@@ -161,8 +192,12 @@ object Bench {
       val vq = veng.embs.filter(col("id") < 100)
         .select(col("id").as("vec_id"), col("v").as("embedding"))
       def vecBatch(mode: String): Long = veng.topK(vq, k = 5, mode = mode).count()
-      val vecExact = minOf3(() => vecBatch("exact"))
-      val vecIvfpq = minOf3(() => vecBatch("ivfpq"))
+      val vecExact = minOf3("x_vec_exact_batch100_sec_20kvecs")(() => vecBatch("exact"))
+      val vecIvfpq = minOf3("x_vec_ivfpq_batch100_sec_20kvecs")(() => vecBatch("ivfpq"))
+      // the refine stage on top of ivfpq: same shortlist depth the a15
+      // gate pins (4k = 20), exact float re-score of only the shortlist
+      val vecIvfpqRerank =
+        minOf3("x_vec_ivfpq_rerank_batch100_sec_20kvecs")(() => vecBatch("ivfpq_rerank"))
       // ---- the 10x scale point (200k docs / 200k vectors) ----
       // The 100 TB design evidence the plan-shape arguments rest on:
       // batch-probe cost must stay ~flat as the corpus grows 10x (the
@@ -175,7 +210,7 @@ object Bench {
       // the SAVED bucketed postings table — candidate I/O bounded by the
       // batch's buckets, not the index size (the 100 TB probe path; the
       // cached-index probe above scans the whole in-memory index instead)
-      def bucketedBatch(e: graft.api.QueryEngine, table: String): Double = {
+      def bucketedBatch(e: graft.api.QueryEngine, table: String, key: String): Double = {
         spark.sql(s"DROP TABLE IF EXISTS $table")
         // a previous JVM's warehouse dir survives the in-memory catalog —
         // remove the orphaned location or saveAsTable refuses the name
@@ -189,10 +224,11 @@ object Bench {
         val t = spark.table(table)
         val qs = e.sigs.filter(col("doc_id") < 100)
           .select(col("doc_id").as("query_id"), col("sig"))
-        minOf3(() => graft.core.Lsh.queryBatchBucketed(
+        minOf3(key)(() => graft.core.Lsh.queryBatchBucketed(
           e.sigs, t, qs, k = 5, maxCandidates = 2000).count())
       }
-      val bucketed100At20k = bucketedBatch(eng, "graft_bench_bucketed_20k")
+      val bucketed100At20k = bucketedBatch(eng, "graft_bench_bucketed_20k",
+        "x_lsh_bucketed_batch100_sec_20kdocs")
       spark.catalog.clearCache()
       val tB2 = System.nanoTime()
       val eng200 = QueryEngine.build(
@@ -204,32 +240,64 @@ object Bench {
       def lshBatch200(n: Int): Long =
         graft.core.Lsh.queryBatch(eng200.sigs, eng200.index, qDf200(n), k = 5,
           maxCandidates = 2000).count()
-      val batch100At200k = minOf3(() => lshBatch200(100))
-      val bucketed100At200k = bucketedBatch(eng200, "graft_bench_bucketed_200k")
+      val batch100At200k = minOf3("x_lsh_batch100_queries_sec_200kdocs")(() => lshBatch200(100))
+      val bucketed100At200k = bucketedBatch(eng200, "graft_bench_bucketed_200k",
+        "x_lsh_bucketed_batch100_sec_200kdocs")
       // single-probe latency ABOVE the driver-replica threshold (6.4M
-      // postings > 1M): the distributed capped plan with the driver-folded
-      // band prefix — the latency class a >1M-postings index serves at
+      // postings > 1M): served through the LRU probe cache — the cold
+      // probe pays one bucket-fetch job, the warmed repeats are
+      // in-process (minOf3's warmup run populates the cache, so this
+      // measures the steady-state hot-key serving latency; the cold cost
+      // is the distributed plan's, unchanged)
       val someSigs200 = eng200.sigs.filter(col("doc_id") < 30)
         .orderBy("doc_id").collect()
         .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
-      val singleAvg200 = minOf3(() =>
-        (5L until 25L).foreach(i => eng200.query(someSigs200(i), 5))) / 20.0
+      val singleAvg200 = singleProbeAvg("x_lsh_single_query_avg_sec_200kdocs")(() =>
+        (5L until 25L).foreach(i => eng200.query(someSigs200(i), 5)))
       val tV2 = System.nanoTime()
       val veng200 = graft.api.VectorEngine.build(
         graft.sources.SyntheticCorpus.vectors(spark, 200000)).warmUp()
       val vecBuild200 = (System.nanoTime() - tV2) / 1e9
       val vq200 = veng200.embs.filter(col("id") < 100)
         .select(col("id").as("vec_id"), col("v").as("embedding"))
-      val vecIvfpq200 = minOf3(() => veng200.topK(vq200, k = 5, mode = "ivfpq").count())
+      val vecIvfpq200 = minOf3("x_vec_ivfpq_batch100_sec_200kvecs")(() =>
+        veng200.topK(vq200, k = 5, mode = "ivfpq").count())
+      val vecIvfpqRerank200 = minOf3("x_vec_ivfpq_rerank_batch100_sec_200kvecs")(() =>
+        veng200.topK(vq200, k = 5, mode = "ivfpq_rerank").count())
       // the contrast row: the exact scan pays the full 10x corpus growth
       // while the coarse-pruned compressed path above stays ~flat
-      val vecExact200 = minOf3(() => veng200.topK(vq200, k = 5, mode = "exact").count())
+      val vecExact200 = minOf3("x_vec_exact_batch100_sec_200kvecs")(() =>
+        veng200.topK(vq200, k = 5, mode = "exact").count())
+      // ---- the 100x decade (1M docs / 1M vectors), headliners only ----
+      // One more decade for the four build/probe headliners: the 20k->200k
+      // point showed the cost curves' shape; 200k->1M catches anything that
+      // was hiding under fixed overhead (e.g. the cached-index scan term
+      // in LSH batch growth). Probes must stay ~flat; builds ~linear.
+      eng200.close(); veng200.close()
+      spark.catalog.clearCache()
+      val tB3 = System.nanoTime()
+      val eng1m = QueryEngine.build(
+        SyntheticCorpus.docs(spark, 1000000),
+        mp = graft.core.MinHashPipeline.Params(kShingle = 1)).warmUp()
+      val buildSec1m = (System.nanoTime() - tB3) / 1e9
+      val bucketed100At1m = bucketedBatch(eng1m, "graft_bench_bucketed_1m",
+        "x_lsh_bucketed_batch100_sec_1mdocs")
+      eng1m.close()
+      spark.catalog.clearCache()
+      val tV3 = System.nanoTime()
+      val veng1m = graft.api.VectorEngine.build(
+        graft.sources.SyntheticCorpus.vectors(spark, 1000000)).warmUp()
+      val vecBuild1m = (System.nanoTime() - tV3) / 1e9
+      val vq1m = veng1m.embs.filter(col("id") < 100)
+        .select(col("id").as("vec_id"), col("v").as("embedding"))
+      val vecIvfpq1m = minOf3("x_vec_ivfpq_batch100_sec_1mvecs")(() =>
+        veng1m.topK(vq1m, k = 5, mode = "ivfpq").count())
       // drop the probe engines' cached pipelines: the catalog pass that
       // follows must not pay CacheManager plan-compares and memory
       // pressure against them (mirror of the clearCache() on entry)
-      veng200.close()
+      veng1m.close()
       spark.catalog.clearCache()
-      Map(
+      (Map(
         "x_index_build_sec_20kdocs" -> buildSec,
         "x_lsh_single_query_avg_sec_20kdocs" -> singleAvg,
         "x_lsh_batch100_queries_sec_20kdocs" -> batch100,
@@ -238,6 +306,7 @@ object Bench {
         "x_vec_build_sec_20kvecs" -> vecBuild,
         "x_vec_exact_batch100_sec_20kvecs" -> vecExact,
         "x_vec_ivfpq_batch100_sec_20kvecs" -> vecIvfpq,
+        "x_vec_ivfpq_rerank_batch100_sec_20kvecs" -> vecIvfpqRerank,
         "x_index_build_sec_200kdocs" -> buildSec200,
         "x_lsh_batch100_queries_sec_200kdocs" -> batch100At200k,
         "x_lsh_single_query_avg_sec_200kdocs" -> singleAvg200,
@@ -245,11 +314,18 @@ object Bench {
         "x_lsh_bucketed_batch100_sec_200kdocs" -> bucketed100At200k,
         "x_vec_build_sec_200kvecs" -> vecBuild200,
         "x_vec_exact_batch100_sec_200kvecs" -> vecExact200,
-        "x_vec_ivfpq_batch100_sec_200kvecs" -> vecIvfpq200)
+        "x_vec_ivfpq_batch100_sec_200kvecs" -> vecIvfpq200,
+        "x_vec_ivfpq_rerank_batch100_sec_200kvecs" -> vecIvfpqRerank200,
+        "x_index_build_sec_1mdocs" -> buildSec1m,
+        "x_lsh_bucketed_batch100_sec_1mdocs" -> bucketed100At1m,
+        "x_vec_build_sec_1mvecs" -> vecBuild1m,
+        "x_vec_ivfpq_batch100_sec_1mvecs" -> vecIvfpq1m),
+        samples.toMap)
     } catch { case e: Throwable =>
       // never sink the whole bench line, but say WHY the probes vanished
       System.err.println(s"[bench] probe metrics failed: $e")
       e.printStackTrace()
-      Map.empty[String, Double]
+      (Map.empty[String, Double], samples.toMap)
     }
+  }
 }
