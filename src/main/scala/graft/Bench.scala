@@ -254,6 +254,16 @@ object Bench {
         .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
       val singleAvg200 = singleProbeAvg("x_lsh_single_query_avg_sec_200kdocs")(() =>
         (5L until 25L).foreach(i => eng200.query(someSigs200(i), 5)))
+      // COLD probe-cache latency: 20 never-probed queries, one pass — the
+      // bucket-fetch + signature-fetch job cost a miss pays (the honest
+      // counterpart of the hot number above; single sample by nature)
+      val coldSigs200 = eng200.sigs
+        .filter(col("doc_id") >= 100 && col("doc_id") < 120)
+        .orderBy("doc_id").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+      val tCold = System.nanoTime()
+      coldSigs200.keys.toSeq.sorted.foreach(i => eng200.query(coldSigs200(i), 5))
+      val singleCold200 = (System.nanoTime() - tCold) / 1e9 / 20.0
       val tV2 = System.nanoTime()
       val veng200 = graft.api.VectorEngine.build(
         graft.sources.SyntheticCorpus.vectors(spark, 200000)).warmUp()
@@ -282,6 +292,13 @@ object Bench {
       val buildSec1m = (System.nanoTime() - tB3) / 1e9
       val bucketed100At1m = bucketedBatch(eng1m, "graft_bench_bucketed_1m",
         "x_lsh_bucketed_batch100_sec_1mdocs")
+      // hot single-probe latency two decades above the replica threshold
+      // (32M postings): the LRU probe-cache serving path must stay flat
+      val someSigs1m = eng1m.sigs.filter(col("doc_id") < 30)
+        .orderBy("doc_id").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+      val singleAvg1m = singleProbeAvg("x_lsh_single_query_avg_sec_1mdocs")(() =>
+        (5L until 25L).foreach(i => eng1m.query(someSigs1m(i), 5)))
       eng1m.close()
       spark.catalog.clearCache()
       val tV3 = System.nanoTime()
@@ -292,10 +309,28 @@ object Bench {
         .select(col("id").as("vec_id"), col("v").as("embedding"))
       val vecIvfpq1m = minOf3("x_vec_ivfpq_batch100_sec_1mvecs")(() =>
         veng1m.topK(vq1m, k = 5, mode = "ivfpq").count())
+      veng1m.close()
+      spark.catalog.clearCache()
+      // the FAISS sizing lever: scored codes per IVF-PQ query are the
+      // nprobe/nCents corpus fraction, so a fixed nCents=8 index scans
+      // 37.5% of any corpus — flat probes at scale need nCents to grow
+      // (~sqrt(n)). The same 1M corpus under nCents=64 measures the
+      // lever: scored codes drop 8x while build stays tractable
+      // (assignment is one broadcast codegen pass either way). At this
+      // scale wall-clock moves less than 8x because fixed plan overhead
+      // dominates the probe — itself evidence the data term is small.
+      val tV4 = System.nanoTime()
+      val veng1mC = graft.api.VectorEngine.build(
+        graft.sources.SyntheticCorpus.vectors(spark, 1000000), nCents = 64).warmUp()
+      val vecBuild1mC = (System.nanoTime() - tV4) / 1e9
+      val vq1mC = veng1mC.embs.filter(col("id") < 100)
+        .select(col("id").as("vec_id"), col("v").as("embedding"))
+      val vecIvfpq1mC = minOf3("x_vec_ivfpq_batch100_sec_1mvecs_c64")(() =>
+        veng1mC.topK(vq1mC, k = 5, mode = "ivfpq").count())
       // drop the probe engines' cached pipelines: the catalog pass that
       // follows must not pay CacheManager plan-compares and memory
       // pressure against them (mirror of the clearCache() on entry)
-      veng1m.close()
+      veng1mC.close()
       spark.catalog.clearCache()
       (Map(
         "x_index_build_sec_20kdocs" -> buildSec,
@@ -310,6 +345,7 @@ object Bench {
         "x_index_build_sec_200kdocs" -> buildSec200,
         "x_lsh_batch100_queries_sec_200kdocs" -> batch100At200k,
         "x_lsh_single_query_avg_sec_200kdocs" -> singleAvg200,
+        "x_lsh_single_query_cold_avg_sec_200kdocs" -> singleCold200,
         "x_lsh_bucketed_batch100_sec_20kdocs" -> bucketed100At20k,
         "x_lsh_bucketed_batch100_sec_200kdocs" -> bucketed100At200k,
         "x_vec_build_sec_200kvecs" -> vecBuild200,
@@ -318,8 +354,11 @@ object Bench {
         "x_vec_ivfpq_rerank_batch100_sec_200kvecs" -> vecIvfpqRerank200,
         "x_index_build_sec_1mdocs" -> buildSec1m,
         "x_lsh_bucketed_batch100_sec_1mdocs" -> bucketed100At1m,
+        "x_lsh_single_query_avg_sec_1mdocs" -> singleAvg1m,
         "x_vec_build_sec_1mvecs" -> vecBuild1m,
-        "x_vec_ivfpq_batch100_sec_1mvecs" -> vecIvfpq1m),
+        "x_vec_ivfpq_batch100_sec_1mvecs" -> vecIvfpq1m,
+        "x_vec_build_sec_1mvecs_c64" -> vecBuild1mC,
+        "x_vec_ivfpq_batch100_sec_1mvecs_c64" -> vecIvfpq1mC),
         samples.toMap)
     } catch { case e: Throwable =>
       // never sink the whole bench line, but say WHY the probes vanished
