@@ -30,5 +30,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the bench run caches 1M-doc and 1M-vector indexes
+  // concurrently with 32 executor threads' shuffle memory — under 8g the
+  // old gen fills as the run progresses and every later probe degrades
+  // (BENCH_r06 samples grew 2.8s -> 41s on an unchanged plan). The box
+  // has 128 GiB; tests/verify are comfortable either way.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -13,13 +13,15 @@ import org.apache.spark.sql.SparkSession
   * reference's own scale (20 000 docs, prebuilt index, k=5) plus a 10x
   * scale point (200k) for the flat-probe-cost / linear-build evidence.
   *
-  * TIMING METHODOLOGY (changed in round 4, kept since): probes are
-  * min-of-3 after one warmup run and probes run BEFORE the catalog pass;
-  * catalog queries are min-of-2 (round 5). BENCH_r01-r03 were
-  * single-sample with probes last — cross-round comparisons against
-  * those files carry ±2-3x noise on sub-second entries; r4+ numbers are
-  * steady-state minima (comparable to the reference's prebuilt-index,
-  * query-only measurements).
+  * TIMING METHODOLOGY: probes are the MEDIAN of 3 timed runs after one
+  * warmup run (5 runs when the spread exceeds 3x — round 7; r4-r6 used
+  * min-of-3, which hid both noise AND real degradation), and probes run
+  * BEFORE the catalog pass; catalog queries are min-of-2 (round 5).
+  * BENCH_r01-r03 were single-sample with probes last — cross-round
+  * comparisons against those files carry ±2-3x noise on sub-second
+  * entries. Stdout carries a compact line (probe metrics only — the
+  * driver's tail capture is ~3 KB); target/bench_result.json carries the
+  * complete result including catalog per-query times and sample arrays.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -61,31 +63,41 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }.min
       }
-    // 6-decimal (μs) values keep the one-line JSON short enough that tail
-    // capture can't truncate it mid-object (r4's driver log cut a
-    // 17-digit-doubles line)
     def f6(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.6f", Double.box(v))
-    val qs = (results ++ probeMetrics).map { case (k, v) => "\"" + k + "\":" + f6(v) }
-      .mkString("{", ",", "}")
-    // every timed probe sample (not just the min): round-over-round diffs
-    // can then separate box noise (spread across samples) from a plan
-    // regression (all samples moved) without a rerun
-    val ss = probeSamples.map { case (k, vs) =>
-      "\"" + k + "\":" + vs.map(f6).mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
+    def jmap(m: Iterable[(String, String)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line =
-      s"""{"metric":"total","value":${f6(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","samples":$ss}"""
-    println(line)
+    // STDOUT gets a COMPACT line: the driver's capture keeps only the last
+    // ~3 KB of output, and three rounds running the full line (77 catalog
+    // entries + samples) overflowed that window, leaving parsed:null in
+    // BENCH_r{4,5,6}.json. The headline reference-comparable probes (the
+    // judged numbers) plus the catalog total fit with room to spare; the
+    // complete result — catalog per-query times and every probe sample —
+    // goes to target/bench_result.json, the artifact of record.
+    val shortLine = jmap(Seq(
+      "metric" -> "\"total\"", "value" -> f6(total), "unit" -> "\"sec\"",
+      "queries" -> jmap((probeMetrics ++ Map("catalog_total_sec" -> total))
+        .map { case (k, v) => k -> f6(v) }),
+      "sf" -> ("\"" + sfDir + "\""),
+      "detail" -> "\"target/bench_result.json\""))
+    val fullLine = jmap(Seq(
+      "metric" -> "\"total\"", "value" -> f6(total), "unit" -> "\"sec\"",
+      "queries" -> jmap((results ++ probeMetrics).map { case (k, v) => k -> f6(v) }),
+      "sf" -> ("\"" + sfDir + "\""),
+      // every timed probe sample (not just the reported median):
+      // round-over-round diffs can then separate box noise (spread across
+      // samples) from a plan regression (all samples moved) without a rerun
+      "samples" -> jmap(probeSamples.map { case (k, vs) =>
+        k -> vs.map(f6).mkString("[", ",", "]")
+      })))
+    println(shortLine)
     System.out.flush()
-    // durable copy: the driver's stdout tail-capture has truncated this
-    // line two rounds running — the file is the artifact of record
     try {
       val out = java.nio.file.Paths.get("target", "bench_result.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out,
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write target/bench_result.json: $e")
     }
@@ -97,9 +109,14 @@ object Bench {
     * latency, batch-of-100 LSH throughput through one plan, and the
     * batch-of-100 brute-force counterpart (the reference's headline
     * relative result is brute-vs-LSH shape — results_synthetic.csv).
-    * Returns (min metrics, all min-of-3 samples per probe). */
+    * Returns (median metrics, all timed samples per probe). */
   def computeProbeMetrics(spark: SparkSession): (Map[String, Double], Map[String, Seq[Double]]) = {
     val samples = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    // scale-section boundary: drop cached plans AND give the ContextCleaner
+    // a GC cycle so the previous section's dropped broadcasts/RDD blocks
+    // are actually released — without it their weak refs survive into the
+    // next section and its probes pay the eviction/GC cost
+    def quiesce(): Unit = { spark.catalog.clearCache(); System.gc() }
     try {
       import graft.api.QueryEngine
       import graft.sources.SyntheticCorpus
@@ -126,25 +143,30 @@ object Bench {
       val someSigs = eng.sigs.filter(col("doc_id") < 110)
         .orderBy("doc_id").collect()
         .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
-      // steady-state timing: after one warmup run, take the MIN of three
-      // timed runs (JMH-style). A single sample on a shared box folds GC
-      // and JIT pauses into the number; the min is the reproducible
-      // steady-state cost of the plan — which is what BASELINE.md's
-      // prebuilt-index, query-only numbers measure on the reference side.
-      // Every sample is recorded (the `samples` map) so a reader can tell
-      // noise from regression without a rerun.
-      def minOf3(key: String)(run: () => Unit): Double = {
+      // steady-state timing: after one warmup run, take the MEDIAN of
+      // three timed runs. The min (used through r6) hides box noise but
+      // also hides real degradation; the median of warmed runs is robust
+      // to one GC/JIT outlier in either direction. When the 3 samples
+      // spread more than 3x (a contended box or a thrashing heap), two
+      // extra samples are taken and the median of all five is reported —
+      // BENCH_r06 recorded 13x spreads that made single-sample mins
+      // meaningless. Every sample is recorded (the `samples` map) so a
+      // reader can tell noise from regression without a rerun.
+      def medianOf(key: String)(run: () => Unit): Double = {
         run() // warmup
-        val ss = (1 to 3).map { _ =>
+        def sample(): Double = {
           val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
         }
+        var ss = (1 to 3).map(_ => sample())
+        if (ss.max / ss.min > 3.0) ss = ss ++ (1 to 2).map(_ => sample())
         samples(key) = ss
-        ss.min
+        val sorted = ss.sorted
+        sorted(sorted.length / 2)
       }
       // samples for the single-probe keys are per-query (loop time / 20),
       // matching the metric's unit
       def singleProbeAvg(key: String)(run: () => Unit): Double = {
-        val m = minOf3(key)(run) / 20.0
+        val m = medianOf(key)(run) / 20.0
         samples(key) = samples(key).map(_ / 20.0)
         m
       }
@@ -159,11 +181,11 @@ object Bench {
       def lshBatch(n: Int): Long =
         graft.core.Lsh.queryBatch(eng.sigs, eng.index, qDf(n), k = 5,
           maxCandidates = 2000).count()
-      val batch100 = minOf3("x_lsh_batch100_queries_sec_20kdocs")(() => lshBatch(100))
+      val batch100 = medianOf("x_lsh_batch100_queries_sec_20kdocs")(() => lshBatch(100))
       // batch of 1000: at 100 queries fixed plan overhead still dominates;
       // 1000 queries through one plan shows the amortized throughput a
       // large-scale user cares about
-      val batch1000 = minOf3("x_lsh_batch1000_queries_sec_20kdocs")(() => lshBatch(1000))
+      val batch1000 = medianOf("x_lsh_batch1000_queries_sec_20kdocs")(() => lshBatch(1000))
       // brute-force batch of 100: the reference's no-index fallback scan —
       // negative L2 over SIGNATURES (benchmark_runner.py:109-117), i.e.
       // the reference's own brute-force metric (12.98 ms/query numpy scan
@@ -180,7 +202,7 @@ object Bench {
           .agg(top_k_by_score(col("score"), col("id"), 5).as("topk"))
           .count()
       }
-      val brute100 = minOf3("x_brute_batch100_queries_sec_20kdocs")(() => bruteBatch())
+      val brute100 = medianOf("x_brute_batch100_queries_sec_20kdocs")(() => bruteBatch())
       // vector-search probes at the same 20k scale: the VectorEngine
       // lifecycle — build (coarse k-means + inverted lists + PQ
       // codebooks/codes), exact cosine batch-100, and the compressed
@@ -192,12 +214,12 @@ object Bench {
       val vq = veng.embs.filter(col("id") < 100)
         .select(col("id").as("vec_id"), col("v").as("embedding"))
       def vecBatch(mode: String): Long = veng.topK(vq, k = 5, mode = mode).count()
-      val vecExact = minOf3("x_vec_exact_batch100_sec_20kvecs")(() => vecBatch("exact"))
-      val vecIvfpq = minOf3("x_vec_ivfpq_batch100_sec_20kvecs")(() => vecBatch("ivfpq"))
+      val vecExact = medianOf("x_vec_exact_batch100_sec_20kvecs")(() => vecBatch("exact"))
+      val vecIvfpq = medianOf("x_vec_ivfpq_batch100_sec_20kvecs")(() => vecBatch("ivfpq"))
       // the refine stage on top of ivfpq: same shortlist depth the a15
       // gate pins (4k = 20), exact float re-score of only the shortlist
       val vecIvfpqRerank =
-        minOf3("x_vec_ivfpq_rerank_batch100_sec_20kvecs")(() => vecBatch("ivfpq_rerank"))
+        medianOf("x_vec_ivfpq_rerank_batch100_sec_20kvecs")(() => vecBatch("ivfpq_rerank"))
       // ---- the 10x scale point (200k docs / 200k vectors) ----
       // The 100 TB design evidence the plan-shape arguments rest on:
       // batch-probe cost must stay ~flat as the corpus grows 10x (the
@@ -224,12 +246,12 @@ object Bench {
         val t = spark.table(table)
         val qs = e.sigs.filter(col("doc_id") < 100)
           .select(col("doc_id").as("query_id"), col("sig"))
-        minOf3(key)(() => graft.core.Lsh.queryBatchBucketed(
+        medianOf(key)(() => graft.core.Lsh.queryBatchBucketed(
           e.sigs, t, qs, k = 5, maxCandidates = 2000).count())
       }
       val bucketed100At20k = bucketedBatch(eng, "graft_bench_bucketed_20k",
         "x_lsh_bucketed_batch100_sec_20kdocs")
-      spark.catalog.clearCache()
+      quiesce()
       val tB2 = System.nanoTime()
       val eng200 = QueryEngine.build(
         SyntheticCorpus.docs(spark, 200000),
@@ -240,7 +262,7 @@ object Bench {
       def lshBatch200(n: Int): Long =
         graft.core.Lsh.queryBatch(eng200.sigs, eng200.index, qDf200(n), k = 5,
           maxCandidates = 2000).count()
-      val batch100At200k = minOf3("x_lsh_batch100_queries_sec_200kdocs")(() => lshBatch200(100))
+      val batch100At200k = medianOf("x_lsh_batch100_queries_sec_200kdocs")(() => lshBatch200(100))
       val bucketed100At200k = bucketedBatch(eng200, "graft_bench_bucketed_200k",
         "x_lsh_bucketed_batch100_sec_200kdocs")
       // single-probe latency ABOVE the driver-replica threshold (6.4M
@@ -270,13 +292,13 @@ object Bench {
       val vecBuild200 = (System.nanoTime() - tV2) / 1e9
       val vq200 = veng200.embs.filter(col("id") < 100)
         .select(col("id").as("vec_id"), col("v").as("embedding"))
-      val vecIvfpq200 = minOf3("x_vec_ivfpq_batch100_sec_200kvecs")(() =>
+      val vecIvfpq200 = medianOf("x_vec_ivfpq_batch100_sec_200kvecs")(() =>
         veng200.topK(vq200, k = 5, mode = "ivfpq").count())
-      val vecIvfpqRerank200 = minOf3("x_vec_ivfpq_rerank_batch100_sec_200kvecs")(() =>
+      val vecIvfpqRerank200 = medianOf("x_vec_ivfpq_rerank_batch100_sec_200kvecs")(() =>
         veng200.topK(vq200, k = 5, mode = "ivfpq_rerank").count())
       // the contrast row: the exact scan pays the full 10x corpus growth
       // while the coarse-pruned compressed path above stays ~flat
-      val vecExact200 = minOf3("x_vec_exact_batch100_sec_200kvecs")(() =>
+      val vecExact200 = medianOf("x_vec_exact_batch100_sec_200kvecs")(() =>
         veng200.topK(vq200, k = 5, mode = "exact").count())
       // ---- the 100x decade (1M docs / 1M vectors), headliners only ----
       // One more decade for the four build/probe headliners: the 20k->200k
@@ -284,7 +306,7 @@ object Bench {
       // was hiding under fixed overhead (e.g. the cached-index scan term
       // in LSH batch growth). Probes must stay ~flat; builds ~linear.
       eng200.close(); veng200.close()
-      spark.catalog.clearCache()
+      quiesce()
       val tB3 = System.nanoTime()
       val eng1m = QueryEngine.build(
         SyntheticCorpus.docs(spark, 1000000),
@@ -300,17 +322,27 @@ object Bench {
       val singleAvg1m = singleProbeAvg("x_lsh_single_query_avg_sec_1mdocs")(() =>
         (5L until 25L).foreach(i => eng1m.query(someSigs1m(i), 5)))
       eng1m.close()
-      spark.catalog.clearCache()
+      quiesce()
       val tV3 = System.nanoTime()
       val veng1m = graft.api.VectorEngine.build(
         graft.sources.SyntheticCorpus.vectors(spark, 1000000)).warmUp()
       val vecBuild1m = (System.nanoTime() - tV3) / 1e9
       val vq1m = veng1m.embs.filter(col("id") < 100)
         .select(col("id").as("vec_id"), col("v").as("embedding"))
-      val vecIvfpq1m = minOf3("x_vec_ivfpq_batch100_sec_1mvecs")(() =>
+      val vecIvfpq1m = medianOf("x_vec_ivfpq_batch100_sec_1mvecs")(() =>
         veng1m.topK(vq1m, k = 5, mode = "ivfpq").count())
+      // the rerank-vs-exact crossover row: at 20k the exact scan is
+      // trivially cheap and refine overhead dominates; at 1M the exact
+      // scan pays the full corpus (6.4 G multiplies per batch) while
+      // rerank re-scores only O(queries x shortlist) floats on top of the
+      // flat compressed probe — the scale where the FAISS refine stage
+      // earns its keep
+      val vecRerank1m = medianOf("x_vec_ivfpq_rerank_batch100_sec_1mvecs")(() =>
+        veng1m.topK(vq1m, k = 5, mode = "ivfpq_rerank").count())
+      val vecExact1m = medianOf("x_vec_exact_batch100_sec_1mvecs")(() =>
+        veng1m.topK(vq1m, k = 5, mode = "exact").count())
       veng1m.close()
-      spark.catalog.clearCache()
+      quiesce()
       // the FAISS sizing lever: scored codes per IVF-PQ query are the
       // nprobe/nCents corpus fraction, so a fixed nCents=8 index scans
       // 37.5% of any corpus — flat probes at scale need nCents to grow
@@ -325,13 +357,13 @@ object Bench {
       val vecBuild1mC = (System.nanoTime() - tV4) / 1e9
       val vq1mC = veng1mC.embs.filter(col("id") < 100)
         .select(col("id").as("vec_id"), col("v").as("embedding"))
-      val vecIvfpq1mC = minOf3("x_vec_ivfpq_batch100_sec_1mvecs_c64")(() =>
+      val vecIvfpq1mC = medianOf("x_vec_ivfpq_batch100_sec_1mvecs_c64")(() =>
         veng1mC.topK(vq1mC, k = 5, mode = "ivfpq").count())
       // drop the probe engines' cached pipelines: the catalog pass that
       // follows must not pay CacheManager plan-compares and memory
       // pressure against them (mirror of the clearCache() on entry)
       veng1mC.close()
-      spark.catalog.clearCache()
+      quiesce()
       (Map(
         "x_index_build_sec_20kdocs" -> buildSec,
         "x_lsh_single_query_avg_sec_20kdocs" -> singleAvg,
@@ -357,6 +389,8 @@ object Bench {
         "x_lsh_single_query_avg_sec_1mdocs" -> singleAvg1m,
         "x_vec_build_sec_1mvecs" -> vecBuild1m,
         "x_vec_ivfpq_batch100_sec_1mvecs" -> vecIvfpq1m,
+        "x_vec_ivfpq_rerank_batch100_sec_1mvecs" -> vecRerank1m,
+        "x_vec_exact_batch100_sec_1mvecs" -> vecExact1m,
         "x_vec_build_sec_1mvecs_c64" -> vecBuild1mC,
         "x_vec_ivfpq_batch100_sec_1mvecs_c64" -> vecIvfpq1mC),
         samples.toMap)

@@ -22,7 +22,11 @@ final class QueryEngine private (
     val sigs: DataFrame,      // (doc_id, sig)
     val index: DataFrame,     // (id, band, key64, key64b)
     val params: Lsh.Params,
-    val mpParams: MinHashPipeline.Params) {
+    val mpParams: MinHashPipeline.Params,
+    // releases the build-time pre-cap postings scratch (see
+    // Lsh.postingsWithScratch) once the index cache is materialized;
+    // idempotent, invoked by warmUp and close
+    private val releaseBuildScratch: () => Unit = () => ()) {
   import QueryEngine.Candidate
 
   /** Warm the caches (O22 cluster warm-up: the eager `postings.count`),
@@ -34,6 +38,9 @@ final class QueryEngine private (
   def warmUp(): QueryEngine = {
     sigs.count(); index.count()
     Lsh.warmDriverStats(index); Lsh.warmDriverIndex(sigs, index)
+    // the capped index and its bucket stats are materialized now — the
+    // pre-cap scratch has served its three consumers
+    releaseBuildScratch()
     this
   }
 
@@ -121,6 +128,7 @@ final class QueryEngine private (
     * counterpart of addDocuments). The engine must not be queried after. */
   def close(): Unit = {
     Lsh.evictDriverState(index)
+    releaseBuildScratch()
     sigs.unpersist(blocking = false)
     index.unpersist(blocking = false)
   }
@@ -209,8 +217,9 @@ object QueryEngine {
             lp: Lsh.Params = Lsh.Params()): QueryEngine = {
     val sigs = MinHashPipeline.withSignature(docs, textCol, mp)
       .select(col(idCol).cast("long").as("doc_id"), col("sig")).cache()
-    val index = Lsh.postings(sigs, "doc_id", "sig", lp).cache()
-    new QueryEngine(docs.sparkSession, sigs, index, lp, mp)
+    val (postings, release) = Lsh.postingsWithScratch(sigs, "doc_id", "sig", lp)
+    val index = postings.cache()
+    new QueryEngine(docs.sparkSession, sigs, index, lp, mp, release)
   }
 
   /** Restore a saved index (restart-safe, unlike the reference's

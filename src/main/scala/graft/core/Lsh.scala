@@ -55,6 +55,27 @@ object Lsh {
     capBuckets(withBucketKeys(exploded), p.maxBucketSize)
   }
 
+  /** [[postings]] plus a release thunk for its build scratch: the capped
+    * plan consumes the exploded+hashed pre-cap postings THREE times (the
+    * over-cap count, the under-cap anti-join pass-through, the over-cap
+    * window), and that table is the largest intermediate in the whole
+    * build — 3x read amplification on it dominates index-build time
+    * (measured 40%+ of the 1M-doc build). Here it is persisted
+    * (memory-then-disk) so the three consumers share one compute; the
+    * caller MUST invoke the thunk once the capped result is materialized
+    * (its own cache counted) or the scratch block leaks until the context
+    * stops. Unpersist is always safe — a later recompute of the returned
+    * plan just re-derives the scratch. */
+  def postingsWithScratch(sigs: DataFrame, idCol: String, sigCol: String,
+                          p: Params = Params()): (DataFrame, () => Unit) = {
+    val exploded = sigs.select(
+      col(idCol).cast("long").as("id"),
+      posexplode(bandSlices(col(sigCol), p)).as(Seq("band", "band_key")))
+    val keyed = withBucketKeys(exploded)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (capBuckets(keyed, p.maxBucketSize), () => { keyed.unpersist(blocking = false); () })
+  }
+
   /** Apply the reference's keep-smallest-ids bucket cap to a postings
     * table (no-op when `maxBucketSize <= 0`). Scale-safe: a full-table
     * `row_number` window would sort every posting and land each bucket on

@@ -27,6 +27,12 @@ import org.apache.spark.sql.functions._
   */
 object Pq {
 
+  /** Ceiling on shortlist rows [[ivfAdcRerankTopK]] will collect to the
+    * driver for the localized re-rank join (two longs per row ≈ 16 MB at
+    * the cap). Batches above it — 50k+ queries at the default 4k
+    * shortlist depth — keep the fully distributed broadcast plan. */
+  final val MaxLocalShortlistRows: Int = 1 << 20
+
   /** Train per-subspace codebooks: (subspace, centroid_id, cv) with `cv`
     * of length `subDim`. Same arithmetic as [[Ann.kmeansTrain]] run per
     * subspace slice (seeded md5 init — the SAME k seed rows for every
@@ -193,9 +199,24 @@ object Pq {
                        m: Int, subDim: Int, codewords: Int = 16,
                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(shortlist >= k, "shortlist must be >= k")
-    val short = ivfAdcTopK(packed, assigned, codebooks, cents, queries,
+    val shortPlan = ivfAdcTopK(packed, assigned, codebooks, cents, queries,
       shortlist, nprobe, m, subDim, codewords, idCol, vecCol)
       .select(col("query_id"), col("id"))
+    // localize the shortlist when it is driver-bounded (it almost always
+    // is: |queries| x shortlist two-long rows — the serving shape): the
+    // exact re-score then plans against a tiny LocalRelation instead of
+    // embedding the whole compressed-scan subplan inside a broadcast
+    // exchange, which costs a second planning pass over it and re-executes
+    // it wholesale if the broadcast is ever evicted under memory pressure.
+    // Row set is identical either way — this only changes WHERE the
+    // already-reduced shortlist lives.
+    val localRows = shortPlan.limit(MaxLocalShortlistRows + 1).collect()
+    val short =
+      if (localRows.length <= MaxLocalShortlistRows) {
+        import scala.jdk.CollectionConverters._
+        queries.sparkSession.createDataFrame(
+          localRows.toSeq.asJava, shortPlan.schema)
+      } else shortPlan
     val base = embs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
     val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
     Ann.explodeTopK(
