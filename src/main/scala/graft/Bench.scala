@@ -314,6 +314,14 @@ object Bench {
       val buildSec1m = (System.nanoTime() - tB3) / 1e9
       val bucketed100At1m = bucketedBatch(eng1m, "graft_bench_bucketed_1m",
         "x_lsh_bucketed_batch100_sec_1mdocs")
+      // cached-index batch at 1M completes the 3-decade matrix for the
+      // in-memory probe path (20k/200k rows exist above): the cap bounds
+      // scored rows, so residual growth is the cached-index scan term
+      def qDf1m(n: Int) = eng1m.sigs.filter(col("doc_id") < n)
+        .select(col("doc_id").as("query_id"), col("sig"))
+      val batch100At1m = medianOf("x_lsh_batch100_queries_sec_1mdocs")(() =>
+        graft.core.Lsh.queryBatch(eng1m.sigs, eng1m.index, qDf1m(100), k = 5,
+          maxCandidates = 2000).count())
       // hot single-probe latency two decades above the replica threshold
       // (32M postings): the LRU probe-cache serving path must stay flat
       val someSigs1m = eng1m.sigs.filter(col("doc_id") < 30)
@@ -386,6 +394,7 @@ object Bench {
         "x_vec_ivfpq_rerank_batch100_sec_200kvecs" -> vecIvfpqRerank200,
         "x_index_build_sec_1mdocs" -> buildSec1m,
         "x_lsh_bucketed_batch100_sec_1mdocs" -> bucketed100At1m,
+        "x_lsh_batch100_queries_sec_1mdocs" -> batch100At1m,
         "x_lsh_single_query_avg_sec_1mdocs" -> singleAvg1m,
         "x_vec_build_sec_1mvecs" -> vecBuild1m,
         "x_vec_ivfpq_batch100_sec_1mvecs" -> vecIvfpq1m,
