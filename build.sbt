@@ -30,10 +30,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 24g default: the bench run caches 1M-doc and 1M-vector indexes
-  // concurrently with 32 executor threads' shuffle memory — under 8g the
-  // old gen fills as the run progresses and every later probe degrades
-  // (BENCH_r06 samples grew 2.8s -> 41s on an unchanged plan). The box
-  // has 128 GiB; tests/verify are comfortable either way.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
+// Heap is SCOPED: the big default belongs to the run entrypoints only.
+// Bench caches 1M-doc and 4M-vector indexes concurrently with 32 executor
+// threads' shuffle memory — under 8g the old gen fills as the run
+// progresses and every later probe degrades (BENCH_r06 samples grew
+// 2.8s -> 41s on an unchanged plan); the bench box has 128 GiB. Tests
+// never build the million-row fixtures, so they keep a portable default
+// that starts on an 8-16 GiB laptop. Both are SPARK_DRIVER_MEM-overridable.
+run / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}"
+Test / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "6g")}"

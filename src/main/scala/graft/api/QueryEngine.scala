@@ -95,11 +95,16 @@ final class QueryEngine private (
     * rebuilds its in-memory tables from scratch), and the bucket cap is
     * re-applied across the union so the grown index is IDENTICAL to a
     * from-scratch build over all documents (keep-smallest-ids is closed
-    * under union of capped sides). Returns a NEW engine; the old one
-    * stays valid — callers growing repeatedly should `close()` the old
-    * engine or its superseded caches accumulate. Doc ids must not collide
-    * with existing ones. At cluster scale the same shape appends postings
-    * partitions to the saved parquet/bucketed table instead.
+    * under union of capped sides). Returns a NEW engine. The superseded
+    * engine's DRIVER-side replica/stats are evicted HERE — the
+    * hundreds-of-MB driver artifacts must not depend on callers honoring
+    * the close() contract — so the old engine stays queryable (its probes
+    * fall back to the bit-identical distributed / probe-cache paths) but
+    * serves stale data; callers growing repeatedly should still `close()`
+    * it or its superseded EXECUTOR caches accumulate until LRU/context
+    * cleanup. Doc ids must not collide with existing ones. At cluster
+    * scale the same shape appends postings partitions to the saved
+    * parquet/bucketed table instead.
     *
     * Repeated adds AUTO-COMPACT: the cap re-application references the
     * unioned index three times, so unchecked growth would TRIPLE the
@@ -117,6 +122,12 @@ final class QueryEngine private (
     val allIndex = Lsh.capBuckets(
       index.unionByName(Lsh.postings(newSigs, "doc_id", "sig", params)),
       params.maxBucketSize).cache()
+    // supersede-evict: drop THIS engine's driver replica/stats/probe-cache
+    // now that a grown index exists — relying on the documented close()
+    // contract left the old replica resident until LRU eviction (8 slots,
+    // hundreds of MB worst case). Executor-side caches stay (still needed
+    // to materialize the grown union cheaply).
+    Lsh.evictDriverState(index)
     val grown = new QueryEngine(spark, allSigs, allIndex, params, mpParams)
     if (QueryEngine.planNodes(allIndex) > QueryEngine.CompactThreshold)
       grown.compact()

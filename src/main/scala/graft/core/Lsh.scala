@@ -268,6 +268,16 @@ object Lsh {
   def driverIndexFor(index: DataFrame): Option[DriverIndex] =
     driverIndexCache.synchronized(Option(driverIndexCache.get(index)))
 
+  /** Test visibility: is a WARMED driver artifact (stats map or full
+    * serving replica — the unbounded-per-index ones) still resident for
+    * `index`? Pins the supersede-evict and close() contracts
+    * (InvarianceSpec). Probe-cache entries are deliberately excluded:
+    * any capped probe against an un-warmed index re-creates one, and
+    * they are residency-bounded by construction. */
+  private[graft] def hasDriverState(index: DataFrame): Boolean =
+    statsMapCache.synchronized(statsMapCache.containsKey(index)) ||
+      driverIndexCache.synchronized(driverIndexCache.containsKey(index))
+
   /** Release every driver-side artifact held for `index` (stats map,
     * serving replica, cached stats table) — called by
     * `QueryEngine.close()` so a closed engine's tens-of-MB replica does
@@ -397,71 +407,100 @@ object Lsh {
                        k: Int, maxCandidates: Int): Seq[(Long, Double, Seq[Long])] = {
     require(maxCandidates > 0, "queryProbeCached requires a candidate cap")
     val pc = probeCacheFor(index)
-    pc.synchronized {
-      val missing = qpRows.filter(t => !pc.buckets.containsKey(t))
-      if (missing.nonEmpty) {
-        // ONE fetch job for every missing bucket: key64-IN literals reach
-        // the scan (bucket-pruned on a saved bucketed table); exact-triple
-        // membership is re-checked on the driver because key64 alone may
-        // collide across bands
-        val missingSet = missing.toSet
-        val fetched = index
-          .filter(col("key64").isin(missing.map(_._2).distinct.toSeq: _*))
-          .select("band", "key64", "key64b", "id").collect()
-          .map(r => ((r.getInt(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
-          .filter { case (t, _) => missingSet.contains(t) }
-          .groupBy(_._1)
+    // PHASE 1 (monitor): snapshot the resident buckets for THIS probe
+    // (array refs only — the snapshot makes the fold immune to a racing
+    // probe's eviction) and note what is missing. The monitor is never
+    // held across a Spark job: a cold miss costs a ~0.27 s cluster fetch,
+    // and holding the lock through it serialized every concurrent probe
+    // against the same index behind one cold key.
+    val resident = new java.util.HashMap[(Int, Long, Long), Array[Long]]()
+    val missing = pc.synchronized {
+      qpRows.filter { t =>
+        val ids = pc.buckets.get(t) // get also marks LRU recency
+        if (ids != null) { resident.put(t, ids); false } else true
+      }
+    }
+    // PHASE 2 (no lock): ONE fetch job for every missing bucket: key64-IN
+    // literals reach the scan (bucket-pruned on a saved bucketed table);
+    // exact-triple membership is re-checked on the driver because key64
+    // alone may collide across bands. Two racing probes may both fetch a
+    // bucket — harmless double work on identical data, the price of not
+    // serializing every warm probe behind a cold one.
+    val fetched = new java.util.HashMap[(Int, Long, Long), Array[Long]]()
+    if (missing.nonEmpty) {
+      val missingSet = missing.toSet
+      val rows = index
+        .filter(col("key64").isin(missing.map(_._2).distinct.toSeq: _*))
+        .select("band", "key64", "key64b", "id").collect()
+        .map(r => ((r.getInt(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
+        .filter { case (t, _) => missingSet.contains(t) }
+        .groupBy(_._1)
+      // an absent bucket is stored as an explicit empty array, so
+      // absent-because-empty never aliases absent-because-not-fetched
+      missing.foreach { t =>
+        fetched.put(t, rows.get(t).map(_.map(_._2).sorted).getOrElse(Array.empty[Long]))
+      }
+      // PHASE 3 (monitor): publish the fetch (skip triples a racing probe
+      // already published — same data, and skipping keeps the residency
+      // accounting exact), then evict least-recently-probed buckets past
+      // the bound (the just-inserted entries are most recent).
+      pc.synchronized {
         missing.foreach { t =>
-          val ids = fetched.get(t).map(_.map(_._2).sorted).getOrElse(Array.empty[Long])
-          pc.buckets.put(t, ids)
-          pc.residentPostings += ids.length
+          if (!pc.buckets.containsKey(t)) {
+            val ids = fetched.get(t)
+            pc.buckets.put(t, ids)
+            pc.residentPostings += ids.length
+          }
         }
-        // evict least-recently-probed buckets past the residency bound
-        // (the just-inserted entries are most recent — never evicted here)
         val it = pc.buckets.entrySet().iterator()
         while (pc.residentPostings > ProbeCacheMaxPostings && it.hasNext) {
           pc.residentPostings -= it.next().getValue.length
           it.remove()
         }
       }
-      // fold over the resident buckets: a <=32-entry per-probe lookup map
-      // bridges the (key64, key64b) fold signature to the full-triple
-      // cache keys (and marks each bucket's LRU access exactly once)
-      val byTriple = new java.util.HashMap[(Long, Long), Array[Long]]()
-      qpRows.foreach(t => byTriple.put((t._2, t._3), pc.buckets.get(t)))
-      val cands = foldCandidates(qpRows, maxCandidates, (key, keyB) => {
-        val ids = byTriple.get((key, keyB))
-        if (ids == null || ids.isEmpty) null else ids
-      })
-      // per-probe signature overlay: scoring reads ONLY this map, so LRU
-      // eviction (even mid-probe, when a huge cap makes the candidate set
-      // exceed the sig capacity) can never silently drop a candidate
-      val probeSigs = new java.util.HashMap[Long, Array[Long]]()
-      val missingIds = {
-        val b = Array.newBuilder[Long]
-        val cit = cands.iterator()
-        while (cit.hasNext) {
-          val id = cit.next().longValue()
-          val s = pc.sigsById.get(id)
-          if (s != null) probeSigs.put(id, s) else b += id
-        }
-        b.result()
+    }
+    // fold over THIS probe's snapshot (resident ++ fetched — never the
+    // shared map, which a racing probe may be evicting): a <=32-entry
+    // lookup map bridges the (key64, key64b) fold signature to the
+    // full-triple keys
+    val byTriple = new java.util.HashMap[(Long, Long), Array[Long]]()
+    qpRows.foreach { t =>
+      val ids = { val r = resident.get(t); if (r != null) r else fetched.get(t) }
+      byTriple.put((t._2, t._3), ids)
+    }
+    val cands = foldCandidates(qpRows, maxCandidates, (key, keyB) => {
+      val ids = byTriple.get((key, keyB))
+      if (ids == null || ids.isEmpty) null else ids
+    })
+    // per-probe signature overlay: scoring reads ONLY this map, so LRU
+    // eviction (by this probe or a racing one) can never silently drop a
+    // candidate. Resident lookups under the monitor; the miss fetch — a
+    // cluster job — again outside it.
+    val probeSigs = new java.util.HashMap[Long, Array[Long]]()
+    val missingIds = pc.synchronized {
+      val b = Array.newBuilder[Long]
+      val cit = cands.iterator()
+      while (cit.hasNext) {
+        val id = cit.next().longValue()
+        val s = pc.sigsById.get(id)
+        if (s != null) probeSigs.put(id, s) else b += id
       }
-      if (missingIds.nonEmpty) {
-        sigs.filter(col("doc_id").isin(missingIds.toSeq: _*))
-          .select("doc_id", "sig").collect()
-          .foreach { r =>
-            val sig = r.getSeq[Long](1).toArray
-            probeSigs.put(r.getLong(0), sig)
-            pc.sigsById.put(r.getLong(0), sig)
-          }
+      b.result()
+    }
+    if (missingIds.nonEmpty) {
+      val got = sigs.filter(col("doc_id").isin(missingIds.toSeq: _*))
+        .select("doc_id", "sig").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+      got.foreach { case (id, sig) => probeSigs.put(id, sig) }
+      pc.synchronized {
+        got.foreach { case (id, sig) => pc.sigsById.put(id, sig) }
         val sit = pc.sigsById.entrySet().iterator()
         while (pc.sigsById.size() > ProbeCacheMaxSigs && sit.hasNext) {
           sit.next(); sit.remove()
         }
       }
-      scoreTopK(cands, probeSigs.get, querySig, k)
     }
+    scoreTopK(cands, probeSigs.get, querySig, k)
   }
 
   /** Allowed-band whitelist from per-(group, band) bucket sizes: for each

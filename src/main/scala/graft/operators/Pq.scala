@@ -28,9 +28,11 @@ import org.apache.spark.sql.functions._
 object Pq {
 
   /** Ceiling on shortlist rows [[ivfAdcRerankTopK]] will collect to the
-    * driver for the localized re-rank join (two longs per row ≈ 16 MB at
-    * the cap). Batches above it — 50k+ queries at the default 4k
-    * shortlist depth — keep the fully distributed broadcast plan. */
+    * driver for the localized re-rank join. Driver cost at the cap is
+    * ~100 MB transient (2^20 boxed two-long Rows, ~90 bytes each), freed
+    * once the LocalRelation plan is built. Batches above it — 26k+
+    * queries at the default 40-deep shortlist — keep the fully
+    * distributed broadcast plan. */
   final val MaxLocalShortlistRows: Int = 1 << 20
 
   /** Train per-subspace codebooks: (subspace, centroid_id, cv) with `cv`
@@ -191,7 +193,17 @@ object Pq {
     * the O(queries × shortlist) shortlist (never scanned ranked); with
     * a corpus bucketed/sorted by id the probe prunes to the matching
     * buckets, the point-lookup shape a 100 TB serving tier wants.
-    * Output (query_id, rank, id) — rank by the exact score. */
+    * Output (query_id, rank, id) — rank by the exact score.
+    *
+    * EAGER when localized: if |queries| × shortlist (an upper bound on
+    * shortlist rows, from one count of the tiny query side — never from
+    * executing the shortlist plan) fits [[MaxLocalShortlistRows]], the
+    * compressed-scan subplan runs ONCE at call time and the returned plan
+    * re-ranks a driver-local shortlist — the serving shape, where
+    * embedding the whole ADC subplan inside a broadcast exchange would
+    * cost a second planning pass and re-execute it wholesale on broadcast
+    * eviction. Bigger batches return the fully lazy distributed plan.
+    * Row set is identical either way. */
   def ivfAdcRerankTopK(packed: DataFrame, assigned: DataFrame,
                        codebooks: DataFrame, cents: DataFrame,
                        embs: DataFrame, queries: DataFrame,
@@ -202,20 +214,20 @@ object Pq {
     val shortPlan = ivfAdcTopK(packed, assigned, codebooks, cents, queries,
       shortlist, nprobe, m, subDim, codewords, idCol, vecCol)
       .select(col("query_id"), col("id"))
-    // localize the shortlist when it is driver-bounded (it almost always
-    // is: |queries| x shortlist two-long rows — the serving shape): the
-    // exact re-score then plans against a tiny LocalRelation instead of
-    // embedding the whole compressed-scan subplan inside a broadcast
-    // exchange, which costs a second planning pass over it and re-executes
-    // it wholesale if the broadcast is ever evicted under memory pressure.
-    // Row set is identical either way — this only changes WHERE the
-    // already-reduced shortlist lives.
-    val localRows = shortPlan.limit(MaxLocalShortlistRows + 1).collect()
+    // localization is gated on a CARDINALITY BOUND from the inputs —
+    // |queries| × shortlist ≥ actual shortlist rows (the per-query top-k
+    // emits at most `shortlist` ids) — so the decision never executes the
+    // compressed-scan subplan: the old collect-and-check probe ran the
+    // whole ADC scan once for the size check and then AGAIN inside the
+    // returned plan whenever the check failed. The query-side count is
+    // one cheap job over the (typically tiny, often cached) batch.
+    val nQueries = queries.select(col(idCol)).limit(
+      MaxLocalShortlistRows / math.max(shortlist, 1) + 1).count()
     val short =
-      if (localRows.length <= MaxLocalShortlistRows) {
+      if (nQueries * shortlist <= MaxLocalShortlistRows) {
         import scala.jdk.CollectionConverters._
         queries.sparkSession.createDataFrame(
-          localRows.toSeq.asJava, shortPlan.schema)
+          shortPlan.collect().toSeq.asJava, shortPlan.schema)
       } else shortPlan
     val base = embs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
     val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))

@@ -97,6 +97,31 @@ class InvarianceSpec extends SparkSpec {
     compactedV.close(); staleV.foreach(_.close())
   }
 
+  test("addDocuments supersede-evicts the old engine's driver state") {
+    import graft.api.QueryEngine
+    import graft.sources.SyntheticCorpus
+    val mp = MinHashPipeline.Params(kShingle = 1)
+    var eng = QueryEngine.build(SyntheticCorpus.docs(spark, 50), mp = mp).warmUp()
+    val qSig = eng.sigs.filter(col("doc_id") === 3).head().getSeq[Long](1).toArray
+    val olds = scala.collection.mutable.ArrayBuffer.empty[QueryEngine]
+    for (i <- 1 to 4) {
+      olds += eng
+      eng = eng.addDocuments(SyntheticCorpus.docs(spark, 5, seed = 200 + i)
+        .withColumn("doc_id", col("doc_id") + i * 1000)).warmUp()
+      // NO stale driver replica/stats/probe-cache for any superseded index
+      // — the add evicted them, not a caller's close() courtesy
+      olds.foreach(o => assert(!Lsh.hasDriverState(o.index),
+        s"stale driver state after add $i"))
+      // ...yet a superseded engine still answers through the bit-identical
+      // fallback paths (distributed / probe-cache)
+      val r = olds.last.query(qSig, 5)
+      assert(r.head.id == 3 && r.head.score == 1.0)
+    }
+    val r = eng.query(qSig, 5)
+    assert(r.head.id == 3 && r.head.score == 1.0)
+    olds.foreach(_.close()); eng.close()
+  }
+
   test("batch probe agrees with the single-vector probe, capped and uncapped") {
     val docs = spark.read.parquet(s"$testDataDir/documents.parquet")
     val sigs = MinHashPipeline.withSignature(docs, "text",

@@ -89,6 +89,47 @@ class QueryEngineSpec extends SparkSpec {
     eng.close()
   }
 
+  test("concurrent cold probe-cache probes stay bit-identical (no lock across jobs)") {
+    // two threads share one un-warmed engine (probes route through the
+    // per-index ProbeCache): both start cold on overlapping keys, so a
+    // racing double-fetch and racing eviction are both in play. The
+    // monitor must never be held across the cluster fetch — and every
+    // result must still equal the distributed plan's.
+    val docs = spark.read.parquet(s"$testDataDir/documents.parquet")
+    val eng = QueryEngine.build(docs,
+      mp = graft.core.MinHashPipeline.Params(kShingle = 3))
+    val qids = Seq(3L, 9L, 21L, 33L)
+    val sigOf = qids.map(q =>
+      q -> eng.sigs.filter(col("doc_id") === q).head().getSeq[Long](1).toArray).toMap
+    val expected = qids.map { q =>
+      val dist = graft.core.Lsh.querySignature(
+        eng.sigs, eng.index, sigOf(q), 5, eng.params, maxCandidates = 2000)
+        .collect()
+        .map(r => QueryEngine.Candidate(r.getLong(0), r.getDouble(1), r.getSeq[Long](2)))
+        .toSeq
+      q -> (if (dist.isEmpty) Seq(QueryEngine.Candidate(-1L, 0.0, Nil)) else dist)
+        .padTo(5, QueryEngine.Candidate(-1L, 0.0, Nil)).take(5)
+    }.toMap
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      val gate = new CountDownLatch(1)
+      val futures = (0 until 2).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Map[Long, Seq[QueryEngine.Candidate]]] {
+          def call(): Map[Long, Seq[QueryEngine.Candidate]] = {
+            gate.await()
+            qids.map(q => q -> eng.query(sigOf(q), 5)).toMap
+          }
+        })
+      }
+      gate.countDown()
+      futures.zipWithIndex.foreach { case (f, t) =>
+        val got = f.get(120, TimeUnit.SECONDS)
+        qids.foreach(q => assert(got(q) == expected(q), s"thread=$t qid=$q"))
+      }
+    } finally { pool.shutdownNow(); eng.close() }
+  }
+
   test("load throws on corrupt params, defaults only when absent") {
     val docs = spark.read.parquet(s"$testDataDir/documents.parquet")
     val eng = QueryEngine.build(docs,
