@@ -10,14 +10,16 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
   * transforms (the Scala analog of `mapInPandas`: one iterator pass per
   * partition, schema declared up front).
   *
-  * The IMAGE path runs a REAL codec: PNG payloads are decoded, resampled
-  * and re-encoded with `javax.imageio` (in the JVM — zero external
-  * dependencies), behind the same partition-batched boundary. Audio/video
-  * byte-level decode remains a clearly-marked deterministic STUB
-  * (`stubDecode`) — no audio/video codec ships in this environment — with
-  * the Spark-side contract (schema, batching, partitioning, null
-  * handling) real and tested; swapping `stubDecode` for a JNI/codec call
-  * is the only change needed for production there.
+  * The IMAGE and AUDIO paths run REAL codecs: PNG payloads are decoded,
+  * resampled and re-encoded with `javax.imageio`, and WAV payloads are
+  * container-parsed and PCM-decoded with `javax.sound.sampled` (both in
+  * the JVM — zero external dependencies), behind the same
+  * partition-batched boundary. VIDEO byte-level decode remains a
+  * clearly-marked deterministic STUB (`stubDecode`) — no video codec
+  * ships in this environment — with the Spark-side contract (schema,
+  * batching, partitioning, null handling) real and tested; swapping
+  * `stubDecode` for a JNI/codec call is the only change needed for
+  * production there.
   */
 object Multimodal {
 
@@ -275,14 +277,86 @@ object Multimodal {
       }(enc)
   }
 
+  /** The 12-byte RIFF/WAVE container signature (the audio twin of
+    * [[isPng]]). */
+  private def isWav(payload: Array[Byte]): Boolean =
+    payload != null && payload.length >= 12 &&
+      payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' &&
+      payload(3) == 'F' &&
+      payload(8) == 'W' && payload(9) == 'A' && payload(10) == 'V' &&
+      payload(11) == 'E'
+
+  /** Encode 8-bit unsigned PCM mono samples into a REAL WAV container
+    * via the JDK's `javax.sound.sampled` (RIFF header + fmt + data
+    * chunks — no external codec dependency). */
+  def encodePcmWav(samples: Array[Int], sampleRate: Int = 8000): Array[Byte] = {
+    import javax.sound.sampled._
+    val bytes = new Array[Byte](samples.length)
+    var i = 0
+    while (i < samples.length) { bytes(i) = (samples(i) & 0xff).toByte; i += 1 }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED,
+      sampleRate.toFloat, 8, 1, 1, sampleRate.toFloat, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, bytes.length.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** REAL audio decode: parse the WAV container with the JDK codec
+    * (header walk, fmt chunk, data chunk extraction all inside
+    * `AudioSystem`) and return the waveform as unsigned 8-bit PCM
+    * sample values. */
+  def decodeWavSamples(payload: Array[Byte]): Array[Int] = {
+    val ais = javax.sound.sampled.AudioSystem
+      .getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+    try {
+      val data = ais.readAllBytes()
+      val out = new Array[Int](data.length)
+      var i = 0
+      while (i < data.length) { out(i) = data(i) & 0xff; i += 1 }
+      out
+    } finally ais.close()
+  }
+
+  /** Sample value of the deterministic WAV fixtures AND the SQL oracle —
+    * a position formula every engine can evaluate (the audio analog of
+    * [[fixturePixel]]). */
+  def fixtureSample(id: Long, i: Int): Int =
+    ((id * 17 + i.toLong * 11) % 256).toInt
+
+  /** Waveform length for [[synthesizeWavAudio]] — varied so chunk counts
+    * differ per row, bounded so 100 driver-side encodes are negligible. */
+  def fixtureSampleCount(id: Long): Int = 160 + (id % 32).toInt * 8
+
+  /** Deterministic REAL-WAV media table: every row is an audio item whose
+    * payload is an actual `javax.sound.sampled`-encoded 8-bit PCM mono
+    * WAV with sample(i) = [[fixtureSample]] — a formula a SQL oracle
+    * reproduces without running a codec, while the Spark side runs the
+    * real container parse + decode (the audio twin of
+    * [[synthesizePngImages]]). */
+  def synthesizeWavAudio(spark: SparkSession, n: Int, sampleRate: Int = 8000): DataFrame = {
+    val rows = (0 until n).map { i =>
+      val samples = Array.tabulate(fixtureSampleCount(i.toLong))(j => fixtureSample(i.toLong, j))
+      Row(i.toLong, "audio", encodePcmWav(samples, sampleRate),
+        Row("audio/wav", null, null, sampleRate, null))
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](rows.asJavaList), mediaSchema)
+  }
+
   /** Audio analysis at the codec boundary: per fixed-size chunk of the
-    * (stub-decoded) waveform bytes, the integer chunk energy — sum of
-    * unsigned byte values. A real PCM decoder slots into the same
-    * partition-batched iterator; non-audio rows are filtered out BEFORE
+    * decoded waveform, the integer chunk energy — sum of unsigned sample
+    * values. WAV payloads are REALLY decoded (`javax.sound.sampled`
+    * parses the container and extracts the PCM data chunk); non-WAV
+    * audio payloads keep the documented stub behavior (raw payload bytes
+    * as the waveform — the pre-codec contract, still exercised for
+    * payloads no codec claims). Non-audio rows are filtered out BEFORE
     * decode (predicate pushdown reaches the scan, the codec never runs
     * on images/videos). Output (media_id, chunk, energy) — one row per
-    * chunk, exploded inside the partition pass, no shuffle. */
-  def audioChunkEnergy(media: DataFrame, chunkBytes: Int = 32): DataFrame = {
+    * chunk of `chunkSamples` samples, exploded inside the partition
+    * pass, no shuffle. */
+  def audioChunkEnergy(media: DataFrame, chunkSamples: Int = 32): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("chunk", IntegerType, nullable = false),
@@ -295,10 +369,18 @@ object Multimodal {
           val id = r.getLong(0)
           val payload =
             if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
-          payload.grouped(chunkBytes).zipWithIndex.map { case (cs, i) =>
+          val samples: Array[Int] =
+            if (isWav(payload)) decodeWavSamples(payload)
+            else { // stub fallback: raw bytes as the waveform
+              val out = new Array[Int](payload.length)
+              var i = 0
+              while (i < payload.length) { out(i) = payload(i) & 0xff; i += 1 }
+              out
+            }
+          samples.grouped(chunkSamples).zipWithIndex.map { case (cs, i) =>
             var s = 0L
             var j = 0
-            while (j < cs.length) { s += cs(j) & 0xff; j += 1 }
+            while (j < cs.length) { s += cs(j); j += 1 }
             Row(id, i, s)
           }
         }

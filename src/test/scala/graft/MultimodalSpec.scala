@@ -85,6 +85,43 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real WAV codec: container round-trip and decoded chunk energies") {
+    // payloads are REAL RIFF/WAVE containers (magic + JDK-decodable)...
+    val wavs = Multimodal.synthesizeWavAudio(spark, n = 12)
+    val raw = wavs.orderBy("media_id").collect()
+    assert(raw.forall { r =>
+      val p = r.getAs[Array[Byte]]("payload")
+      p.take(4).map(_.toChar).mkString == "RIFF" &&
+        p.slice(8, 12).map(_.toChar).mkString == "WAVE"
+    })
+    // ...whose decode recovers EXACTLY the fixture samples (the header is
+    // really stripped: payload is strictly longer than the waveform)
+    raw.foreach { r =>
+      val id = r.getLong(0)
+      val p = r.getAs[Array[Byte]]("payload")
+      val samples = Multimodal.decodeWavSamples(p)
+      val want = (0 until Multimodal.fixtureSampleCount(id))
+        .map(j => Multimodal.fixtureSample(id, j))
+      assert(samples.toSeq == want, s"id=$id")
+      assert(p.length > samples.length, s"id=$id: no container overhead?")
+    }
+    // chunk energies equal the formula-side fold, through executors
+    val got = Multimodal.audioChunkEnergy(wavs.repartition(3), chunkSamples = 32)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val want = (0 until 12).flatMap { id =>
+      (0 until Multimodal.fixtureSampleCount(id.toLong)).map(j =>
+        (id.toLong, j / 32) -> Multimodal.fixtureSample(id.toLong, j).toLong)
+    }.groupMapReduce(_._1)(_._2)(_ + _)
+    assert(got == want)
+    // non-WAV audio payloads keep the documented stub byte-sum behavior
+    val stub = Multimodal.audioChunkEnergy(media, chunkSamples = 32)
+      .filter(col("media_id") === 1).orderBy("chunk")
+      .collect().map(_.getLong(2)).toSeq
+    val bytes = Multimodal.deterministicBytes(1L, 256)
+    val wantStub = bytes.grouped(32).map(_.map(b => (b & 0xff).toLong).sum).toSeq
+    assert(stub == wantStub)
+  }
+
   test("frame sampling keeps every stride-th frame window") {
     val sampled = Multimodal.sampleFrames(media, stride = 2)
     val vid = media.filter(col("kind") === "video").orderBy("media_id").head()

@@ -3,17 +3,19 @@
 then execute each oracle_sql.json entry in DuckDB against the same parquet
 tables and compare (schema, row count, sorted-value hash).
 
-Usage: python3 tools/local_verify.py [sfDir] [outDir]
+Usage: python3 tools/local_verify.py [sfDir] [outDir] [only_csv]
+(only_csv: comma-separated query names — scale runs check a subset)
 """
 import sys, os, json, subprocess, glob
 import duckdb
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+only = f" {sys.argv[3]}" if len(sys.argv) > 3 else ""
 
 rc = subprocess.run(
-    ["sbt", "-batch", f'runMain graft.Verify {sf} {out}'],
-    cwd="/root/repo", capture_output=True, text=True, timeout=1800)
+    ["sbt", "-batch", f'runMain graft.Verify {sf} {out}{only}'],
+    cwd="/root/repo", capture_output=True, text=True, timeout=7200)
 if rc.returncode != 0:
     print(rc.stdout[-4000:]); print(rc.stderr[-2000:]); sys.exit(1)
 for line in rc.stdout.splitlines():
