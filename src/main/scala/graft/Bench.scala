@@ -68,6 +68,13 @@ object Bench {
     def jmap(m: Iterable[(String, String)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // round-over-round regression guard: compare this run's probe medians
+    // against the newest committed BENCH_r*.json (r6's instability was
+    // caught by a human diffing two artifacts; the harness now flags it
+    // itself). Probes only — catalog entries are min-of-2 and noisier.
+    val curForRatios = probeMetrics ++
+      (if (results.nonEmpty) Map("catalog_total_sec" -> total) else Map.empty)
+    val (ratios, regressions, prevArtifact) = ratiosVsPrev(curForRatios)
     // STDOUT gets a COMPACT line: the driver's capture keeps only the last
     // ~3 KB of output, and three rounds running the full line (77 catalog
     // entries + samples) overflowed that window, leaving parsed:null in
@@ -75,16 +82,24 @@ object Bench {
     // judged numbers) plus the catalog total fit with room to spare; the
     // complete result — catalog per-query times and every probe sample —
     // goes to target/bench_result.json, the artifact of record.
+    def jarr(ss: Seq[String]): String = ss.map("\"" + _ + "\"").mkString("[", ",", "]")
     val shortLine = jmap(Seq(
       "metric" -> "\"total\"", "value" -> f6(total), "unit" -> "\"sec\"",
       "queries" -> jmap((probeMetrics ++ Map("catalog_total_sec" -> total))
         .map { case (k, v) => k -> f6(v) }),
       "sf" -> ("\"" + sfDir + "\""),
+      // the >=3x flag list rides in the compact line (usually empty) so a
+      // regression is visible in BENCH_r{N} itself, not only the detail file
+      "regressions_3x" -> jarr(regressions),
       "detail" -> "\"target/bench_result.json\""))
     val fullLine = jmap(Seq(
       "metric" -> "\"total\"", "value" -> f6(total), "unit" -> "\"sec\"",
       "queries" -> jmap((results ++ probeMetrics).map { case (k, v) => k -> f6(v) }),
       "sf" -> ("\"" + sfDir + "\""),
+      "prev_artifact" -> ("\"" + prevArtifact + "\""),
+      "ratios_vs_prev" -> jmap(ratios.toSeq.sortBy(_._1)
+        .map { case (k, v) => k -> f6(v) }),
+      "regressions_3x" -> jarr(regressions),
       // every timed probe sample (not just the reported median):
       // round-over-round diffs can then separate box noise (spread across
       // samples) from a plan regression (all samples moved) without a rerun
@@ -103,6 +118,34 @@ object Bench {
     }
     spark.stop()
   }
+
+  /** Per-probe current/previous ratios against the newest committed
+    * BENCH_r{N}.json in the working directory, plus the keys whose median
+    * moved >=3x (a real plan regression at that threshold — box noise on
+    * warmed medians measured well under it) and the artifact name used.
+    * The prior artifact embeds its metrics both in the driver's `parsed`
+    * block and the stdout tail, so a tolerant "key":number pull is enough
+    * — no JSON parser ships in the main sources. Never throws: a missing
+    * or unreadable artifact yields empty maps (first round, fresh
+    * checkout, driver-relocated cwd). */
+  def ratiosVsPrev(cur: Map[String, Double]): (Map[String, Double], Seq[String], String) =
+    try {
+      val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+      if (files.isEmpty) (Map.empty, Nil, "")
+      else {
+        val prev = files.maxBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt)
+        val text = new String(java.nio.file.Files.readAllBytes(prev.toPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val kv = "\"((?:x_[a-z0-9_]+)|catalog_total_sec)\"\\s*:\\s*([0-9][0-9.eE+-]*)".r
+        val prevMap = kv.findAllMatchIn(text)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val ratios = cur.flatMap { case (k, v) =>
+          prevMap.get(k).filter(_ > 0.0).map(p => k -> v / p)
+        }
+        (ratios, ratios.filter(_._2 >= 3.0).keys.toSeq.sorted, prev.getName)
+      }
+    } catch { case _: Throwable => (Map.empty, Nil, "") }
 
   /** Reference-comparable probe metrics (BASELINE.md: 20 000 docs,
     * prebuilt index, k=5, max_candidates=2000): steady-state single-vector
@@ -152,12 +195,14 @@ object Bench {
       // BENCH_r06 recorded 13x spreads that made single-sample mins
       // meaningless. Every sample is recorded (the `samples` map) so a
       // reader can tell noise from regression without a rerun.
-      def medianOf(key: String)(run: () => Unit): Double = {
+      // `minSamples` > 3 for contested probes (the r7 c64-vs-c8 claim was
+      // judged unresolvable from 3-sample medians in a ±25% box)
+      def medianOf(key: String, minSamples: Int = 3)(run: () => Unit): Double = {
         run() // warmup
         def sample(): Double = {
           val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
         }
-        var ss = (1 to 3).map(_ => sample())
+        var ss = (1 to minSamples).map(_ => sample())
         if (ss.max / ss.min > 3.0) ss = ss ++ (1 to 2).map(_ => sample())
         samples(key) = ss
         val sorted = ss.sorted
@@ -337,7 +382,7 @@ object Bench {
       val vecBuild1m = (System.nanoTime() - tV3) / 1e9
       val vq1m = veng1m.embs.filter(col("id") < 100)
         .select(col("id").as("vec_id"), col("v").as("embedding"))
-      val vecIvfpq1m = medianOf("x_vec_ivfpq_batch100_sec_1mvecs")(() =>
+      val vecIvfpq1m = medianOf("x_vec_ivfpq_batch100_sec_1mvecs", minSamples = 5)(() =>
         veng1m.topK(vq1m, k = 5, mode = "ivfpq").count())
       // the rerank-vs-exact crossover row: at 20k the exact scan is
       // trivially cheap and refine overhead dominates; at 1M the exact
@@ -365,12 +410,49 @@ object Bench {
       val vecBuild1mC = (System.nanoTime() - tV4) / 1e9
       val vq1mC = veng1mC.embs.filter(col("id") < 100)
         .select(col("id").as("vec_id"), col("v").as("embedding"))
-      val vecIvfpq1mC = medianOf("x_vec_ivfpq_batch100_sec_1mvecs_c64")(() =>
+      val vecIvfpq1mC = medianOf("x_vec_ivfpq_batch100_sec_1mvecs_c64", minSamples = 5)(() =>
         veng1mC.topK(vq1mC, k = 5, mode = "ivfpq").count())
+      veng1mC.close()
+      quiesce()
+      // ---- the 4M decade: the compressed-path crossover evidence ----
+      // The engine's own 100 TB default is ivfpq/ivfpq_rerank, yet through
+      // 1M the EXACT scan won every measured scale — fixed plan overhead
+      // dominated the compressed probe while the exact data term was
+      // still cheap (0.88 s at 1M). One more 4x step makes the terms
+      // visible: the exact batch pays the full 1 GB float corpus per
+      // scan, the coarse-pruned ADC batch scans nprobe/nCents of
+      // 16x-smaller codes. Both centroid sizings run — the fixed c8
+      // index (37.5% of codes scanned, the sizing that stops scaling)
+      // and c64 (4.7% scanned, the ~sqrt(n) serving sizing) — so the
+      // crossover AND the sizing lever are measured on the same corpus.
+      val tV5 = System.nanoTime()
+      val veng4m = graft.api.VectorEngine.build(
+        graft.sources.SyntheticCorpus.vectors(spark, 4000000)).warmUp()
+      val vecBuild4m = (System.nanoTime() - tV5) / 1e9
+      val vq4m = veng4m.embs.filter(col("id") < 100)
+        .select(col("id").as("vec_id"), col("v").as("embedding"))
+      val vecExact4m = medianOf("x_vec_exact_batch100_sec_4mvecs")(() =>
+        veng4m.topK(vq4m, k = 5, mode = "exact").count())
+      val vecIvfpq4m = medianOf("x_vec_ivfpq_batch100_sec_4mvecs")(() =>
+        veng4m.topK(vq4m, k = 5, mode = "ivfpq").count())
+      val vecRerank4m = medianOf("x_vec_ivfpq_rerank_batch100_sec_4mvecs")(() =>
+        veng4m.topK(vq4m, k = 5, mode = "ivfpq_rerank").count())
+      veng4m.close()
+      quiesce()
+      val tV6 = System.nanoTime()
+      val veng4mC = graft.api.VectorEngine.build(
+        graft.sources.SyntheticCorpus.vectors(spark, 4000000), nCents = 64).warmUp()
+      val vecBuild4mC = (System.nanoTime() - tV6) / 1e9
+      val vq4mC = veng4mC.embs.filter(col("id") < 100)
+        .select(col("id").as("vec_id"), col("v").as("embedding"))
+      val vecIvfpq4mC = medianOf("x_vec_ivfpq_batch100_sec_4mvecs_c64")(() =>
+        veng4mC.topK(vq4mC, k = 5, mode = "ivfpq").count())
+      val vecRerank4mC = medianOf("x_vec_ivfpq_rerank_batch100_sec_4mvecs_c64")(() =>
+        veng4mC.topK(vq4mC, k = 5, mode = "ivfpq_rerank").count())
       // drop the probe engines' cached pipelines: the catalog pass that
       // follows must not pay CacheManager plan-compares and memory
       // pressure against them (mirror of the clearCache() on entry)
-      veng1mC.close()
+      veng4mC.close()
       quiesce()
       (Map(
         "x_index_build_sec_20kdocs" -> buildSec,
@@ -401,7 +483,14 @@ object Bench {
         "x_vec_ivfpq_rerank_batch100_sec_1mvecs" -> vecRerank1m,
         "x_vec_exact_batch100_sec_1mvecs" -> vecExact1m,
         "x_vec_build_sec_1mvecs_c64" -> vecBuild1mC,
-        "x_vec_ivfpq_batch100_sec_1mvecs_c64" -> vecIvfpq1mC),
+        "x_vec_ivfpq_batch100_sec_1mvecs_c64" -> vecIvfpq1mC,
+        "x_vec_build_sec_4mvecs" -> vecBuild4m,
+        "x_vec_exact_batch100_sec_4mvecs" -> vecExact4m,
+        "x_vec_ivfpq_batch100_sec_4mvecs" -> vecIvfpq4m,
+        "x_vec_ivfpq_rerank_batch100_sec_4mvecs" -> vecRerank4m,
+        "x_vec_build_sec_4mvecs_c64" -> vecBuild4mC,
+        "x_vec_ivfpq_batch100_sec_4mvecs_c64" -> vecIvfpq4mC,
+        "x_vec_ivfpq_rerank_batch100_sec_4mvecs_c64" -> vecRerank4mC),
         samples.toMap)
     } catch { case e: Throwable =>
       // never sink the whole bench line, but say WHY the probes vanished
