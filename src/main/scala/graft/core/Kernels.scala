@@ -521,4 +521,34 @@ object Kernels {
     }
     acc
   }
+
+  /** Every length-`w` window's [[rollingFingerprint]] over an array of
+    * token hashes -> array<long> of n-w+1 fingerprints (empty when the
+    * document is shorter than the window). O(n) total via the standard
+    * drop-leading-term recurrence in exact mod-p arithmetic — bit-identical
+    * to folding each window directly (which is what the SQL oracle does),
+    * since every step is exact modular arithmetic. This is the kernel
+    * behind exact substring-duplicate detection (Lee et al. 2022 shape):
+    * a 50B-token corpus yields ~n windows, not n*w hash work. */
+  def windowFingerprints(arr: ArrayData, w: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n < w || w <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](n - w + 1)
+    var pow = 1L // 1000003^(w-1) mod p: the leading term's weight
+    var i = 1
+    while (i < w) { pow = mulmod(pow, 1000003L); i += 1 }
+    var acc = 0L
+    i = 0
+    while (i < w) { acc = addmod(mulmod(acc, 1000003L), arr.getLong(i)); i += 1 }
+    out(0) = acc
+    i = w
+    while (i < n) {
+      var dropped = acc - mulmod(arr.getLong(i - w), pow)
+      if (dropped < 0) dropped += Prime
+      acc = addmod(mulmod(dropped, 1000003L), arr.getLong(i))
+      out(i - w + 1) = acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }

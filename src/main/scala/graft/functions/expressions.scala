@@ -278,6 +278,21 @@ case class RollingFingerprint(child: Expression) extends UnaryExpression {
   override def prettyName: String = "rolling_fingerprint"
 }
 
+/** array<long> token hashes -> array<long>: every length-`w` window's
+  * polynomial rolling-hash fingerprint (Kernels.windowFingerprints) —
+  * the exact-substring-duplicate kernel. */
+case class WindowFingerprints(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    graft.core.Kernels.windowFingerprints(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.Kernels.windowFingerprints($c, $w)")
+  override protected def withNewChildInternal(c: Expression): WindowFingerprints = copy(child = c)
+  override def prettyName: String = "window_fingerprints"
+}
+
 /** (array<float> vector, array<double> scales) -> array<int>: per-dim
   * symmetric int8 quantization codes (Kernels.quantizeI8) — the 4x
   * embedding-I/O compression path for 100 TB vector scans. */
@@ -336,6 +351,7 @@ object GraftFunctions {
   def pq_encode(v: Column, books: Column, m: Int, k: Int): Column =
     col(PqEncode(ex(v), ex(books), m, k))
   def rolling_fingerprint(c: Column): Column = col(RollingFingerprint(ex(c)))
+  def window_fingerprints(c: Column, w: Int): Column = col(WindowFingerprints(ex(c), w))
   def rhp_bucket(c: Column, planes: Int): Column = col(RhpBucket(ex(c), planes))
   def repetition_stats(c: Column): Column = col(RepetitionStats(ex(c)))
   def quantize_i8(v: Column, s: Column): Column = col(QuantizeI8(ex(v), ex(s)))
@@ -359,6 +375,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("neg_l2_float", es => NegL2Float(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("sq_l2_float", es => SqL2Float(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("rolling_fingerprint", es => RollingFingerprint(es.head), "built-in")
+    reg.createOrReplaceTempFunction("window_fingerprints",
+      es => WindowFingerprints(es(0), es(1).eval().asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("rhp_bucket",
       es => RhpBucket(es(0), es(1).eval().asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("repetition_stats", es => RepetitionStats(es.head), "built-in")

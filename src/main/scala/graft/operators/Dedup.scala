@@ -185,4 +185,45 @@ object Dedup {
       .select(col("a"), col("b"), cosine_sim(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Exact substring-duplicate signals (the "Deduplicating Training Data
+    * Makes Language Models Better" shape, Lee et al. 2022): a length-`w`
+    * token window whose rolling-hash fingerprint appears in >= 2 distinct
+    * documents is a duplicated span. Output one row per document:
+    * (doc_id, n_windows, n_dup_windows, dup_frac) — dup_frac is the
+    * fraction of the document's windows that are corpus-duplicated, the
+    * removal / trimming signal.
+    *
+    * Scale shape: the exploded window table is O(total tokens) rows of
+    * (long, long) — never O(n*w) hash work (the kernel's rolling
+    * recurrence) and never a pairwise comparison. Duplicate detection is
+    * one hash aggregation keyed on the 61-bit fingerprint with map-side
+    * partial aggregation (min/max doc_id stand in for a distinct-count:
+    * a fingerprint spans >= 2 docs iff min != max — no count-distinct
+    * expand), followed by a fingerprint-keyed equi-join back. At 100 TB
+    * both sides shuffle-hash on the fingerprint; nothing collects. */
+  def substringDupSignals(docs: DataFrame, w: Int = 8, idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val wins = docs.select(
+      col(idCol),
+      explode(window_fingerprints(
+        shingle_hashes_md5(Shingling.tokens(lower(col(textCol)))), w)).as("whash"))
+    // fingerprints present in >= 2 distinct docs (min != max avoids the
+    // count-distinct expand; within-doc repeats don't count as corpus dups)
+    val dup = wins.groupBy("whash")
+      .agg(min(col(idCol)).as("mn"), max(col(idCol)).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select("whash")
+    val perDoc = wins.join(dup, Seq("whash"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("n_dup_windows"))
+    docs.select(col(idCol),
+      greatest(size(Shingling.tokens(lower(col(textCol)))) - (w - 1), lit(0))
+        .cast("long").as("n_windows"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+      .withColumn("dup_frac",
+        when(col("n_windows") === 0, lit(0.0))
+          .otherwise(col("n_dup_windows").cast("double") / col("n_windows").cast("double")))
+  }
 }

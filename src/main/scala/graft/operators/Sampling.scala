@@ -80,4 +80,35 @@ object Sampling {
       .withColumnRenamed("_bucket", "bucket")
       .drop("_ord", "_tok", "_before")
   }
+
+  /** Cluster-balanced deterministic sampling — the "flatten the semantic
+    * distribution" primitive for training mixtures (cap every k-means /
+    * IVF cluster at `perCluster` rows so dominant clusters stop drowning
+    * the tail): per cluster, keep the `perCluster` rows with the SMALLEST
+    * stable id hash (first 13 md5 hex digits = 52 bits, exact in a
+    * double), ties broken by id. Membership is a pure function of
+    * (id, cluster), reproducible across runs, partitionings, and engines.
+    *
+    * `assigned` must carry (idCol, clusterCol). Output: (clusterCol,
+    * rank, idCol) with rank 1..perCluster in hash order.
+    *
+    * Scale shape: a partial+final TopKByScore aggregate — map-side
+    * combine caps every partition's contribution at perCluster rows, so
+    * a degenerate giant cluster costs O(perCluster) per partition, never
+    * a single-reducer window sort (this is why it's not row_number()). */
+  def clusterBalancedSample(assigned: DataFrame, perCluster: Int,
+                            idCol: String = "vec_id",
+                            clusterCol: String = "centroid_id"): DataFrame = {
+    import graft.functions.TopKByScore.top_k_by_score
+    val hash52 = conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
+      .cast("decimal(38,0)").cast("double")
+    assigned
+      .select(col(clusterCol).cast("long").as("query_id"),
+        col(idCol).cast("long").as("id"), (-hash52).as("score"))
+      .groupBy("query_id")
+      .agg(top_k_by_score(col("score"), col("id"), perCluster).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "hit")))
+      .select(col("query_id").as(clusterCol), (col("pos") + 1).cast("int").as("rank"),
+        col("hit.id").as(idCol))
+  }
 }

@@ -168,4 +168,36 @@ object TextAnalysis {
         (col("tf") * (col("n_docs").cast("double") / col("df").cast("double")))
           .as("tfidf"))
   }
+
+  /** Exact Okapi BM25 per (doc, term) in the log-free idf-ratio form:
+    * idf_ratio = (N - df + 0.5) / (df + 0.5)   [monotone in the usual
+    * log idf — same ranking per term, but one IEEE divide instead of a
+    * runtime-dependent libm log, so bit-identical cross-engine], and
+    * bm25 = idf_ratio * tf*(k1+1) / (tf + k1*(1 - b + b*(dl/avgdl))).
+    * Every op is correctly-rounded double arithmetic evaluated in the
+    * exact same tree shape as the SQL oracle.
+    *
+    * Scale shape: reuses the tfidf aggregations (explode + two hash
+    * aggs); doc length joins by the corpus-keyed id hash; the two global
+    * scalars (N, avgdl) broadcast. avgdl = sum(dl)::double / N::double —
+    * one divide, bit-stable. */
+  def bm25(docs: DataFrame, k1: Double = 1.2, b: Double = 0.75,
+           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(toks(col(textCol))).as("term"))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = docs.select(col(idCol), tokenCount(col(textCol)).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    tf.join(dfreq, "term").join(dl, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("dl"),
+        (((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))) *
+          ((col("tf").cast("double") * lit(k1 + 1.0)) /
+            (col("tf").cast("double") +
+              lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / col("avgdl"))))))
+          .as("bm25"))
+  }
 }

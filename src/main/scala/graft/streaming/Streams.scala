@@ -43,6 +43,7 @@ object Streams {
         col("s.end").as("session_end"), col("n_events"), col("sum_value"))
 
   case class Seen(userId: Long, eventId: Long)
+  case class SeenAt(userId: Long, eventId: Long, ts: java.sql.Timestamp)
   case class DedupState(seen: Set[Long])
 
   /** Custom keyed state: streaming exactly-once event dedup per user via
@@ -74,6 +75,21 @@ object Streams {
           }
       }
   }
+
+  /** Built-in watermark-bounded streaming dedup: Spark's
+    * dropDuplicatesWithinWatermark over the key columns — state for a key
+    * is evicted once the event-time watermark passes its last-seen time
+    * plus `delay`, so state stays O(keys within the watermark horizon)
+    * instead of growing forever (the production alternative to
+    * [[dedupEvents]]'s explicit flatMapGroupsWithState ledger: built-in
+    * state eviction, but a key CAN re-emit after its state expires —
+    * exactly-once only within the horizon). `ts` must be an event-time
+    * timestamp column. */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+                           tsCol: String = "ts",
+                           delay: String = "24 hours"): DataFrame =
+    events.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
   /** Stream-stream interval join — the streaming twin of the batch banded
     * range join (operators/Joins.rangeCountJoin): each left event joins

@@ -197,4 +197,44 @@ class DedupSpec extends SparkSpec {
       assert(j.count() > 0)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("windowFingerprints O(n) recurrence equals folding each window directly") {
+    import graft.core.Kernels
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(7)
+    val hs = Array.fill(64)(math.abs(rnd.nextLong()) % graft.core.Mod61.Prime)
+    for (w <- Seq(1, 3, 8, 64)) {
+      val got = Kernels.windowFingerprints(new GenericArrayData(hs), w)
+      assert(got.numElements() == 64 - w + 1)
+      for (i <- 0 until got.numElements()) {
+        val direct = Kernels.rollingFingerprint(
+          new GenericArrayData(hs.slice(i, i + w)))
+        assert(got.getLong(i) == direct, s"w=$w i=$i")
+      }
+    }
+    // shorter than the window -> empty, not an error
+    assert(Kernels.windowFingerprints(new GenericArrayData(hs.take(3)), 8)
+      .numElements() == 0)
+  }
+
+  test("substring-dup signals: identical docs fully duplicated, shared prefix detected, short docs zero") {
+    val wide = Seq(
+      // 0 and 1 identical (10 tokens -> 3 windows of 8, all duplicated)
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      // 2 shares only the first 8-token window with 0/1 (9th token differs)
+      (2L, "alpha beta gamma delta epsilon zeta eta theta lambda mu"),
+      // 3 unrelated, 4 too short for any window
+      (3L, "one two three four five six seven eight nine ten"),
+      (4L, "same short doc")
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringDupSignals(wide, w = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(0L) == ((3L, 3L, 1.0)))
+    assert(got(1L) == ((3L, 3L, 1.0)))
+    assert(got(2L) == ((3L, 1L, 1.0 / 3.0))) // only the prefix window is shared
+    assert(got(3L) == ((3L, 0L, 0.0)))
+    assert(got(4L) == ((0L, 0L, 0.0)))
+  }
 }

@@ -128,15 +128,21 @@ class StreamingSpec extends SparkSpec {
     val stream = MemoryStream[(Long, Timestamp, Long)]
     stream.addData((1L, ts(0, 0), 100L), (1L, ts(0, 5), 100L), // replay of 100
       (1L, ts(0, 10), 101L), (2L, ts(0, 15), 100L)) // same id, other payload col is fine
-    val deduped = stream.toDF().toDF("user_id", "ts", "event_id")
-      .withWatermark("ts", "1 hour")
-      .dropDuplicatesWithinWatermark("event_id")
+    val deduped = Streams.dedupWithinWatermark(
+      stream.toDF().toDF("user_id", "ts", "event_id"),
+      keyCols = Seq("event_id"), delay = "1 hour")
     val q = deduped.writeStream.format("memory").queryName("ddw_stream")
       .outputMode("append").start()
     withQuery(q) {
+      q.processAllAvailable()
+      // second micro-batch replays 100/101 within the watermark horizon
+      // and introduces 102 — only the fresh key survives
+      stream.addData((3L, ts(0, 20), 100L), (3L, ts(0, 21), 101L),
+        (3L, ts(0, 22), 102L))
+      q.processAllAvailable()
       val got = spark.table("ddw_stream")
         .collect().map(_.getLong(2)).sorted
-      assert(got.toSeq == Seq(100L, 101L)) // one row per event_id survives
+      assert(got.toSeq == Seq(100L, 101L, 102L)) // one row per event_id survives
     }
   }
 

@@ -76,4 +76,53 @@ class TextAnalysisSpec extends SparkSpec {
     // a document appears exactly once
     assert(packed.map(_._2).distinct.length == packed.length)
   }
+
+  test("BM25 matches the hand-computed formula on a tiny corpus") {
+    import spark.implicits._
+    // 3 docs; "cat" in 2 of them, twice in doc 0; dl = 3, 2, 4
+    val docs = Seq(
+      (0L, "cat cat dog"),
+      (1L, "cat fish"),
+      (2L, "bird bird bird bird")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(5)).toMap
+    val n = 3.0; val avgdl = 9.0 / 3.0
+    def exp(tf: Double, df: Double, dl: Double): Double =
+      ((n - df + 0.5) / (df + 0.5)) *
+        ((tf * (1.2 + 1.0)) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / avgdl))))
+    assert(got((0L, "cat")) == exp(2, 2, 3))
+    assert(got((1L, "cat")) == exp(1, 2, 2))
+    assert(got((2L, "bird")) == exp(4, 1, 4))
+    // rarer term outscores the common one despite lower tf (idf dominates)
+    assert(got((0L, "dog")) > got((0L, "cat")))
+    // at equal df, more occurrences score higher
+    assert(got((2L, "bird")) > got((1L, "fish")))
+  }
+
+  test("cluster-balanced sample caps every cluster and orders by stable id hash") {
+    import spark.implicits._
+    // cluster 1 has 50 members (skewed), cluster 2 has 3
+    val assigned = ((0L until 50L).map(i => (i, 1L)) ++
+      Seq((100L, 2L), (101L, 2L), (102L, 2L))).toDF("vec_id", "centroid_id")
+    val got = graft.operators.Sampling
+      .clusterBalancedSample(assigned, perCluster = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byCluster = got.groupBy(_._1)
+    assert(byCluster(1L).length == 10) // capped
+    assert(byCluster(2L).length == 3)  // whole tail cluster kept
+    // rank order = (md5-52-bit-prefix, id) ascending
+    def h(id: Long): BigInt = BigInt(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13), 16)
+    for ((_, rows) <- byCluster) {
+      val sortedIds = rows.sortBy(_._2).map(_._3)
+      assert(sortedIds.sortBy(id => (h(id), id)).toSeq == sortedIds.toSeq)
+    }
+    // membership is the hash-minimal subset, not arbitrary
+    val kept1 = byCluster(1L).map(_._3).toSet
+    val expect1 = (0L until 50L).sortBy(id => (h(id), id)).take(10).toSet
+    assert(kept1 == expect1)
+  }
 }
