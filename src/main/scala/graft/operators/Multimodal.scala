@@ -387,6 +387,175 @@ object Multimodal {
       }(enc)
   }
 
+  /** The 4-byte GIF signature ("GIF8...") — the video-container twin of
+    * [[isPng]]/[[isWav]] (animated GIF is the one multi-frame container
+    * the JDK can both read and write without external codecs). */
+  private def isGif(payload: Array[Byte]): Boolean =
+    payload != null && payload.length >= 4 &&
+      payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F' &&
+      payload(3) == '8'
+
+  /** Identity 256-gray palette: GIF stores pixels as palette indices, so
+    * encoding TYPE_BYTE_INDEXED frames under this palette makes the
+    * pixel-value round-trip exact (index i <-> gray i). */
+  private def grayPalette: java.awt.image.IndexColorModel = {
+    val ramp = Array.tabulate(256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+  }
+
+  /** Encode 8-bit grayscale frames as a REAL animated GIF via
+    * `javax.imageio`'s sequence writer (one global 256-gray palette,
+    * lossless — no external codec dependency). */
+  def encodeGrayGif(frames: Array[Array[Array[Int]]]): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { px =>
+        val h = px.length
+        val w = if (h == 0) 0 else px(0).length
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, px(y)(x)); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    baos.toByteArray
+  }
+
+  /** REAL video decode: parse the GIF container and return every frame's
+    * gray pixel matrix (via getRGB — palette-indexed frames resolve
+    * through their color model, so the values are codec-derived, not raw
+    * buffer reads). */
+  def decodeGifFrames(payload: Array[Byte]): Array[Array[Array[Int]]] = {
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      Array.tabulate(n) { f =>
+        val img = reader.read(f)
+        Array.tabulate(img.getHeight, img.getWidth)((y, x) => img.getRGB(x, y) & 0xff)
+      }
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
+  }
+
+  /** Frame pixel of the deterministic GIF fixtures AND the SQL oracle —
+    * the video analog of [[fixturePixel]]/[[fixtureSample]]. */
+  def fixtureFramePixel(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id * 31 + f.toLong * 19 + x.toLong * 7 + y.toLong * 13) % 256).toInt
+
+  /** Fixture video geometry: small varied dims and 4-9 frames so stride
+    * sampling produces different kept counts per row. */
+  def fixtureVideoDims(id: Long): (Int, Int) = (8 + (id % 8).toInt, 8 + ((id * 3) % 8).toInt)
+  def fixtureFrameCount(id: Long): Int = 4 + (id % 6).toInt
+
+  /** Deterministic REAL-GIF media table: every row is a video whose
+    * payload is an actual `javax.imageio`-encoded animated GIF with
+    * pixel(f, x, y) = [[fixtureFramePixel]] — a formula a SQL oracle
+    * reproduces without running a codec, while the Spark side runs the
+    * real multi-frame container parse (the video twin of
+    * [[synthesizePngImages]]/[[synthesizeWavAudio]]). */
+  def synthesizeGifVideos(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map { i =>
+      val id = i.toLong
+      val (w, h) = fixtureVideoDims(id)
+      val nf = fixtureFrameCount(id)
+      val frames = Array.tabulate(nf)(f =>
+        Array.tabulate(h, w)((y, x) => fixtureFramePixel(id, f, x, y)))
+      Row(id, "video", encodeGrayGif(frames), Row("image/gif", w, h, null, nf))
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](rows.asJavaList), mediaSchema)
+  }
+
+  /** Frame sampling at the codec boundary — the REAL-codec twin of
+    * [[sampleFrames]]: GIF video payloads are decoded (`javax.imageio`
+    * multi-frame read), every `stride`-th frame kept, and the kept frames
+    * re-encoded as an animated GIF; meta.n_frames updated. Non-GIF video
+    * payloads keep the stub byte-window behavior inline (the pre-codec
+    * contract for containers no codec claims); non-videos pass through.
+    * Same partition-batched `mapPartitions` shape as [[resizeImages]] —
+    * codec calls never on the driver, no shuffle. */
+  def sampleGifFrames(media: DataFrame, stride: Int): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(media.schema)
+    val kindIdx = media.schema.fieldIndex("kind")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val metaIdx = media.schema.fieldIndex("meta")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val kind = if (r.isNullAt(kindIdx)) null else r.getString(kindIdx)
+        val payload = if (r.isNullAt(payloadIdx)) null else r.getAs[Array[Byte]](payloadIdx)
+        if (kind != "video" || !isGif(payload)) r
+        else {
+          val frames = decodeGifFrames(payload)
+          val kept = frames.indices.collect { case f if f % stride == 0 => frames(f) }.toArray
+          val meta = if (r.isNullAt(metaIdx)) null else r.getStruct(metaIdx)
+          val newMeta =
+            if (meta == null) null
+            else Row(meta.get(0), meta.get(1), meta.get(2), meta.get(3), kept.length)
+          val vals = r.toSeq.toArray
+          vals(payloadIdx) = encodeGrayGif(kept)
+          vals(metaIdx) = newMeta
+          Row.fromSeq(vals.toIndexedSeq)
+        }
+      }
+    }(enc)
+  }
+
+  /** Decoded-video observables for the gate side of the real-codec path:
+    * (media_id, frame, width, height, pixel_sum) from actually decoding
+    * every GIF frame — the oracle recomputes the sums from the fixture
+    * formula, so a container/frame-selection/palette bug breaks the hash
+    * (the video twin of [[decodeImageStats]]). Non-GIF payloads yield one
+    * null-dims row. */
+  def decodeVideoStats(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("pixel_sum", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.filter(col("kind") === "video")
+      .select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          if (!isGif(payload)) Iterator.single(Row(id, null, null, null, null))
+          else decodeGifFrames(payload).iterator.zipWithIndex.map { case (px, f) =>
+            val h = px.length
+            val w = if (h == 0) 0 else px(0).length
+            var s = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { s += px(y)(x); x += 1 }
+              y += 1
+            }
+            Row(id, f, w, h, s)
+          }
+        }
+      }(enc)
+  }
+
   /** Frame sampling stub for videos: keep every `stride`-th frame's byte
     * window (payload length / n_frames bytes per frame) by concatenating
     * the kept windows; n_frames updated accordingly. Non-videos pass

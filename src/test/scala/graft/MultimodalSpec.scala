@@ -135,4 +135,37 @@ class MultimodalSpec extends SparkSpec {
     assert(out.getAs[Array[Byte]]("payload").take(frameBytes).toSeq ==
       vid.getAs[Array[Byte]]("payload").take(frameBytes).toSeq)
   }
+
+  test("animated GIF round-trip is pixel-exact and frame sampling decodes/selects/re-encodes") {
+    // codec round-trip: encode N formula frames, decode, compare exactly
+    val frames = Array.tabulate(5)(f =>
+      Array.tabulate(10, 9)((y, x) => Multimodal.fixtureFramePixel(3L, f, x, y)))
+    val rt = Multimodal.decodeGifFrames(Multimodal.encodeGrayGif(frames))
+    assert(rt.length == 5)
+    for (f <- 0 until 5)
+      assert(rt(f).map(_.toSeq).toSeq == frames(f).map(_.toSeq).toSeq, s"frame $f")
+
+    // the distributed path: real container fixtures through executors
+    val vids = Multimodal.synthesizeGifVideos(spark, n = 12).repartition(3)
+    val sampled = Multimodal.sampleGifFrames(vids, stride = 3)
+    val got = Multimodal.decodeVideoStats(sampled)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getInt(2), r.getInt(3), r.getLong(4))).toMap
+    val want = (0 until 12).flatMap { i =>
+      val id = i.toLong
+      val (w, h) = Multimodal.fixtureVideoDims(id)
+      (0 until Multimodal.fixtureFrameCount(id)).filter(_ % 3 == 0).zipWithIndex
+        .map { case (srcF, outF) =>
+          val s = (for (y <- 0 until h; x <- 0 until w)
+            yield Multimodal.fixtureFramePixel(id, srcF, x, y).toLong).sum
+          (id, outF) -> ((w, h, s))
+        }
+    }.toMap
+    assert(got == want)
+    // meta.n_frames tracks the kept count
+    val nf = sampled.select(col("media_id"), col("meta.n_frames")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for (i <- 0 until 12)
+      assert(nf(i.toLong) == (Multimodal.fixtureFrameCount(i.toLong) + 2) / 3)
+  }
 }
