@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Probabilistic sketches — the canonical 100 TB summarization primitives
+  * (cardinality without a distinct, heavy hitters without a full
+  * group-by, membership prefilters for join pruning). Unlike the usual
+  * RNG-seeded implementations, every hash here is the engine's stable
+  * md5 family, so the SKETCH CONTENT itself is deterministic and
+  * cross-engine checkable: the driver gates pin the registers / cells /
+  * bit sets as integer tables, not just the final estimates (estimates
+  * involve float transcendentals whose libm rounding differs between
+  * runtimes — see TextAnalysis.tfidf for the same policy).
+  *
+  * Scale shape: each sketch is one projection + one hash aggregation
+  * whose KEY SPACE IS THE SKETCH SIZE (256 registers / d*w cells /
+  * m bits), so map-side partial aggregation compresses every partition's
+  * contribution to the sketch size before the shuffle — the shuffle
+  * volume is O(partitions x sketch), independent of the 100 TB input.
+  * Sketches from disjoint shards union by the same aggregation (max /
+  * sum / bit-or), which is exactly how they merge across a cluster.
+  */
+object Sketches {
+
+  /** Stable 60-bit hash of a string column: first 15 md5 hex digits as an
+    * unsigned integer. 60 bits keeps the value exact in a signed Long AND
+    * in the SQL twin (('0x' || substr(md5(x), 1, 15))::UBIGINT). */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("decimal(38,0)").cast("long")
+
+  /** Salted variant for the i-th hash function of a multi-hash sketch:
+    * md5(i || ':' || x) — independent-enough salts from one stable
+    * family, reproducible in SQL verbatim. */
+  def hash60Salted(c: Column, i: Int): Column =
+    hash60(concat(lit(i.toString), lit(":"), c))
+
+  /** HyperLogLog register table over a string column: 2^p registers,
+    * (register, max_rho). Register = hash % 2^p; the remaining 60-p bits
+    * are the rho stream: rho = (trailing zeros of w) + 1, computed with
+    * pure integer ops — bit_count((w & -w) - 1) + 1 — so both engines
+    * agree bit-for-bit (no log2, whose libm rounding is not portable).
+    * w = 0 (all 60-p bits zero) caps at rho = 60-p+1, the standard
+    * saturation. The registers ARE the sketch: shards merge by max, and
+    * any estimator (raw harmonic mean, bias-corrected HLL++) reads them
+    * driver-side — see [[hllEstimate]]. */
+  def hllRegisters(df: DataFrame, valueCol: String, p: Int = 8): DataFrame = {
+    val m = 1 << p
+    val maxRho = 60 - p + 1
+    val h = hash60(col(valueCol))
+    // integer ops only: % / shiftright (Column./ is double division, and
+    // a 60-bit value is not exactly representable in a double)
+    df.select((h % m).cast("int").as("register"), shiftright(h, p).as("w"))
+      .select(col("register"),
+        when(col("w") === 0, lit(maxRho))
+          .otherwise(bit_count(expr("(w & -w) - 1")) + 1).cast("int").as("rho"))
+      .groupBy("register").agg(max(col("rho")).as("max_rho"))
+  }
+
+  /** Driver-side raw-HLL cardinality estimate from a collected register
+    * table (m fixed-size rows): alpha_m * m^2 / sum(2^-reg), with the
+    * deterministic small-range linear-counting correction. Not a gated
+    * value (float transcendentals) — the gate pins [[hllRegisters]]. */
+  def hllEstimate(registers: Map[Int, Int], p: Int = 8): Double = {
+    val m = 1 << p
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    // sort for a deterministic summation order
+    val sum = (0 until m).map(r => math.pow(2.0, -registers.getOrElse(r, 0))).sum
+    val raw = alpha * m * m / sum
+    val zeros = m - registers.count { case (_, v) => v > 0 }
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else raw
+  }
+
+  /** Count-min sketch over a string column: `d` salted hash rows x `w`
+    * columns, cell = count of values hashing there. Output (row, cell,
+    * cnt) — only touched cells (absent = 0). Point estimate of a value's
+    * frequency = min over its d cells (always an over-estimate). */
+  def countMinSketch(df: DataFrame, valueCol: String, d: Int = 4, w: Int = 64): DataFrame =
+    df.select((0 until d).map(i =>
+        (hash60Salted(col(valueCol), i) % w).cast("int").as(s"c$i")): _*)
+      .select(posexplode(array((0 until d).map(i => col(s"c$i")): _*))
+        .as(Seq("row", "cell")))
+      .groupBy("row", "cell").agg(count(lit(1)).as("cnt"))
+
+  /** Bloom filter bit set over a string column: `k` salted hashes into
+    * `m` bits; output the distinct set bit positions (bit,). The m-bit
+    * vector these rows define is the filter; shards merge by union
+    * (bit-or). Join pruning at 100 TB: broadcast the bit set of the
+    * small side's keys, prefilter the big scan with
+    * [[bloomMightContain]] before the shuffle. */
+  def bloomBits(df: DataFrame, valueCol: String, k: Int = 5, m: Int = 1024): DataFrame =
+    df.select(explode(array((0 until k).map(i =>
+        (hash60Salted(col(valueCol), i) % m).cast("int")): _*)).as("bit"))
+      .distinct()
+
+  /** Membership predicate against a driver-collected bit set (the
+    * broadcast-prefilter side of [[bloomBits]]): true iff ALL k bit
+    * positions of the value are set. No false negatives by
+    * construction; false-positive rate ~ (set_bits/m)^k. */
+  def bloomMightContain(bits: Set[Int], valueCol: Column, k: Int = 5, m: Int = 1024): Column =
+    (0 until k).map { i =>
+      (hash60Salted(valueCol, i) % m).cast("int").isInCollection(bits)
+    }.reduce(_ && _)
+}

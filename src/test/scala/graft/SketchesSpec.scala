@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.Sketches
+import org.apache.spark.sql.functions._
+
+/** Sketch invariants the integer gate tables can't express: estimator
+  * accuracy, shard-merge equivalence, CMS over-estimate bound, Bloom
+  * no-false-negatives. */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val values =
+    (0 until 2000).map(i => s"v${i % 700}").toDF("v").cache()
+
+  test("HLL registers: estimate lands near the true cardinality and sharded merge equals one-shot") {
+    val regs = Sketches.hllRegisters(values, "v", p = 8)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val est = Sketches.hllEstimate(regs, p = 8)
+    assert(math.abs(est - 700.0) / 700.0 < 0.2, s"estimate $est") // ~6.5% expected at p=8
+    // merge property: registers of two shards max-merge to the one-shot table
+    val a = Sketches.hllRegisters(values.filter(length(col("v")) % 2 === 0), "v", p = 8)
+    val b = Sketches.hllRegisters(values.filter(length(col("v")) % 2 === 1), "v", p = 8)
+    val merged = a.unionAll(b).groupBy("register")
+      .agg(max("max_rho").as("max_rho"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(merged == regs)
+  }
+
+  test("count-min: point query min-over-rows is >= true frequency, exact for most keys") {
+    val cells = Sketches.countMinSketch(values, "v", d = 4, w = 64)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // true frequency of v0: ids 0, 700, 1400 -> 3
+    val v0 = lit("v0")
+    val cols = (0 until 4).map { i =>
+      values.sparkSession.range(1)
+        .select((Sketches.hash60Salted(v0, i) % 64).cast("int")).head().getInt(0)
+    }
+    val estimate = cols.zipWithIndex.map { case (c, i) => cells((i, c)) }.min
+    assert(estimate >= 3L)
+    // sketch total mass per row = number of values
+    for (row <- 0 until 4)
+      assert(cells.collect { case ((r, _), n) if r == row => n }.sum == 2000L)
+  }
+
+  test("bloom filter: no false negatives; absent keys mostly rejected") {
+    val bits = Sketches.bloomBits(values, "v", k = 5, m = 1024)
+      .collect().map(_.getInt(0)).toSet
+    val members = (0 until 700).map(i => s"v$i")
+    val absent = (0 until 700).map(i => s"absent$i")
+    val probe = (members ++ absent).toDF("v")
+      .select(col("v"), Sketches.bloomMightContain(bits, col("v")).as("hit"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(members.forall(probe(_)), "false negative")
+    val fp = absent.count(probe(_))
+    // 700 keys * 5 hashes in 1024 bits -> high load; still expect SOME rejection
+    assert(fp < 700, s"bloom rejected nothing ($fp/700 false positives)")
+  }
+}
