@@ -87,6 +87,20 @@ object Sketches {
         .as(Seq("row", "cell")))
       .groupBy("row", "cell").agg(count(lit(1)).as("cnt"))
 
+  /** Count-min point estimates for a set of values against a built
+    * sketch: est(v) = min over the d rows of v's cell counts — always
+    * >= the true frequency. The sketch side is broadcast-sized (d*w
+    * rows), so estimating any number of candidate values is a
+    * broadcast join + one min-agg, never a second corpus pass. */
+  def cmsPointEstimates(values: DataFrame, valueCol: String, cells: DataFrame,
+                        d: Int = 4, w: Int = 64): DataFrame =
+    values.select(col(valueCol)).distinct()
+      .select(col(valueCol), posexplode(array((0 until d).map(i =>
+        (hash60Salted(col(valueCol), i) % w).cast("int")): _*))
+        .as(Seq("row", "cell")))
+      .join(broadcast(cells), Seq("row", "cell"))
+      .groupBy(valueCol).agg(min("cnt").as("cms_est"))
+
   /** Bloom filter bit set over a string column: `k` salted hashes into
     * `m` bits; output the distinct set bit positions (bit,). The m-bit
     * vector these rows define is the filter; shards merge by union
