@@ -31,6 +31,10 @@ final class VectorEngine private (
     val assigned: DataFrame,  // (id, centroid_id)
     val codebooks: DataFrame, // (subspace, centroid_id, cv)
     val codes: DataFrame,     // (id, codes int[m]) — packed, kernel-ready
+    // (id, centroid_id, codes) in ONE table — the serving form: the
+    // ivfpq probe streams it through a broadcast join with the probe
+    // set, so the corpus never shuffles at query time (Pq.ivfAdcTopKFused)
+    val fused: DataFrame,
     val m: Int, val subDim: Int, val pqK: Int,
     // actual trained coarse-centroid count (== cents row count; may be
     // below the requested k on tiny corpora) — carried so incremental
@@ -57,10 +61,10 @@ final class VectorEngine private (
     case "pq" =>
       Pq.adcTopK(codes, codebooks, queries, k, m, subDim, pqK)
     case "ivfpq" =>
-      Pq.ivfAdcTopK(codes, assigned, codebooks, cents, queries, k, nprobe,
+      Pq.ivfAdcTopKFused(fused, codebooks, cents, queries, k, nprobe,
         m, subDim, pqK)
     case "ivfpq_rerank" =>
-      Pq.ivfAdcRerankTopK(codes, assigned, codebooks, cents, asEmbs(embs),
+      Pq.ivfAdcRerankTopKFused(fused, codebooks, cents, asEmbs(embs),
         queries, k, shortlist = 4 * k, nprobe = nprobe, m = m,
         subDim = subDim, codewords = pqK)
     case other => throw new IllegalArgumentException(
@@ -93,7 +97,9 @@ final class VectorEngine private (
     val grown = new VectorEngine(spark, embs.unionByName(nb).cache(), cents,
       assigned.unionByName(combined.select("id", "centroid_id")).cache(),
       codebooks,
-      codes.unionByName(combined.select("id", "codes")).cache(), m, subDim, pqK,
+      codes.unionByName(combined.select("id", "codes")).cache(),
+      fused.unionByName(combined.select("id", "centroid_id", "codes")),
+      m, subDim, pqK,
       nCents,
       // nb rides in extraCaches so close()/compact() release it — without
       // this every add leaked one cached batch until the context stopped
@@ -116,9 +122,11 @@ final class VectorEngine private (
       .coalesce(1).write.mode("overwrite").json(s"$dir/params")
   }
 
-  /** Release the cached artifacts; the engine must not be queried after. */
+  /** Release the cached artifacts; the engine must not be queried after.
+    * (`fused` is usually a projection of a cached parent in extraCaches;
+    * unpersisting a non-cached projection is a harmless no-op.) */
   def close(): Unit =
-    (Seq(embs, cents, assigned, codebooks, codes) ++ extraCaches)
+    (Seq(embs, cents, assigned, codebooks, codes, fused) ++ extraCaches)
       .foreach(_.unpersist(blocking = false))
 
   /** Re-materialize a repeatedly-grown engine (the QueryEngine.compact
@@ -129,10 +137,14 @@ final class VectorEngine private (
     * queried after. */
   def compact(): VectorEngine = {
     val cEmbs = embs.localCheckpoint(true)
-    val cAssigned = assigned.localCheckpoint(true)
-    val cCodes = codes.localCheckpoint(true)
-    (Seq(embs, assigned, codes) ++ extraCaches).foreach(_.unpersist(blocking = false))
-    new VectorEngine(spark, cEmbs, cents, cAssigned, codebooks, cCodes,
+    // checkpoint the FUSED table once and derive assigned/codes as
+    // projections of it — one materialized corpus copy, not three
+    val cFused = fused.localCheckpoint(true)
+    (Seq(embs, assigned, codes, fused) ++ extraCaches)
+      .foreach(_.unpersist(blocking = false))
+    new VectorEngine(spark, cEmbs, cents,
+      cFused.select("id", "centroid_id"), codebooks,
+      cFused.select("id", "codes"), cFused,
       m, subDim, pqK, nCents)
   }
 
@@ -199,7 +211,9 @@ object VectorEngine {
     val combined = fusedAssignEncode(base, cents, books, nc, m, pqKEff).cache()
     new VectorEngine(spark, base, cents,
       combined.select("id", "centroid_id"), books,
-      combined.select("id", "codes"), m, subDim, pqKEff, nc,
+      combined.select("id", "codes"),
+      combined.select("id", "centroid_id", "codes"),
+      m, subDim, pqKEff, nc,
       extraCaches = Seq(combined))
   }
 
@@ -207,12 +221,17 @@ object VectorEngine {
   def load(spark: SparkSession, dir: String): VectorEngine = {
     val p = spark.read.json(s"$dir/params").head()
     val cents = spark.read.parquet(s"$dir/cents").cache()
+    val assigned = spark.read.parquet(s"$dir/assigned").cache()
+    val codes = spark.read.parquet(s"$dir/codes").cache()
+    // re-fuse once at load (one id-keyed join) and cache: every probe
+    // after this streams the fused table shuffle-free
+    val fused = codes.join(assigned.select(col("id"), col("centroid_id")), "id")
+      .select(col("id"), col("centroid_id"), col("codes")).cache()
     new VectorEngine(spark,
       spark.read.parquet(s"$dir/embs").cache(),
-      cents,
-      spark.read.parquet(s"$dir/assigned").cache(),
+      cents, assigned,
       spark.read.parquet(s"$dir/codebooks").cache(),
-      spark.read.parquet(s"$dir/codes").cache(),
+      codes, fused,
       p.getAs[Long]("m").toInt, p.getAs[Long]("sub_dim").toInt,
       p.getAs[Long]("pq_k").toInt, cents.count().toInt)
   }

@@ -148,40 +148,62 @@ object Pq {
         .agg(top_k_by_score(col("score"), col("id"), k).as("topk")))
   }
 
-  /** IVF-PQ (the construction FAISS calls IVFPQ — coarse quantizer +
-    * product codes): each query probes its `nprobe` nearest coarse
-    * centroids, and ONLY the probed clusters' members are scored, by the
-    * ADC kernel over their packed codes — the float corpus is never
-    * touched at query time. This is the 100 TB vector-search plan:
-    * inverted lists keyed by centroid_id (hash equi-join, never
-    * all-pairs), codes 64x smaller than the vectors they stand for, and
-    * per-query LUTs small enough to broadcast always. `assigned` is
-    * (id, centroid_id) from the coarse quantizer (the same argmin
-    * Ann.ivfTopK builds). Output (query_id, rank, id). */
-  def ivfAdcTopK(packed: DataFrame, assigned: DataFrame, codebooks: DataFrame,
-                 cents: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
-                 m: Int, subDim: Int, codewords: Int = 16,
-                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  /** The (query_id, centroid_id) probe set: each query's `nprobe`
+    * nearest coarse centroids (broadcast centroids, partial top-k). */
+  private def ivfProbeSet(cents: DataFrame, queries: DataFrame, nprobe: Int,
+                          idCol: String, vecCol: String): DataFrame = {
     val c = cents.select(col("centroid_id").cast("long").as("centroid_id"), col("cv"))
     val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
-    val probes = Ann.explodeTopK(
+    Ann.explodeTopK(
       q.crossJoin(broadcast(c))
         .select(col("query_id"), col("centroid_id").as("id"),
           neg_l2_float(col("qv"), col("cv")).as("score"))
         .groupBy("query_id")
         .agg(top_k_by_score(col("score"), col("id"), nprobe).as("topk")))
       .select(col("query_id"), col("id").as("centroid_id"))
-    val cands = assigned.join(broadcast(probes), "centroid_id")
-      .select(col("query_id"), col("id"))
+  }
+
+  /** IVF-PQ (the construction FAISS calls IVFPQ — coarse quantizer +
+    * product codes): each query probes its `nprobe` nearest coarse
+    * centroids, and ONLY the probed clusters' members are scored, by the
+    * ADC kernel over their packed codes — the float corpus is never
+    * touched at query time. This is the 100 TB vector-search plan:
+    * the code table (id, centroid_id, codes) streams ONCE through a
+    * BROADCAST join with the tiny (queries × nprobe) probe set — rows in
+    * unprobed clusters drop in-stage, probed rows fan out to their
+    * queries and feed the map-side partial top-k directly, so the corpus
+    * never shuffles (the earlier (query, candidate)-pair equi-join
+    * shuffled |queries| × cluster-size rows: 150 M pairs at 4 M vectors
+    * under c8, measured 5-9× slower and spill-unstable). Codes are 64×
+    * smaller than the vectors; per-query LUTs broadcast always.
+    * Output (query_id, rank, id). */
+  def ivfAdcTopKFused(fused: DataFrame, codebooks: DataFrame,
+                      cents: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
+                      m: Int, subDim: Int, codewords: Int = 16,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val probes = ivfProbeSet(cents, queries, nprobe, idCol, vecCol)
     val lut = packLut(queryLut(queries, codebooks, m, subDim, idCol, vecCol))
     Ann.explodeTopK(
-      packed.join(cands, "id")
+      fused.join(broadcast(probes), "centroid_id")
         .join(broadcast(lut), "query_id")
         .select(col("query_id"), col("id"),
           adc_score(col("codes"), col("lut"), codewords).as("score"))
         .groupBy("query_id")
         .agg(top_k_by_score(col("score"), col("id"), k).as("topk")))
   }
+
+  /** Separate-tables form of [[ivfAdcTopKFused]] (`packed` (id, codes) +
+    * `assigned` (id, centroid_id)): joins them once on id first — fine
+    * for gate-scale inputs; an engine serving repeated probes should
+    * hold the fused table and call the fused form directly
+    * (api.VectorEngine does). */
+  def ivfAdcTopK(packed: DataFrame, assigned: DataFrame, codebooks: DataFrame,
+                 cents: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
+                 m: Int, subDim: Int, codewords: Int = 16,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfAdcTopKFused(
+      packed.join(assigned.select(col("id"), col("centroid_id")), "id"),
+      codebooks, cents, queries, k, nprobe, m, subDim, codewords, idCol, vecCol)
 
   /** IVF-PQ with exact re-ranking (the FAISS refine pattern —
     * Jégou et al. 2011 §V.A's asymmetric re-ranking stage): the
@@ -209,9 +231,23 @@ object Pq {
                        embs: DataFrame, queries: DataFrame,
                        k: Int, shortlist: Int, nprobe: Int,
                        m: Int, subDim: Int, codewords: Int = 16,
-                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfAdcRerankTopKFused(
+      packed.join(assigned.select(col("id"), col("centroid_id")), "id"),
+      codebooks, cents, embs, queries, k, shortlist, nprobe, m, subDim,
+      codewords, idCol, vecCol)
+
+  /** [[ivfAdcRerankTopK]] over the fused (id, centroid_id, codes) table —
+    * the engine-serving form whose compressed shortlist pass never
+    * shuffles the corpus (see [[ivfAdcTopKFused]]). */
+  def ivfAdcRerankTopKFused(fused: DataFrame,
+                            codebooks: DataFrame, cents: DataFrame,
+                            embs: DataFrame, queries: DataFrame,
+                            k: Int, shortlist: Int, nprobe: Int,
+                            m: Int, subDim: Int, codewords: Int = 16,
+                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(shortlist >= k, "shortlist must be >= k")
-    val shortPlan = ivfAdcTopK(packed, assigned, codebooks, cents, queries,
+    val shortPlan = ivfAdcTopKFused(fused, codebooks, cents, queries,
       shortlist, nprobe, m, subDim, codewords, idCol, vecCol)
       .select(col("query_id"), col("id"))
     // localization is gated on a CARDINALITY BOUND from the inputs —

@@ -107,4 +107,18 @@ class VectorEngineSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
     back.close()
   }
+
+  test("ivfpq probe never shuffles the corpus: all joins broadcast, one agg exchange") {
+    val queries = embs.filter(col("vec_id") < 3)
+    for (mode <- Seq("ivfpq", "ivfpq_rerank")) {
+      val plan = eng.topK(queries, k = 5, mode = mode)
+        .queryExecution.executedPlan.toString()
+      // the old (query, candidate)-pair equi-join planned a corpus-side
+      // shuffle (SortMergeJoin/ShuffledHashJoin) that cost 5-17x at 4M
+      // vectors; the fused form must join only by broadcast
+      assert(!plan.contains("SortMergeJoin"), s"$mode:\n${plan.take(3000)}")
+      assert(!plan.contains("ShuffledHashJoin"), s"$mode:\n${plan.take(3000)}")
+      assert(plan.contains("BroadcastHashJoin"), s"$mode:\n${plan.take(1000)}")
+    }
+  }
 }
