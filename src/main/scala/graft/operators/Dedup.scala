@@ -186,6 +186,33 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** Exact n-gram decontamination (the GPT-3 appendix-C recipe, applied
+    * at window granularity): a TEST document is contaminated where one of
+    * its `w`-token windows appears verbatim in the TRAIN split. Output
+    * one row per test doc: (idCol, n_contaminated_windows) — 0 = clean.
+    * Complements the MinHash contamination audit (d09): this is the
+    * exact-overlap form benchmarks actually specify, not a similarity
+    * heuristic.
+    *
+    * Scale shape: both sides reduce to O(total tokens) (id, whash) rows
+    * via the O(n) rolling kernel; train windows collapse to a distinct
+    * fingerprint set (one hash agg) and the test side LEFT SEMI joins it
+    * on the 61-bit fingerprint — hash-partitioned both sides, no
+    * pairwise comparison, nothing collected. */
+  def ngramDecontaminate(train: DataFrame, test: DataFrame, w: Int = 8,
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def wins(df: DataFrame) = df.select(
+      col(idCol),
+      explode(window_fingerprints(
+        shingle_hashes_md5(Shingling.tokens(lower(col(textCol)))), w)).as("whash"))
+    val trainW = wins(train).select("whash").distinct()
+    val hits = wins(test).join(trainW, Seq("whash"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("n_contaminated_windows"))
+    test.select(col(idCol)).join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_contaminated_windows"), lit(0L)).as("n_contaminated_windows"))
+  }
+
   /** Exact substring-duplicate signals (the "Deduplicating Training Data
     * Makes Language Models Better" shape, Lee et al. 2022): a length-`w`
     * token window whose rolling-hash fingerprint appears in >= 2 distinct

@@ -91,6 +91,16 @@ object Streams {
     events.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Stream-static enrichment: join each arriving event against a static
+    * dimension table (the lookup-table shape — user profiles, domain
+    * allowlists, quality tiers). Spark plans the static side as a
+    * broadcast per micro-batch, so the stream never shuffles and a
+    * dimension update is picked up at the next batch (re-planned each
+    * micro-batch by contract). */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+                    usingCols: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), usingCols)
+
   /** Stream-stream interval join — the streaming twin of the batch banded
     * range join (operators/Joins.rangeCountJoin): each left event joins
     * right events of the same key with r.ts in (l.ts, l.ts + window].

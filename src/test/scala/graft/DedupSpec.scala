@@ -217,6 +217,20 @@ class DedupSpec extends SparkSpec {
       .numElements() == 0)
   }
 
+  test("n-gram decontamination flags test docs sharing a train window, exact-only") {
+    val train = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    val test = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta different end"), // shares the 8-window prefix
+      (11L, "totally unrelated words one two three four five six seven"),
+      (12L, "alpha beta gamma delta epsilon zeta eta NOPE iota kappa") // 7-token overlap only -> clean
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramDecontaminate(train, test, w = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 1L, 11L -> 0L, 12L -> 0L))
+  }
+
   test("substring-dup signals: identical docs fully duplicated, shared prefix detected, short docs zero") {
     val wide = Seq(
       // 0 and 1 identical (10 tokens -> 3 windows of 8, all duplicated)
