@@ -112,6 +112,24 @@ object Sketches {
         (hash60Salted(col(valueCol), i) % m).cast("int")): _*)).as("bit"))
       .distinct()
 
+  /** KMV (k-minimum-values) distinct-count sketch: the k smallest
+    * distinct 60-bit hashes of the column. Plans as hash-distinct +
+    * TakeOrderedAndProject (per-partition partial top-k, driver merge of
+    * k rows — never a global sort). Shards merge by unioning sketches
+    * and re-taking the k smallest; the estimator reads the k-th value
+    * ([[kmvEstimate]]). Unlike HLL it also supports set operations
+    * (intersection estimates via the Jaccard of sketch sets). */
+  def kmvSketch(df: DataFrame, valueCol: String, k: Int = 64): DataFrame =
+    df.select(hash60(col(valueCol)).as("h")).distinct()
+      .orderBy("h").limit(k)
+
+  /** Driver-side KMV estimate: (k-1) / fraction-of-hash-space covered by
+    * the k-th smallest value. Exact count when fewer than k distinct
+    * values exist (the sketch IS the value set then). */
+  def kmvEstimate(hashes: Seq[Long], k: Int = 64): Double =
+    if (hashes.length < k) hashes.length.toDouble
+    else (k - 1).toDouble / (hashes.max.toDouble / (1L << 60).toDouble)
+
   /** Membership predicate against a driver-collected bit set (the
     * broadcast-prefilter side of [[bloomBits]]): true iff ALL k bit
     * positions of the value are set. No false negatives by

@@ -42,6 +42,26 @@ class SketchesSpec extends SparkSpec {
       assert(cells.collect { case ((r, _), n) if r == row => n }.sum == 2000L)
   }
 
+  test("KMV sketch: estimate near truth, exact below k, sharded merge equals one-shot") {
+    val one = Sketches.kmvSketch(values, "v", k = 64)
+      .collect().map(_.getLong(0)).toSeq
+    assert(one.length == 64 && one == one.sorted)
+    val est = Sketches.kmvEstimate(one, k = 64)
+    assert(math.abs(est - 700.0) / 700.0 < 0.35, s"estimate $est") // ~12.5% expected at k=64
+    // below-k input: the sketch IS the distinct hash set (exact)
+    val small = values.filter(col("v").isin("v1", "v2", "v3"))
+    val smallSketch = Sketches.kmvSketch(small, "v", k = 64)
+      .collect().map(_.getLong(0)).toSeq
+    assert(smallSketch.length == 3)
+    assert(Sketches.kmvEstimate(smallSketch, 64) == 3.0)
+    // merge: union two shard sketches, re-take k smallest -> one-shot sketch
+    val a = Sketches.kmvSketch(values.filter(length(col("v")) % 2 === 0), "v", 64)
+    val b = Sketches.kmvSketch(values.filter(length(col("v")) % 2 === 1), "v", 64)
+    val merged = a.unionAll(b).distinct().orderBy("h").limit(64)
+      .collect().map(_.getLong(0)).toSeq
+    assert(merged == one)
+  }
+
   test("bloom filter: no false negatives; absent keys mostly rejected") {
     val bits = Sketches.bloomBits(values, "v", k = 5, m = 1024)
       .collect().map(_.getInt(0)).toSet
