@@ -46,7 +46,11 @@ final class VectorEngine private (
 
   def warmUp(): VectorEngine = {
     embs.count(); cents.count(); assigned.count()
-    codebooks.count(); codes.count(); this
+    codebooks.count(); codes.count()
+    // the serving probes read the FUSED table — materialize its cache
+    // too (after load() it is a fresh id-join that must not land on the
+    // first latency-sensitive probe)
+    fused.count(); this
   }
 
   /** Batch top-k: `queries` is (vec_id, embedding); output

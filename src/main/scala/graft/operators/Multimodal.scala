@@ -190,9 +190,16 @@ object Multimodal {
         else {
           val payload = if (r.isNullAt(payloadIdx)) null else r.getAs[Array[Byte]](payloadIdx)
           val meta = if (r.isNullAt(metaIdx)) null else r.getStruct(metaIdx)
+          // corrupt-but-PNG-signed payloads fall through to the stub
+          // byte-slice contract instead of failing the task (decode
+          // returns null or throws on truncated containers)
+          val img0 =
+            if (!isPng(payload)) null
+            else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            catch { case _: Exception => null }
           val newPayload =
-            if (isPng(payload)) {
-              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            if (img0 != null) {
+              val img = img0
               val srcW = img.getWidth; val srcH = img.getHeight
               val srcRaster = img.getRaster
               val px = Array.tabulate(h, w)((y, x) =>
@@ -232,9 +239,13 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
-          if (!isPng(payload)) Row(r.getLong(0), null, null, null)
+          val img0 =
+            if (!isPng(payload)) null
+            else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            catch { case _: Exception => null }
+          if (img0 == null) Row(r.getLong(0), null, null, null)
           else {
-            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            val img = img0
             val raster = img.getRaster
             var s = 0L
             var y = 0
@@ -370,8 +381,13 @@ object Multimodal {
           val payload =
             if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
           val samples: Array[Int] =
-            if (isWav(payload)) decodeWavSamples(payload)
-            else { // stub fallback: raw bytes as the waveform
+            // a TRUNCATED/corrupt container that still carries the RIFF
+            // magic must degrade to the stub path, not fail the task 4x
+            // and kill a 100 TB job on one bad row
+            (if (isWav(payload))
+              try Some(decodeWavSamples(payload)) catch { case _: Exception => None }
+            else None).getOrElse {
+              // stub fallback: raw bytes as the waveform
               val out = new Array[Int](payload.length)
               var i = 0
               while (i < payload.length) { out(i) = payload(i) & 0xff; i += 1 }
@@ -502,9 +518,15 @@ object Multimodal {
       rows.map { r =>
         val kind = if (r.isNullAt(kindIdx)) null else r.getString(kindIdx)
         val payload = if (r.isNullAt(payloadIdx)) null else r.getAs[Array[Byte]](payloadIdx)
-        if (kind != "video" || !isGif(payload)) r
+        // corrupt-but-GIF8-signed payloads pass through unchanged (the
+        // non-GIF contract) instead of failing the task — one bad row
+        // must not kill the job
+        val decoded =
+          if (kind != "video" || !isGif(payload)) None
+          else try Some(decodeGifFrames(payload)) catch { case _: Exception => None }
+        if (decoded.isEmpty) r
         else {
-          val frames = decodeGifFrames(payload)
+          val frames = decoded.get
           val kept = frames.indices.collect { case f if f % stride == 0 => frames(f) }.toArray
           val meta = if (r.isNullAt(metaIdx)) null else r.getStruct(metaIdx)
           val newMeta =
@@ -539,8 +561,11 @@ object Multimodal {
         rows.flatMap { r =>
           val id = r.getLong(0)
           val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
-          if (!isGif(payload)) Iterator.single(Row(id, null, null, null, null))
-          else decodeGifFrames(payload).iterator.zipWithIndex.map { case (px, f) =>
+          val decoded =
+            if (!isGif(payload)) None
+            else try Some(decodeGifFrames(payload)) catch { case _: Exception => None }
+          if (decoded.isEmpty) Iterator.single(Row(id, null, null, null, null))
+          else decoded.get.iterator.zipWithIndex.map { case (px, f) =>
             val h = px.length
             val w = if (h == 0) 0 else px(0).length
             var s = 0L

@@ -98,7 +98,12 @@ object Sketches {
       .select(col(valueCol), posexplode(array((0 until d).map(i =>
         (hash60Salted(col(valueCol), i) % w).cast("int")): _*))
         .as(Seq("row", "cell")))
-      .join(broadcast(cells), Seq("row", "cell"))
+      // LEFT join + coalesce-0: a cell absent from the sparse table means
+      // NO value hashed there — the estimate must clamp to 0, and a value
+      // entirely absent from the corpus must still get a row (est 0),
+      // not silently vanish through an inner join
+      .join(broadcast(cells), Seq("row", "cell"), "left")
+      .select(col(valueCol), coalesce(col("cnt"), lit(0L)).as("cnt"))
       .groupBy(valueCol).agg(min("cnt").as("cms_est"))
 
   /** Bloom filter bit set over a string column: `k` salted hashes into

@@ -136,6 +136,38 @@ class MultimodalSpec extends SparkSpec {
       vid.getAs[Array[Byte]]("payload").take(frameBytes).toSeq)
   }
 
+  test("corrupt-but-signed payloads degrade to the stub path, never fail the task") {
+    import org.apache.spark.sql.Row
+    // valid magic bytes, truncated containers
+    val badWav = "RIFF1234WAVE".getBytes("US-ASCII")
+    val badGif = "GIF89a junk".getBytes("US-ASCII")
+    val badPng = Array[Byte](0x89.toByte, 'P', 'I' /* corrupted */, 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      Multimodal.encodeGrayPng(Array.tabulate(4, 4)((y, x) => x + y)).take(8)
+    val truncPng = Multimodal.encodeGrayPng(Array.tabulate(4, 4)((y, x) => x + y)).take(12)
+    val rows = Seq(
+      Row(0L, "audio", badWav, Row("audio/wav", null, null, 8000, null)),
+      Row(1L, "video", badGif, Row("image/gif", 4, 4, null, 2)),
+      Row(2L, "image", truncPng, Row("image/png", 4, 4, null, null)))
+    import scala.jdk.CollectionConverters._
+    val media = spark.createDataFrame(rows.asJava, Multimodal.mediaSchema)
+    // audio: stub raw-byte waveform (12 bytes -> one chunk)
+    val energies = Multimodal.audioChunkEnergy(media, chunkSamples = 32).collect()
+    assert(energies.length == 1 && energies(0).getLong(2) ==
+      badWav.map(b => (b & 0xff).toLong).sum)
+    // video: passes through unchanged; stats emit the null-dims row
+    val sampled = Multimodal.sampleGifFrames(media, stride = 2)
+      .filter(col("media_id") === 1).head()
+    assert(sampled.getAs[Array[Byte]]("payload").toSeq == badGif.toSeq)
+    val vstats = Multimodal.decodeVideoStats(media).collect()
+    assert(vstats.length == 1 && vstats(0).isNullAt(1))
+    // image: resize falls back to the byte-slice stub; stats null dims
+    val resized = Multimodal.resizeImages(media, w = 2, h = 2)
+      .filter(col("media_id") === 2).head()
+    assert(resized.getAs[Array[Byte]]("payload").length <= 4)
+    val istats = Multimodal.decodeImageStats(media).collect()
+    assert(istats.length == 1 && istats(0).isNullAt(1))
+  }
+
   test("animated GIF round-trip is pixel-exact and frame sampling decodes/selects/re-encodes") {
     // codec round-trip: encode N formula frames, decode, compare exactly
     val frames = Array.tabulate(5)(f =>

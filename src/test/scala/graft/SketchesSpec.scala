@@ -40,6 +40,25 @@ class SketchesSpec extends SparkSpec {
     // sketch total mass per row = number of values
     for (row <- 0 until 4)
       assert(cells.collect { case ((r, _), n) if r == row => n }.sum == 2000L)
+    // a value absent from the corpus still gets a row, and an untouched
+    // cell counts as 0 (left-join + coalesce contract) — expected value
+    // recomputed exactly from the sketch cells
+    val w2 = 4096
+    val sketch = Sketches.countMinSketch(values, "v", d = 4, w = w2)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    def cellOf(s: String, i: Int): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:$s".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.take(15), 16) % w2).toInt
+    }
+    val probe = "definitely-not-in-corpus"
+    val expect = (0 until 4).map(i => sketch.getOrElse((i, cellOf(probe, i)), 0L)).min
+    val est = Sketches.cmsPointEstimates(
+      Seq(probe).toDF("v"), "v",
+      graft.operators.Sketches.countMinSketch(values, "v", d = 4, w = w2),
+      d = 4, w = w2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est(probe) == expect)
   }
 
   test("KMV sketch: estimate near truth, exact below k, sharded merge equals one-shot") {

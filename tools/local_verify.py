@@ -28,6 +28,9 @@ for p in glob.glob(f"{sf}/*.parquet"):
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
+if not oracle:
+    print("FAIL: empty oracle set (bad whitelist?) — nothing was verified")
+    sys.exit(1)
 fails = 0
 for name, sql in sorted(oracle.items()):
     spark_dir = f"{out}/{name}"
