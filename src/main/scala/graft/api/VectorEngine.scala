@@ -98,11 +98,18 @@ final class VectorEngine private (
     val nb = newEmbs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")).cache()
     val combined = VectorEngine.fusedAssignEncode(
       nb, cents, codebooks, nCents, m, pqK).cache()
+    // cache the grown FUSED union (the hot serving table — every ivfpq
+    // probe reads it) and derive assigned/codes as projections of it,
+    // mirroring build(): one cached corpus copy instead of three, and
+    // repeated add() without compact() no longer recomputes a deepening
+    // union chain on the probe path
+    val grownFused =
+      fused.unionByName(combined.select("id", "centroid_id", "codes")).cache()
     val grown = new VectorEngine(spark, embs.unionByName(nb).cache(), cents,
-      assigned.unionByName(combined.select("id", "centroid_id")).cache(),
+      grownFused.select("id", "centroid_id"),
       codebooks,
-      codes.unionByName(combined.select("id", "codes")).cache(),
-      fused.unionByName(combined.select("id", "centroid_id", "codes")),
+      grownFused.select("id", "codes"),
+      grownFused,
       m, subDim, pqK,
       nCents,
       // nb rides in extraCaches so close()/compact() release it — without

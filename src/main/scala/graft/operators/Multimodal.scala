@@ -99,7 +99,13 @@ object Multimodal {
   }
 
   /** Partition-batched feature extraction: (media_id, features float[dim]).
-    * One pass per partition, no shuffle; nulls yield zero vectors. */
+    * One pass per partition, no shuffle; nulls yield zero vectors.
+    *
+    * PNG payloads are REALLY decoded (`javax.imageio`, on executors) and
+    * the feature fold runs over the decoded row-major grayscale PIXELS —
+    * the shape of a real extractor: codec first, features over samples,
+    * never over container bytes. Payloads no JDK codec claims (and
+    * corrupt PNGs) keep the documented byte-level stub fold. */
   def extractFeatures(media: DataFrame, dim: Int = 64): DataFrame = {
     val spark = media.sparkSession
     val outSchema = StructType(Seq(
@@ -110,9 +116,29 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
-          Row(r.getLong(0), stubDecode(payload, dim).toSeq)
+          val img =
+            if (!isPng(payload)) null
+            else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            catch { case _: Exception => null }
+          val basis = if (img != null) grayPixelBytes(img) else payload
+          Row(r.getLong(0), stubDecode(basis, dim).toSeq)
         }
       }(enc)
+  }
+
+  /** Row-major band-0 samples of a decoded image as bytes — the decoded
+    * basis the feature fold runs over for real image payloads. */
+  private def grayPixelBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val w = img.getWidth; val h = img.getHeight
+    val raster = img.getRaster
+    val out = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { out(y * w + x) = raster.getSample(x, y, 0).toByte; x += 1 }
+      y += 1
+    }
+    out
   }
 
   /** The 8-byte PNG signature. */
@@ -163,6 +189,31 @@ object Multimodal {
       val px = Array.tabulate(h, w)((y, x) => fixturePixel(i.toLong, x, y))
       Row(i.toLong, "image", encodeGrayPng(px),
         Row("image/png", w, h, null, null))
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](rows.asJavaList), mediaSchema)
+  }
+
+  /** Mixed-kind media table matching [[synthesize]]'s id→kind layout
+    * (kind = id mod 3), but image rows carry REAL `javax.imageio`-encoded
+    * PNGs with the [[fixturePixel]] formula pixels at [[fixtureDims]] —
+    * so a pipeline over it exercises the real image codec path AND the
+    * byte-stub path for the codec-less kinds in one table (the m01 gate
+    * fixture). Audio/video rows keep the xorshift payloads. */
+  def synthesizeMixed(spark: SparkSession, n: Int, bytesPerItem: Int = 256): DataFrame = {
+    val rows = (0 until n).map { i =>
+      Seq("image", "audio", "video")(i % 3) match {
+        case "image" =>
+          val (w, h) = fixtureDims(i.toLong)
+          val px = Array.tabulate(h, w)((y, x) => fixturePixel(i.toLong, x, y))
+          Row(i.toLong, "image", encodeGrayPng(px), Row("image/png", w, h, null, null))
+        case "audio" =>
+          Row(i.toLong, "audio", deterministicBytes(i.toLong, bytesPerItem),
+            Row("audio/wav", null, null, 8000 + 100 * (i % 5), null))
+        case _ =>
+          Row(i.toLong, "video", deterministicBytes(i.toLong, bytesPerItem),
+            Row("video/mp4", 64, 64, null, 8 + i % 16))
+      }
     }
     spark.createDataFrame(
       new java.util.ArrayList[Row](rows.asJavaList), mediaSchema)

@@ -76,6 +76,47 @@ object Sketches {
     if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else raw
   }
 
+  /** The HLL estimator's INTEGER inputs as a one-row gated table
+    * (round 9 — estimator correctness without libm in the oracle): the
+    * raw estimate is alpha_m * m^2 / (denom_num / 2^maxRho), where
+    * denom_num = sum over ALL m registers of 2^(maxRho - rho) (empty
+    * registers contribute 2^maxRho) is an EXACT integer — it and the
+    * zero-register count fully determine [[hllEstimate]] up to one
+    * final float expression. `linear_branch` pins which estimator branch
+    * fires, computed with +,-,*,/ on IEEE doubles in a fixed tree (the
+    * one float allowance of the oracle policy). maxRho = 53 at p = 8,
+    * so denom_num <= m * 2^53 = 2^61 — exact in a signed BIGINT. */
+  def hllEstimatorInputs(registers: DataFrame, p: Int = 8): DataFrame = {
+    val m = 1 << p
+    val maxRho = 60 - p + 1
+    val mD = m.toDouble
+    val pow2MaxRho = 1L << maxRho
+    val agg = registers.agg(
+      count(lit(1)).cast("int").as("nonzero_registers"),
+      sum(expr(s"shiftleft(cast(1 as bigint), $maxRho - max_rho)")).as("occ_num"))
+    val zeros = (lit(m) - col("nonzero_registers")).cast("int")
+    val denom = (col("occ_num") +
+      (lit(m).cast("long") - col("nonzero_registers")) * lit(pow2MaxRho)).cast("long")
+    // the branch comparison: alpha, raw in the SAME expression tree the
+    // SQL twin writes — division-only float math, bit-identical IEEE
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(mD))
+    val raw = alpha * lit(mD) * lit(mD) / (denom.cast("double") / lit(pow2MaxRho.toDouble))
+    agg.select(
+      lit(m).as("m_registers"),
+      col("nonzero_registers"),
+      zeros.as("zero_registers"),
+      denom.as("denom_num"),
+      when(raw <= lit(2.5) * lit(mD) && zeros > 0, 1).otherwise(0)
+        .cast("int").as("linear_branch"))
+  }
+
+  /** The KMV estimator's integer inputs: sketch size and the k-th
+    * smallest hash (= max over the k-row sketch) — [[kmvEstimate]] is a
+    * pure function of these two values. */
+  def kmvEstimatorInputs(sketch: DataFrame): DataFrame =
+    sketch.agg(count(lit(1)).cast("int").as("kmv_size"),
+      max(col("h")).as("kmv_kth_min"))
+
   /** Count-min sketch over a string column: `d` salted hash rows x `w`
     * columns, cell = count of values hashing there. Output (row, cell,
     * cnt) — only touched cells (absent = 0). Point estimate of a value's

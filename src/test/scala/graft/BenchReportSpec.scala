@@ -33,6 +33,44 @@ class BenchReportSpec extends SparkSpec {
     assert(back.count() == 2)
   }
 
+  test("certifiedMedian: clean batch certifies in one pass") {
+    var calls = 0
+    val script = Seq(1.0, 1.2, 1.1)
+    val (med, all, degraded) = Bench.certifiedMedian(3) { () =>
+      calls += 1; script(calls - 1)
+    }
+    assert(!degraded)
+    assert(calls == 3)          // no retry batches taken
+    assert(all == script)
+    assert(med == 1.1)          // median of the clean batch
+  }
+
+  test("certifiedMedian: noisy batch is refused, clean retry certifies") {
+    // batch 1 spreads 8x (contention signature); batch 2 is clean —
+    // the certified median must come from the CLEAN batch only, and the
+    // drain hook must run exactly once (between the two batches)
+    val script = Iterator(1.0, 8.0, 1.1, /* retry: */ 2.0, 2.2, 2.1)
+    var drains = 0
+    val (med, all, degraded) =
+      Bench.certifiedMedian(3, betweenBatches = () => drains += 1)(() => script.next())
+    assert(!degraded)
+    assert(drains == 1)
+    assert(all.size == 6)       // every sample recorded, noisy batch included
+    assert(med == 2.1)
+  }
+
+  test("certifiedMedian: persistent noise marks the probe degraded") {
+    // every batch spreads > 3x: after maxRetries the probe is DEGRADED
+    // (the artifact must self-describe, not certify a poisoned median)
+    // and the reported median is over all samples — the most robust
+    // basis available
+    val script = Iterator(1.0, 9.0, 1.1, 1.0, 9.5, 1.2, 1.1, 8.8, 1.0)
+    val (med, all, degraded) = Bench.certifiedMedian(3)(() => script.next())
+    assert(degraded)
+    assert(all.size == 9)       // 1 initial + 2 retry batches, all recorded
+    assert(med == 1.1)          // median of all 9 samples
+  }
+
   test("ANN method family report: exact truth vs ivf vs pq vs ivfpq") {
     val embs = spark.read.parquet(s"$testDataDir/embeddings.parquet").cache()
     val eng = graft.api.VectorEngine.build(embs).warmUp()

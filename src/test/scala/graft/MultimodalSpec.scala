@@ -30,6 +30,36 @@ class MultimodalSpec extends SparkSpec {
     assert(f2(0L) == id0.toSeq)
   }
 
+  test("PNG payloads extract features from DECODED pixels, not container bytes") {
+    // real-codec path: the feature fold's basis must be the decoded
+    // row-major grayscale raster (the fixture pixel formula), never the
+    // PNG container bytes — pin id 3 (w=19, h=25) against the scalar
+    // stub over formula pixels
+    val pngs = Multimodal.synthesizePngImages(spark, n = 9)
+    val out = Multimodal.extractFeatures(pngs.repartition(3), dim = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    (0 until 9).foreach { i =>
+      val (w, h) = Multimodal.fixtureDims(i.toLong)
+      val px = Array.tabulate(h * w)(p =>
+        Multimodal.fixturePixel(i.toLong, p % w, p / w).toByte)
+      assert(out(i.toLong) == Multimodal.stubDecode(px, 16).toSeq, s"id $i")
+      // and the container bytes would NOT produce these features
+      val container = pngs.filter(col("media_id") === i).head()
+        .getAs[Array[Byte]]("payload")
+      assert(out(i.toLong) != Multimodal.stubDecode(container, 16).toSeq, s"id $i")
+    }
+    // mixed table: image rows decode, audio/video rows keep the byte stub
+    val mixed = Multimodal.synthesizeMixed(spark, n = 6)
+    val mout = Multimodal.extractFeatures(mixed, dim = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(mout(1L) ==
+      Multimodal.stubDecode(Multimodal.deterministicBytes(1L, 256), 16).toSeq)
+    val (w0, h0) = Multimodal.fixtureDims(0L)
+    val px0 = Array.tabulate(h0 * w0)(p =>
+      Multimodal.fixturePixel(0L, p % w0, p / w0).toByte)
+    assert(mout(0L) == Multimodal.stubDecode(px0, 16).toSeq)
+  }
+
   test("null payload yields zero vector (null handling contract)") {
     import spark.implicits._
     val withNull = spark.createDataFrame(

@@ -109,6 +109,16 @@ class PlanSpec extends SparkSpec {
     assert(n == expected)
   }
 
+  test("io04 catalog query prunes partitions on the bucket column") {
+    val q = SparkEntry.queries("io04_partitioned_pruned")(spark, testDataDir)
+    val p = plan(q)
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(scanLine.contains("bucket"), scanLine)
+    // the data filter must NOT appear as a post-scan Filter: pruning
+    // happens at file listing, so only 3 of 8 bucket dirs are read
+    assert(q.rdd.getNumPartitions <= 8, q.rdd.getNumPartitions.toString)
+  }
+
   test("LSH candidate pair join is a hash join on fixed-width keys") {
     val docs = spark.read.parquet(s"$testDataDir/documents.parquet")
     val sigs = MinHashPipeline.withSignature(docs, "text",

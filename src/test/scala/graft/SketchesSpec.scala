@@ -26,6 +26,46 @@ class SketchesSpec extends SparkSpec {
     assert(merged == regs)
   }
 
+  test("estimator integer inputs fully determine the estimates (k06 contract)") {
+    val m = 256
+    // small corpus: MUST take the linear-counting branch
+    val small = (1 to 10).map(i => s"v$i").toDF("v")
+    val regsDf = Sketches.hllRegisters(small, "v", p = 8)
+    val regs = regsDf.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val in = Sketches.hllEstimatorInputs(regsDf, p = 8).head()
+    assert(in.getAs[Int]("m_registers") == m)
+    assert(in.getAs[Int]("nonzero_registers") == regs.size)
+    assert(in.getAs[Int]("zero_registers") == m - regs.size)
+    // denom_num / 2^53 reproduces hllEstimate's harmonic-mean denominator
+    val denom = in.getAs[Long]("denom_num")
+    val sum = (0 until m).map(r => math.pow(2.0, -regs.getOrElse(r, 0))).sum
+    assert(math.abs(denom.toDouble / (1L << 53).toDouble - sum) < 1e-12)
+    // the branch selector matches the branch hllEstimate actually takes
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val raw = alpha * m * m / sum
+    val takesLinear = raw <= 2.5 * m && regs.size < m
+    assert(in.getAs[Int]("linear_branch") == (if (takesLinear) 1 else 0))
+    assert(in.getAs[Int]("linear_branch") == 1) // 10 values << 2.5m
+    // large corpus: raw branch (all registers occupied at 20k distinct)
+    val big = (1 to 20000).map(i => s"w$i").toDF("v")
+    val bigIn = Sketches.hllEstimatorInputs(
+      Sketches.hllRegisters(big, "v", p = 8), p = 8).head()
+    assert(bigIn.getAs[Int]("linear_branch") == 0)
+    assert(bigIn.getAs[Int]("zero_registers") == 0)
+    // KMV: size + k-th minimum are the whole estimator input
+    val sk = Sketches.kmvSketch(big, "v", k = 64)
+    val kin = Sketches.kmvEstimatorInputs(sk).head()
+    val hs = sk.collect().map(_.getLong(0)).toSeq
+    assert(kin.getAs[Int]("kmv_size") == 64)
+    assert(kin.getAs[Long]("kmv_kth_min") == hs.max)
+    assert(Sketches.kmvEstimate(hs) ==
+      63.0 / (kin.getAs[Long]("kmv_kth_min").toDouble / (1L << 60).toDouble))
+    // below-k corpus: sketch IS the value set, estimate exact
+    val skSmall = Sketches.kmvSketch(small, "v", k = 64)
+    val kinSmall = Sketches.kmvEstimatorInputs(skSmall).head()
+    assert(kinSmall.getAs[Int]("kmv_size") == 10)
+  }
+
   test("count-min: point query min-over-rows is >= true frequency, exact for most keys") {
     val cells = Sketches.countMinSketch(values, "v", d = 4, w = 64)
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
