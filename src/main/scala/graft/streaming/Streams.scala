@@ -120,6 +120,29 @@ object Streams {
       .select(col("k").as(keyCol), col("l_id"), col("l_ts"), col("r_id"), col("r_ts"))
   }
 
+  /** LEFT OUTER stream-stream interval join — the production funnel
+    * shape ("every view, with its click if one came within the hour"):
+    * same event-time bounds as [[intervalJoin]], but an unmatched left
+    * row is emitted with null right columns once the watermark passes
+    * its match horizon (l_ts + window) and its state is evicted — the
+    * engine must PROVE absence before emitting, which is exactly what
+    * the watermark bound makes safe. Callers on bounded input must
+    * advance the final watermark past every left row's horizon (e.g. a
+    * sentinel future event) or tail unmatched rows stay in state forever
+    * — the s10 gate stages exactly that. */
+  def intervalJoinOuter(left: DataFrame, right: DataFrame, keyCol: String,
+                        window: String = "1 hour",
+                        watermark: String = "2 hours"): DataFrame = {
+    val l = left.select(col(keyCol).as("k"), col("ts").as("l_ts"), col("id").as("l_id"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col(keyCol).as("k2"), col("ts").as("r_ts"), col("id").as("r_id"))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+      expr(s"k = k2 AND r_ts > l_ts AND r_ts <= l_ts + interval $window"),
+      "leftOuter")
+      .select(col("k").as(keyCol), col("l_id"), col("l_ts"), col("r_id"), col("r_ts"))
+  }
+
   /** Micro-batch LSH probe: each arriving (query_id, sig) row is joined
     * against the cached postings index and scored; per-batch top-k results
     * are appended to `sink` (an in-memory or parquet path handler).

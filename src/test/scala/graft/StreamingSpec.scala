@@ -146,6 +146,37 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("LEFT OUTER interval join emits unmatched views once the watermark passes their horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val views = MemoryStream[(Long, Timestamp, Long)]
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    // view 100 matched by click 200; view 101 has NO click in its hour
+    views.addData((1L, ts(0, 10), 100L), (1L, ts(2, 0), 101L))
+    clicks.addData((1L, ts(0, 40), 200L), (1L, ts(1, 30), 201L))
+    val joined = Streams.intervalJoinOuter(
+      views.toDF().toDF("user_id", "ts", "id"),
+      clicks.toDF().toDF("user_id", "ts", "id"), "user_id")
+    val q = joined.writeStream.format("memory").queryName("ijo_stream")
+      .outputMode("append").start()
+    withQuery(q) {
+      // batch 1: only the matched pair can emit — 101's no-click verdict
+      // is not yet provable (its horizon 03:00 is past the watermark)
+      val b1 = spark.table("ijo_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(3)) -1L else r.getLong(3)))
+      assert(b1.toSet == Set((1L, 100L, 200L)), b1.toSeq.toString)
+      // sentinel batch advances both watermarks past every horizon:
+      // wm = 08:00 - 2h = 06:00 > 03:00, so the unmatched view flushes
+      views.addData((888L, ts(8, 0), 900L))
+      clicks.addData((888L, ts(8, 0), 901L))
+      q.processAllAvailable()
+      val b2 = spark.table("ijo_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(3)) -1L else r.getLong(3)))
+      assert(b2.toSet == Set((1L, 100L, 200L), (1L, 101L, -1L)), b2.toSeq.toString)
+    }
+  }
+
   test("stream-stream interval join matches the batch range semantics") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
