@@ -121,6 +121,36 @@ final class VectorEngine private (
     else grown
   }
 
+  /** Deletion (the FAISS `remove_ids` contract): drop the given ids from
+    * every corpus-sized artifact with one broadcast ANTI-join filter —
+    * the trained models (cents/codebooks) are untouched, so nothing
+    * retrains and the remaining codes stay valid. The deletion set
+    * broadcasts (a removal batch is tiny next to the corpus; at cluster
+    * scale the same plan streams the corpus through the broadcast and
+    * never shuffles it). Returns a NEW engine sharing the trained
+    * models; `close()` the old one when done. Repeated removes compact
+    * under the same plan-node budget as addVectors. */
+  def removeVectors(ids: DataFrame, idCol: String = "id"): VectorEngine = {
+    val del = broadcast(ids.select(col(idCol).cast("long").as("del_id")))
+    def drop(df: DataFrame): DataFrame =
+      df.join(del, col("id") === col("del_id"), "left_anti")
+    val rEmbs = drop(embs).cache()
+    val rFused = drop(fused).cache()
+    val grown = new VectorEngine(spark, rEmbs, cents,
+      rFused.select("id", "centroid_id"), codebooks,
+      rFused.select("id", "codes"), rFused,
+      m, subDim, pqK, nCents)
+    if (QueryEngine.planNodes(grown.codes) > QueryEngine.CompactThreshold)
+      grown.compact()
+    else grown
+  }
+
+  /** Seq convenience overload of [[removeVectors]]. */
+  def removeVectors(ids: Seq[Long]): VectorEngine = {
+    import spark.implicits._
+    removeVectors(ids.toDF("id"))
+  }
+
   /** Persist every index artifact; `load` restores without retraining. */
   def save(dir: String): Unit = {
     embs.write.mode("overwrite").parquet(s"$dir/embs")

@@ -95,6 +95,33 @@ class VectorEngineSpec extends SparkSpec {
     assert(eng.codes.filter(col("id") === 9001L).count() == 0)
   }
 
+  test("removeVectors drops the ids from EVERY artifact and every probe mode") {
+    val removed = eng.removeVectors(Seq(0L, 7L, 14L))
+    val gone = Set(0L, 7L, 14L)
+    // every corpus-sized artifact lost exactly the removed ids
+    for ((name, df) <- Seq("embs" -> removed.embs, "assigned" -> removed.assigned,
+                           "codes" -> removed.codes, "fused" -> removed.fused)) {
+      val ids = df.select("id").collect().map(_.getLong(0)).toSet
+      assert((ids & gone).isEmpty, s"$name still holds removed ids")
+      assert(ids.size == eng.embs.count() - 3, name)
+    }
+    // no probe mode can return a removed id; queries may BE removed ids
+    val q = embs.filter(col("vec_id") < 3) // includes removed id 0
+    for (mode <- Seq("exact", "ivf", "pq", "ivfpq", "ivfpq_rerank")) {
+      val res = removed.topK(q, k = 5, mode = mode)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert((res & gone).isEmpty, s"mode $mode returned a removed id")
+    }
+    // trained models shared, untouched: remaining codes identical
+    val before = eng.codes.filter(!col("id").isin(0L, 7L, 14L))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val after = removed.codes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(after == before)
+    // old engine untouched (removed NOT closed here: close() releases
+    // the SHARED trained models the suite's other tests still probe)
+    assert(eng.codes.filter(col("id") === 7L).count() == 1)
+  }
+
   test("save/load round-trip answers identically without retraining") {
     val dir = java.nio.file.Files.createTempDirectory("graft-vec").toString
     eng.save(dir)
