@@ -134,6 +134,30 @@ final class QueryEngine private (
     else grown
   }
 
+  /** Deletion — the LSH twin of [[VectorEngine.removeVectors]]: drop
+    * `docIds` from the cached signature and postings tables with one
+    * broadcast ANTI-join each; no re-shingling, no rebuild. SOUND by
+    * construction (a removed doc's postings and signature are gone, so
+    * no probe path can return it — QueryEngineSpec pins this under
+    * capstress too). COMPLETENESS caveat: postings a capped bucket
+    * evicted while the removed doc occupied a slot are NOT resurrected
+    * — that information was dropped at build time — so a bucket that
+    * sat at its cap may under-recall versus a from-scratch rebuild
+    * until the next full build; below the cap (every driver-scale
+    * fixture) remove ≡ rebuild exactly (the i05 gate). Returns a NEW
+    * engine; the superseded engine's driver replica/stats are evicted
+    * here, mirroring addDocuments. */
+  def removeDocuments(docIds: DataFrame, idCol: String = "doc_id"): QueryEngine = {
+    val del = broadcast(docIds.select(col(idCol).cast("long").as("del_id")))
+    val rSigs = sigs.join(del, col("doc_id") === col("del_id"), "left_anti").cache()
+    val rIndex = index.join(del, col("id") === col("del_id"), "left_anti").cache()
+    Lsh.evictDriverState(index)
+    val grown = new QueryEngine(spark, rSigs, rIndex, params, mpParams)
+    if (QueryEngine.planNodes(rIndex) > QueryEngine.CompactThreshold)
+      grown.compact()
+    else grown
+  }
+
   /** Release this engine's cached tables AND the driver-resident
     * replica/stats Lsh holds for its index (the grown-engine lifecycle
     * counterpart of addDocuments). The engine must not be queried after. */

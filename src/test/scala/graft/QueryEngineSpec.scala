@@ -197,6 +197,35 @@ class QueryEngineSpec extends SparkSpec {
     assert(grown.index.count() == full.index.count())
   }
 
+  test("removeDocuments equals a from-scratch build below the cap, and is SOUND at the cap") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$testDataDir/documents.parquet")
+    val gone = docs.filter(col("doc_id") % 9 === 4).select("doc_id")
+    val removed = QueryEngine.build(docs,
+      mp = graft.core.MinHashPipeline.Params(kShingle = 3)).removeDocuments(gone)
+    val rebuilt = QueryEngine.build(docs.filter(col("doc_id") % 9 =!= 4),
+      mp = graft.core.MinHashPipeline.Params(kShingle = 3))
+    // no bucket near the cap at this scale -> removal is EXACTLY a rebuild
+    assert(removed.sigs.count() == rebuilt.sigs.count())
+    assert(removed.index.count() == rebuilt.index.count())
+    val qSig = rebuilt.sigs.filter(col("doc_id") === 3).head().getSeq[Long](1).toArray
+    assert(removed.query(qSig, 5) == rebuilt.query(qSig, 5))
+    // SOUNDNESS under a CAPPED degenerate bucket: 30 identical docs in a
+    // 5-cap bucket; removing two SURVIVORS of the cap must never let a
+    // probe return them (the evicted 25 stay evicted — documented
+    // under-recall, but no resurrection of removed ids either)
+    val degen = (0L until 30L).map(i => (i, "same text every time")).toDF("doc_id", "text")
+    val capped = QueryEngine.build(degen,
+      mp = graft.core.MinHashPipeline.Params(kShingle = 3),
+      lp = graft.core.Lsh.Params(maxBucketSize = 5))
+    val cq = capped.sigs.filter(col("doc_id") === 0).head().getSeq[Long](1).toArray
+    val cRemoved = capped.removeDocuments(Seq(0L, 1L).toDF("doc_id"))
+    val ids = cRemoved.query(cq, 10).map(_.id).toSet
+    assert(!ids.contains(0L) && !ids.contains(1L), ids.toString)
+    // survivors of the cap minus the removed two still answer
+    assert((ids - -1L).nonEmpty)
+  }
+
   test("synthetic corpus is deterministic and partitioning-invariant") {
     val a = SyntheticCorpus.docs(spark, 200).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
