@@ -31,6 +31,18 @@ object Streams {
       .select(col("w.start").as("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Watermarked SLIDING-window aggregation (the streaming twin of the
+    * s09 batch gate): every event contributes to duration/slide
+    * overlapping windows; state per open window, evicted once the
+    * watermark passes the window end. */
+  def slidingCounts(events: DataFrame, duration: String = "1 hour",
+                    slide: String = "15 minutes",
+                    watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), duration, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n_events"))
+
   /** Built-in session windows: activity sessions per user separated by
     * `gap` of inactivity. */
   def sessionize(events: DataFrame, gap: String = "30 minutes",

@@ -36,6 +36,32 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("watermarked sliding window agg matches the batch sliding groupBy") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val rows = Seq(
+      (ts(1, 5), "click", 1.0), (ts(1, 40), "click", 2.0), (ts(2, 10), "view", 3.0))
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    stream.addData(rows: _*)
+    val agg = Streams.slidingCounts(stream.toDF().toDF("ts", "event_type", "value"))
+    val q = agg.writeStream.format("memory").queryName("sliding_stream")
+      .outputMode("complete").start()
+    withQuery(q) {
+      val got = spark.table("sliding_stream")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      // batch twin: every event in 4 overlapping 1h windows, 15-min slide
+      val batch = rows.toDF("ts", "event_type", "value")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+        .agg(count(org.apache.spark.sql.functions.lit(1)).as("n_events"))
+        .select(col("w.start"), col("event_type"), col("n_events"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == batch, got.toString)
+      // each event appears in exactly 4 windows
+      assert(got.toSeq.map(_._3).sum == rows.length * 4)
+    }
+  }
+
   test("watermarked hourly window agg matches batch groupBy") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
