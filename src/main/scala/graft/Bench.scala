@@ -537,7 +537,16 @@ object Bench {
       betweenBatches()
       ss = batch(); all = all ++ ss; retries += 1
     }
-    val degraded = noisy(ss)
+    val sorted = ss.sorted
+    val batchMedian = sorted(sorted.length / 2)
+    // a within-batch-clean retry can still sit in a WRONG regime: if the
+    // box slid into steady contention between batches, the retry batch
+    // reads uniformly slow (tiny spread) while earlier samples prove the
+    // plan runs 3x+ faster — certifying that median ships exactly the
+    // poisoned number this function exists to refuse. Cross-batch check:
+    // a clean batch only certifies when its median stays within the
+    // spread limit of the fastest sample EVER observed for this probe.
+    val degraded = noisy(ss) || batchMedian / all.min > spreadLimit
     val basis = (if (degraded) all else ss).sorted
     (basis(basis.length / 2), all, degraded)
   }

@@ -163,11 +163,17 @@ final class VectorEngine private (
       .coalesce(1).write.mode("overwrite").json(s"$dir/params")
   }
 
-  /** Release the cached artifacts; the engine must not be queried after.
-    * (`fused` is usually a projection of a cached parent in extraCaches;
+  /** Release the CORPUS-SIZED cached artifacts; the engine must not be
+    * queried after. The trained models (cents/codebooks — kilobytes)
+    * are deliberately NOT released: they are SHARED with every engine
+    * this one spawned via addVectors/removeVectors/compact, and
+    * unpersisting them here would silently evict the successor's
+    * serving caches (round-9 review finding); they live until the
+    * session ends, which a kilobyte-sized table can afford. (`fused` is
+    * usually a projection of a cached parent in extraCaches;
     * unpersisting a non-cached projection is a harmless no-op.) */
   def close(): Unit =
-    (Seq(embs, cents, assigned, codebooks, codes, fused) ++ extraCaches)
+    (Seq(embs, assigned, codes, fused) ++ extraCaches)
       .foreach(_.unpersist(blocking = false))
 
   /** Re-materialize a repeatedly-grown engine (the QueryEngine.compact

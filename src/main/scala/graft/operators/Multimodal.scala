@@ -42,18 +42,31 @@ object Multimodal {
     * fixtures without codecs or external files. */
   def synthesize(spark: SparkSession, n: Int, bytesPerItem: Int = 256): DataFrame = {
     val rows = (0 until n).map { i =>
-      val kind = Seq("image", "audio", "video")(i % 3)
-      val payload = deterministicBytes(i.toLong, bytesPerItem)
-      val meta = kind match {
-        case "image" => Row("image/png", 32 + i % 64, 32 + (i * 7) % 64, null, null)
-        case "audio" => Row("audio/wav", null, null, 8000 + 100 * (i % 5), null)
-        case _       => Row("video/mp4", 64, 64, null, 8 + i % 16)
+      Seq("image", "audio", "video")(i % 3) match {
+        case "image" => Row(i.toLong, "image", deterministicBytes(i.toLong, bytesPerItem),
+          Row("image/png", 32 + i % 64, 32 + (i * 7) % 64, null, null))
+        case "audio" => stubAudioRow(i, bytesPerItem)
+        case _       => stubVideoRow(i, bytesPerItem)
       }
-      Row(i.toLong, kind, payload, meta)
     }
     spark.createDataFrame(
       new java.util.ArrayList[Row](rows.asJavaList), mediaSchema)
   }
+
+  // per-kind fixture row builders shared by synthesize/synthesizeMixed/
+  // synthesizePngImages — ONE source of truth for each fixture's payload
+  // and meta, so the m01 gate fixture and the spec fixtures cannot drift
+  private def pngImageRow(i: Int): Row = {
+    val (w, h) = fixtureDims(i.toLong)
+    val px = Array.tabulate(h, w)((y, x) => fixturePixel(i.toLong, x, y))
+    Row(i.toLong, "image", encodeGrayPng(px), Row("image/png", w, h, null, null))
+  }
+  private def stubAudioRow(i: Int, bytesPerItem: Int): Row =
+    Row(i.toLong, "audio", deterministicBytes(i.toLong, bytesPerItem),
+      Row("audio/wav", null, null, 8000 + 100 * (i % 5), null))
+  private def stubVideoRow(i: Int, bytesPerItem: Int): Row =
+    Row(i.toLong, "video", deterministicBytes(i.toLong, bytesPerItem),
+      Row("video/mp4", 64, 64, null, 8 + i % 16))
 
   private implicit class SeqOps[T](s: Seq[T]) {
     def asJavaList: java.util.List[T] = {
@@ -183,16 +196,10 @@ object Multimodal {
     * pixel(x, y) = [[fixturePixel]] — a formula a SQL oracle reproduces
     * without running a codec, while the Spark side runs the real
     * decode/encode path. */
-  def synthesizePngImages(spark: SparkSession, n: Int): DataFrame = {
-    val rows = (0 until n).map { i =>
-      val (w, h) = fixtureDims(i.toLong)
-      val px = Array.tabulate(h, w)((y, x) => fixturePixel(i.toLong, x, y))
-      Row(i.toLong, "image", encodeGrayPng(px),
-        Row("image/png", w, h, null, null))
-    }
+  def synthesizePngImages(spark: SparkSession, n: Int): DataFrame =
     spark.createDataFrame(
-      new java.util.ArrayList[Row](rows.asJavaList), mediaSchema)
-  }
+      new java.util.ArrayList[Row]((0 until n).map(pngImageRow).asJavaList),
+      mediaSchema)
 
   /** Mixed-kind media table matching [[synthesize]]'s id→kind layout
     * (kind = id mod 3), but image rows carry REAL `javax.imageio`-encoded
@@ -203,16 +210,9 @@ object Multimodal {
   def synthesizeMixed(spark: SparkSession, n: Int, bytesPerItem: Int = 256): DataFrame = {
     val rows = (0 until n).map { i =>
       Seq("image", "audio", "video")(i % 3) match {
-        case "image" =>
-          val (w, h) = fixtureDims(i.toLong)
-          val px = Array.tabulate(h, w)((y, x) => fixturePixel(i.toLong, x, y))
-          Row(i.toLong, "image", encodeGrayPng(px), Row("image/png", w, h, null, null))
-        case "audio" =>
-          Row(i.toLong, "audio", deterministicBytes(i.toLong, bytesPerItem),
-            Row("audio/wav", null, null, 8000 + 100 * (i % 5), null))
-        case _ =>
-          Row(i.toLong, "video", deterministicBytes(i.toLong, bytesPerItem),
-            Row("video/mp4", 64, 64, null, 8 + i % 16))
+        case "image" => pngImageRow(i)
+        case "audio" => stubAudioRow(i, bytesPerItem)
+        case _       => stubVideoRow(i, bytesPerItem)
       }
     }
     spark.createDataFrame(

@@ -123,12 +123,21 @@ object Streams {
     * output (keyCol, l_id, l_ts, r_id, r_ts). */
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
                    window: String = "1 hour",
-                   watermark: String = "2 hours"): DataFrame = {
+                   watermark: String = "2 hours"): DataFrame =
+    intervalJoinCore(left, right, keyCol, window, watermark, "inner")
+
+  /** Shared body of the two interval joins — ONE place owns the
+    * watermark columns and the event-time bound expression, so the
+    * inner and outer variants can never drift apart semantically. */
+  private def intervalJoinCore(left: DataFrame, right: DataFrame,
+                               keyCol: String, window: String,
+                               watermark: String, joinType: String): DataFrame = {
     val l = left.select(col(keyCol).as("k"), col("ts").as("l_ts"), col("id").as("l_id"))
       .withWatermark("l_ts", watermark)
     val r = right.select(col(keyCol).as("k2"), col("ts").as("r_ts"), col("id").as("r_id"))
       .withWatermark("r_ts", watermark)
-    l.join(r, expr(s"k = k2 AND r_ts > l_ts AND r_ts <= l_ts + interval $window"))
+    l.join(r, expr(s"k = k2 AND r_ts > l_ts AND r_ts <= l_ts + interval $window"),
+      joinType)
       .select(col("k").as(keyCol), col("l_id"), col("l_ts"), col("r_id"), col("r_ts"))
   }
 
@@ -144,16 +153,8 @@ object Streams {
     * — the s10 gate stages exactly that. */
   def intervalJoinOuter(left: DataFrame, right: DataFrame, keyCol: String,
                         window: String = "1 hour",
-                        watermark: String = "2 hours"): DataFrame = {
-    val l = left.select(col(keyCol).as("k"), col("ts").as("l_ts"), col("id").as("l_id"))
-      .withWatermark("l_ts", watermark)
-    val r = right.select(col(keyCol).as("k2"), col("ts").as("r_ts"), col("id").as("r_id"))
-      .withWatermark("r_ts", watermark)
-    l.join(r,
-      expr(s"k = k2 AND r_ts > l_ts AND r_ts <= l_ts + interval $window"),
-      "leftOuter")
-      .select(col("k").as(keyCol), col("l_id"), col("l_ts"), col("r_id"), col("r_ts"))
-  }
+                        watermark: String = "2 hours"): DataFrame =
+    intervalJoinCore(left, right, keyCol, window, watermark, "leftOuter")
 
   /** Micro-batch LSH probe: each arriving (query_id, sig) row is joined
     * against the cached postings index and scored; per-batch top-k results

@@ -59,6 +59,19 @@ class BenchReportSpec extends SparkSpec {
     assert(med == 2.1)
   }
 
+  test("certifiedMedian: a clean retry batch in a SLOW regime is still degraded") {
+    // batch 1 spreads 8x (refused); batch 2 is internally clean but
+    // uniformly ~10x the fastest observed sample — the box slid into
+    // steady contention between batches. Certifying 10.0 would ship the
+    // exact poisoned median the harness exists to refuse: the
+    // cross-batch check flags it and falls back to the all-sample median
+    val script = Iterator(1.0, 8.0, 1.1, /* retry: */ 9.8, 10.0, 10.1)
+    val (med, all, degraded) = Bench.certifiedMedian(3)(() => script.next())
+    assert(degraded)
+    assert(all.size == 6)
+    assert(med == 9.8) // all-sample median, not the slow batch's 10.0
+  }
+
   test("certifiedMedian: persistent noise marks the probe degraded") {
     // every batch spreads > 3x: after maxRetries the probe is DEGRADED
     // (the artifact must self-describe, not certify a poisoned median)

@@ -117,9 +117,13 @@ class VectorEngineSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
     val after = removed.codes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
     assert(after == before)
-    // old engine untouched (removed NOT closed here: close() releases
-    // the SHARED trained models the suite's other tests still probe)
+    // old engine untouched
     assert(eng.codes.filter(col("id") === 7L).count() == 1)
+    // closing the derived engine must NOT evict the shared trained
+    // models the suite's other tests still serve from (round-9 fix:
+    // close() releases only corpus-sized artifacts)
+    removed.close()
+    assert(eng.topK(embs.filter(col("vec_id") < 2), k = 3, mode = "ivfpq").count() > 0)
   }
 
   test("save/load round-trip answers identically without retraining") {
