@@ -67,6 +67,37 @@ object Multimodal {
   private def stubVideoRow(i: Int, bytesPerItem: Int): Row =
     Row(i.toLong, "video", deterministicBytes(i.toLong, bytesPerItem),
       Row("video/mp4", 64, 64, null, 8 + i % 16))
+  private def wavAudioRow(i: Int, sampleRate: Int = 8000): Row = {
+    val samples = Array.tabulate(fixtureSampleCount(i.toLong))(j => fixtureSample(i.toLong, j))
+    Row(i.toLong, "audio", encodePcmWav(samples, sampleRate),
+      Row("audio/wav", null, null, sampleRate, null))
+  }
+  private def gifVideoRow(i: Int): Row = {
+    val id = i.toLong
+    val (w, h) = fixtureVideoDims(id)
+    val nf = fixtureFrameCount(id)
+    val frames = Array.tabulate(nf)(f =>
+      Array.tabulate(h, w)((y, x) => fixtureFramePixel(id, f, x, y)))
+    Row(id, "video", encodeGrayGif(frames), Row("image/gif", w, h, null, nf))
+  }
+
+  /** ALL-REAL mixed media table (kind = id mod 3, like [[synthesize]]):
+    * image rows are real PNGs, audio rows real WAV containers, video
+    * rows real animated GIFs — every payload decodable by its JDK codec,
+    * every decoded observable reproducible from its fixture formula.
+    * The production shape of a heterogeneous media column, and the m06
+    * gate fixture. */
+  def synthesizeRealMedia(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map { i =>
+      Seq("image", "audio", "video")(i % 3) match {
+        case "image" => pngImageRow(i)
+        case "audio" => wavAudioRow(i)
+        case _       => gifVideoRow(i)
+      }
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](rows.asJavaList), mediaSchema)
+  }
 
   private implicit class SeqOps[T](s: Seq[T]) {
     def asJavaList: java.util.List[T] = {
@@ -397,15 +428,10 @@ object Multimodal {
     * reproduces without running a codec, while the Spark side runs the
     * real container parse + decode (the audio twin of
     * [[synthesizePngImages]]). */
-  def synthesizeWavAudio(spark: SparkSession, n: Int, sampleRate: Int = 8000): DataFrame = {
-    val rows = (0 until n).map { i =>
-      val samples = Array.tabulate(fixtureSampleCount(i.toLong))(j => fixtureSample(i.toLong, j))
-      Row(i.toLong, "audio", encodePcmWav(samples, sampleRate),
-        Row("audio/wav", null, null, sampleRate, null))
-    }
+  def synthesizeWavAudio(spark: SparkSession, n: Int, sampleRate: Int = 8000): DataFrame =
     spark.createDataFrame(
-      new java.util.ArrayList[Row](rows.asJavaList), mediaSchema)
-  }
+      new java.util.ArrayList[Row]((0 until n).map(wavAudioRow(_, sampleRate)).asJavaList),
+      mediaSchema)
 
   /** Audio analysis at the codec boundary: per fixed-size chunk of the
     * decoded waveform, the integer chunk energy — sum of unsigned sample
@@ -539,18 +565,10 @@ object Multimodal {
     * reproduces without running a codec, while the Spark side runs the
     * real multi-frame container parse (the video twin of
     * [[synthesizePngImages]]/[[synthesizeWavAudio]]). */
-  def synthesizeGifVideos(spark: SparkSession, n: Int): DataFrame = {
-    val rows = (0 until n).map { i =>
-      val id = i.toLong
-      val (w, h) = fixtureVideoDims(id)
-      val nf = fixtureFrameCount(id)
-      val frames = Array.tabulate(nf)(f =>
-        Array.tabulate(h, w)((y, x) => fixtureFramePixel(id, f, x, y)))
-      Row(id, "video", encodeGrayGif(frames), Row("image/gif", w, h, null, nf))
-    }
+  def synthesizeGifVideos(spark: SparkSession, n: Int): DataFrame =
     spark.createDataFrame(
-      new java.util.ArrayList[Row](rows.asJavaList), mediaSchema)
-  }
+      new java.util.ArrayList[Row]((0 until n).map(gifVideoRow).asJavaList),
+      mediaSchema)
 
   /** Frame sampling at the codec boundary — the REAL-codec twin of
     * [[sampleFrames]]: GIF video payloads are decoded (`javax.imageio`
