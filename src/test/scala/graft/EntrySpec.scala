@@ -17,6 +17,11 @@ class EntrySpec extends SparkSpec {
   test("every oracleSql key has a queries entry") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracleSql without queries: $missing")
+    // and the reverse: every catalog query carries its DuckDB twin — a
+    // gate without an oracle silently downgrades to a rows-only check
+    // at the driver, which is exactly the drift this pin prevents
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unoracled.isEmpty, s"queries without oracleSql: $unoracled")
   }
 
   test("all queries run at sf0.001 and return rows") {
