@@ -222,8 +222,22 @@ final class QueryEngine private (
 object QueryEngine {
   case class Candidate(id: Long, score: Double, vectorPreview: Seq[Long])
 
-  /** Analyzed-plan node budget before addDocuments auto-compacts. */
-  final val CompactThreshold = 256
+  /** Analyzed-plan node budget before the add/remove paths auto-compact.
+    *
+    * Sized by the RENDERING bound, not the analysis bound (round 9): a
+    * chain of lazily-cached union/anti-join rounds renders its
+    * post-execution AQE plan string at ~4× PER ROUND (measured 50 KB →
+    * 15 MB over rounds 1-5; each InMemoryRelation re-prints its cached
+    * subtree), and Spark emits that string on every SQL event with an
+    * effectively unbounded default `spark.sql.maxPlanStringLength` — at
+    * the old threshold of 256 the vector chain compacted only around
+    * round 11, by which point the string alone is gigabytes and kills a
+    * 6-24 GB driver (found by the interleaved add/remove invariance
+    * test). At 96, chains flatten every ~4-5 rounds and the peak render
+    * stays in the low MB. Compaction is O(corpus) either way; the
+    * vector-doubling amortization argument is unchanged, just with a
+    * ~2.5× smaller constant between materializations. */
+  final val CompactThreshold = 96
 
   /** Analyzed-plan node count — the growth metric both engines' add
     * paths compare against [[CompactThreshold]] (shared so the two

@@ -97,6 +97,51 @@ class InvarianceSpec extends SparkSpec {
     compactedV.close(); staleV.foreach(_.close())
   }
 
+  test("interleaved adds and removes keep plan depth flat and answers exact") {
+    import graft.api.{QueryEngine, VectorEngine}
+    import graft.sources.SyntheticCorpus
+    import spark.implicits._
+    def planNodes(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect { case _ => 1 }.sum
+    // vector engine: 8 rounds of add-batch + remove-two — the remove
+    // path reuses the add path's compact discipline, so plan depth must
+    // stay bounded and the final index must equal its surviving id set
+    var veng = VectorEngine.build(SyntheticCorpus.vectors(spark, 100))
+    var expected = (0L until 100L).toSet
+    for (i <- 1 to 8) {
+      val more = SyntheticCorpus.vectors(spark, 4, seed = 200 + i)
+        .withColumn("vec_id", col("vec_id") + i * 1000)
+      veng = veng.addVectors(more)
+      expected ++= (0L until 4L).map(_ + i * 1000)
+      val gone = Seq(i * 1000L, i * 1000L + 1)
+      veng = veng.removeVectors(gone)
+      expected --= gone.toSet
+    }
+    assert(planNodes(veng.codes) <= 3 * QueryEngine.CompactThreshold,
+      s"codes plan grew to ${planNodes(veng.codes)} nodes")
+    assert(veng.embs.select("id").collect().map(_.getLong(0)).toSet == expected)
+    assert(veng.fused.count() == expected.size)
+    // signature engine: same interleaving discipline
+    val mp = graft.core.MinHashPipeline.Params(kShingle = 1)
+    var eng = QueryEngine.build(SyntheticCorpus.docs(spark, 30), mp = mp)
+    for (i <- 1 to 8) {
+      val more = SyntheticCorpus.docs(spark, 4, seed = 300 + i)
+        .withColumn("doc_id", col("doc_id") + i * 1000)
+      eng = eng.addDocuments(more)
+        .removeDocuments(Seq(i * 1000L).toDF("doc_id"))
+    }
+    assert(planNodes(eng.index) <= 3 * QueryEngine.CompactThreshold,
+      s"index plan grew to ${planNodes(eng.index)} nodes")
+    // answers match a from-scratch build over the surviving corpus
+    val survivors = (1 to 8).foldLeft(SyntheticCorpus.docs(spark, 30)) { (acc, i) =>
+      acc.unionByName(SyntheticCorpus.docs(spark, 4, seed = 300 + i)
+        .withColumn("doc_id", col("doc_id") + i * 1000))
+    }.filter(col("doc_id") % 1000 =!= 0 || col("doc_id") < 1000)
+    val fresh = QueryEngine.build(survivors, mp = mp)
+    val qSig = fresh.sigs.filter(col("doc_id") === 3).head().getSeq[Long](1).toArray
+    assert(eng.query(qSig, 5) == fresh.query(qSig, 5))
+  }
+
   test("addDocuments supersede-evicts the old engine's driver state") {
     import graft.api.QueryEngine
     import graft.sources.SyntheticCorpus
