@@ -530,23 +530,26 @@ object Bench {
                      (sample: () => Double): (Double, Seq[Double], Boolean) = {
     def batch(): Seq[Double] = (1 to minSamples).map(_ => sample())
     def noisy(ss: Seq[Double]): Boolean = ss.max / ss.min > spreadLimit
+    def med(ss: Seq[Double]): Double = { val s = ss.sorted; s(s.length / 2) }
     var ss = batch()
     var all = ss
+    var batchMedians = Seq(med(ss))
     var retries = 0
     while (noisy(ss) && retries < maxRetries) {
       betweenBatches()
-      ss = batch(); all = all ++ ss; retries += 1
+      ss = batch(); all = all ++ ss; batchMedians :+= med(ss); retries += 1
     }
-    val sorted = ss.sorted
-    val batchMedian = sorted(sorted.length / 2)
     // a within-batch-clean retry can still sit in a WRONG regime: if the
     // box slid into steady contention between batches, the retry batch
-    // reads uniformly slow (tiny spread) while earlier samples prove the
-    // plan runs 3x+ faster — certifying that median ships exactly the
-    // poisoned number this function exists to refuse. Cross-batch check:
-    // a clean batch only certifies when its median stays within the
-    // spread limit of the fastest sample EVER observed for this probe.
-    val degraded = noisy(ss) || batchMedian / all.min > spreadLimit
+    // reads uniformly slow (tiny spread) while an earlier batch proved
+    // the plan runs 3x+ faster — certifying that median ships exactly
+    // the poisoned number this function exists to refuse. Cross-batch
+    // check on per-batch MEDIANS (not the raw min: a single spurious
+    // fast outlier inside a refused batch must not permanently block an
+    // honest retry from certifying): the final batch certifies only when
+    // its median stays within the spread limit of the fastest batch
+    // median observed.
+    val degraded = noisy(ss) || med(ss) / batchMedians.min > spreadLimit
     val basis = (if (degraded) all else ss).sorted
     (basis(basis.length / 2), all, degraded)
   }

@@ -164,8 +164,10 @@ final class QueryEngine private (
   def close(): Unit = {
     Lsh.evictDriverState(index)
     releaseBuildScratch()
-    sigs.unpersist(blocking = false)
-    index.unpersist(blocking = false)
+    // releaseFrame, not bare unpersist: a previously-compacted engine's
+    // tables are checkpoint-backed, where unpersist silently no-ops
+    QueryEngine.releaseFrame(sigs)
+    QueryEngine.releaseFrame(index)
   }
 
   /** Re-materialize a repeatedly-grown engine: N addDocuments calls leave
@@ -242,8 +244,25 @@ object QueryEngine {
   /** Analyzed-plan node count — the growth metric both engines' add
     * paths compare against [[CompactThreshold]] (shared so the two
     * growth disciplines cannot silently diverge). */
-  private[api] def planNodes(df: DataFrame): Int =
+  private[graft] def planNodes(df: DataFrame): Int =
     df.queryExecution.analyzed.collect { case _ => 1 }.sum
+
+  /** Release a superseded corpus-sized frame whatever backs it:
+    * `Dataset.unpersist` frees cache-manager entries but silently
+    * NO-OPS on an eager-localCheckpoint frame (its blocks are RDD-level
+    * — the plan is a LogicalRDD), so a compacted engine's generations
+    * would otherwise park full-corpus checkpoint copies in executor
+    * storage until nondeterministic driver GC (round-9 review finding;
+    * the Bpe trainer grew the same helper first). Both engines'
+    * close()/compact() route through this. */
+  private[graft] def releaseFrame(df: DataFrame): Unit = {
+    df.unpersist(blocking = false)
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
+  }
 
   /** Driver-side signature of one text through the SAME kernels the
     * distributed pipeline runs (Shingling null guard included) — no Spark

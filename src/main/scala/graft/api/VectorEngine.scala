@@ -174,7 +174,7 @@ final class VectorEngine private (
     * unpersisting a non-cached projection is a harmless no-op.) */
   def close(): Unit =
     (Seq(embs, assigned, codes, fused) ++ extraCaches)
-      .foreach(_.unpersist(blocking = false))
+      .foreach(QueryEngine.releaseFrame)
 
   /** Re-materialize a repeatedly-grown engine (the QueryEngine.compact
     * contract): truncates the union-of-union lineage of the corpus-sized
@@ -188,7 +188,7 @@ final class VectorEngine private (
     // projections of it — one materialized corpus copy, not three
     val cFused = fused.localCheckpoint(true)
     (Seq(embs, assigned, codes, fused) ++ extraCaches)
-      .foreach(_.unpersist(blocking = false))
+      .foreach(QueryEngine.releaseFrame)
     new VectorEngine(spark, cEmbs, cents,
       cFused.select("id", "centroid_id"), codebooks,
       cFused.select("id", "codes"), cFused,

@@ -56,18 +56,6 @@ object Bpe {
       replace(acc, lit(s" $pair "), lit(merged)))
   }
 
-  /** Free a superseded eager localCheckpoint's RDD blocks: the
-    * checkpointed frame's plan is a LogicalRDD over the persisted RDD,
-    * and unpersisting that RDD is the only way to release the blocks
-    * before session end (Dataset.unpersist only consults the SQL cache
-    * manager, which never saw a checkpoint). No-op for any other plan. */
-  private def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false); ()
-      case _ => ()
-    }
-
   /** Train `rounds` greedy merges over the corpus vocabulary. Returns
     * (round 1.., pair "a b", cnt) — the learned merge table, in order.
     * Driver-coordinated loop like the k-means trainer (Ann.kmeansTrain):
@@ -92,7 +80,9 @@ object Bpe {
         // the eager localCheckpoint above fully materialized `next`, so
         // the superseded round's blocks can go now — without this the
         // trainer holds rounds × vocab-sized RDD blocks until session end
-        releaseCheckpoint(words)
+        // (releaseFrame knows checkpoint-backed frames need RDD-level
+        // unpersist, which Dataset.unpersist silently skips)
+        graft.api.QueryEngine.releaseFrame(words)
         words = next
       }
       r += 1

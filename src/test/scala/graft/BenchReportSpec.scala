@@ -72,6 +72,19 @@ class BenchReportSpec extends SparkSpec {
     assert(med == 9.8) // all-sample median, not the slow batch's 10.0
   }
 
+  test("certifiedMedian: a spurious FAST outlier in a refused batch cannot block certification") {
+    // batch 1 spreads 4.3x on one anomalously fast sample (JIT/warm-path
+    // artifact) and is refused; the retry batch is genuinely clean at
+    // the plan's true speed. Judging the cross-batch check against the
+    // raw all-sample MIN would mark every honest retry degraded forever;
+    // per-batch medians (1.2 vs 1.25) certify it
+    val script = Iterator(0.3, 1.2, 1.3, /* retry: */ 1.2, 1.25, 1.3)
+    val (med, all, degraded) = Bench.certifiedMedian(3)(() => script.next())
+    assert(!degraded)
+    assert(all.size == 6)
+    assert(med == 1.25) // the clean retry batch's median
+  }
+
   test("certifiedMedian: persistent noise marks the probe degraded") {
     // every batch spreads > 3x: after maxRetries the probe is DEGRADED
     // (the artifact must self-describe, not certify a poisoned median)

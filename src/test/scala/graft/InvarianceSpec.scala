@@ -36,11 +36,11 @@ class InvarianceSpec extends SparkSpec {
   test("10 sequential adds answer correctly and compact() flattens the plan") {
     import graft.api.{QueryEngine, VectorEngine}
     import graft.sources.SyntheticCorpus
-    // ANALYZED plan size: the depth every new query over the table pays in
-    // analysis/cache-lookup cost (optimizedPlan would hide it behind the
-    // InMemoryRelation substitution)
+    // ANALYZED plan size (QueryEngine.planNodes — the PRODUCTION growth
+    // metric the compact threshold compares against; asserting through
+    // it keeps the spec and the engine measuring the same thing)
     def planNodes(df: org.apache.spark.sql.DataFrame): Int =
-      df.queryExecution.analyzed.collect { case _ => 1 }.sum
+      QueryEngine.planNodes(df)
     // --- signature engine: 10 incremental doc batches -------------------
     // the cap re-application would otherwise TRIPLE the plan per add
     // (3^10 nodes); auto-compaction must keep analysis cost flat
@@ -102,7 +102,7 @@ class InvarianceSpec extends SparkSpec {
     import graft.sources.SyntheticCorpus
     import spark.implicits._
     def planNodes(df: org.apache.spark.sql.DataFrame): Int =
-      df.queryExecution.analyzed.collect { case _ => 1 }.sum
+      QueryEngine.planNodes(df)
     // vector engine: 8 rounds of add-batch + remove-two — the remove
     // path reuses the add path's compact discipline, so plan depth must
     // stay bounded and the final index must equal its surviving id set
