@@ -253,4 +253,55 @@ object Dedup {
         when(col("n_windows") === 0, lit(0.0))
           .otherwise(col("n_dup_windows").cast("double") / col("n_windows").cast("double")))
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication inside trained k-means clusters of the embedding
+    * space. Within each cluster, any pair with cosine >= threshold is a
+    * semantic-duplicate pair; of each such neighborhood the survivor is
+    * the vector FARTHEST from its cluster centroid (the paper's
+    * keep-low-centroid-similarity rule — it preserves the diverse tail),
+    * ties broken to the smaller id. Output: one row per input vector —
+    * (id, centroid_id, n_dups, keep).
+    *
+    * Scale shape: candidate pairs are gated by the coarse assignment
+    * (equi-join on centroid_id — expected cluster size n/k; a skewed hot
+    * cluster salts like any hot join key). The drop rule is a pairwise
+    * dominance test folded into ONE hash aggregation over the directed
+    * pair edges (max over neighbors of "dominates me"), never an
+    * iterative connected-components pass, and the centroid table rides
+    * in as a broadcast.
+    */
+  def semanticDedup(embs: DataFrame, cents: DataFrame, assigned: DataFrame,
+                    threshold: Double, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val base = embs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .join(assigned, "id")
+      .join(broadcast(cents), "centroid_id")
+      .select(col("id"), col("centroid_id"), col("v"),
+        neg_l2_float(col("v"), col("cv")).as("cdist"))
+    val l = base.select(col("centroid_id"), col("id").as("a"),
+      col("v").as("va"), col("cdist").as("da"))
+    val r = base.select(col("centroid_id"), col("id").as("b"),
+      col("v").as("vb"), col("cdist").as("db"))
+    // directed duplicate edges a -> b (each unordered pair appears twice,
+    // once per direction, so one groupBy(a) sees every neighborhood)
+    val edges = l.join(r, "centroid_id")
+      .filter(col("a") =!= col("b"))
+      .filter(cosine_sim(col("va"), col("vb")) >= threshold)
+      .select(col("a"), col("da"), col("b"), col("db"))
+    // farthest-from-centroid survives: negL2 is HIGHER when closer, so a
+    // is dominated by any duplicate neighbor with a smaller negL2 (or an
+    // equal one and a smaller id)
+    val verdicts = edges.groupBy(col("a").as("id"))
+      .agg(
+        count(lit(1)).as("n_dups"),
+        max(when(col("db") < col("da") ||
+          (col("db") === col("da") && col("b") < col("a")), 1).otherwise(0))
+          .as("dominated"))
+    base.select(col("id"), col("centroid_id"))
+      .join(verdicts, Seq("id"), "left")
+      .select(col("id"), col("centroid_id"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        (coalesce(col("dominated"), lit(0)) === 0).as("keep"))
+  }
 }

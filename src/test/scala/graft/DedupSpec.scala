@@ -251,4 +251,29 @@ class DedupSpec extends SparkSpec {
     assert(got(3L) == ((3L, 0L, 0.0)))
     assert(got(4L) == ((0L, 0L, 0.0)))
   }
+
+  test("SemDeDup keeps the farthest-from-centroid of each in-cluster duplicate set") {
+    // cluster 0 centroid (1,0): ids 0/1/5 colinear (cosine 1), id 4 opposite;
+    // cluster 1 centroid (0,1): ids 2/3 colinear
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f)),  // dist 0 to c0 — dominated by 1 and 5
+      (1L, Array(2.0f, 0.0f)),  // dist 1 — ties with 5, smaller id survives
+      (5L, Array(2.0f, 0.0f)),  // dist 1 — dominated by 1 on the id tiebreak
+      (4L, Array(-1.0f, 0.0f)), // cosine -1 with all of cluster 0 — no dups
+      (2L, Array(0.0f, 0.5f)),  // dist 0.5 to c1 — dominated by 3
+      (3L, Array(0.0f, 3.0f))   // dist 2 — survives
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("centroid_id", "cv")
+    val assigned = Seq((0L, 0L), (1L, 0L), (5L, 0L), (4L, 0L), (2L, 1L), (3L, 1L))
+      .toDF("id", "centroid_id")
+    val got = Dedup.semanticDedup(embs, cents, assigned, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(0L) == ((2L, false)))
+    assert(got(1L) == ((2L, true)))
+    assert(got(5L) == ((2L, false)))
+    assert(got(4L) == ((0L, true)))
+    assert(got(2L) == ((1L, false)))
+    assert(got(3L) == ((1L, true)))
+  }
 }
