@@ -111,4 +111,51 @@ object Sampling {
       .select(col("query_id").as(clusterCol), (col("pos") + 1).cast("int").as("rank"),
         col("hit.id").as(idCol))
   }
+
+  /** Quality-ranked selection under a per-group token budget — the "data
+    * mixing" primitive: within each group (language, domain, source),
+    * take documents in (score desc, id) order until the group's token
+    * budget is exhausted. Exact prefix semantics: a doc is selected iff
+    * the running token total through it (inclusive) is <= budget.
+    *
+    * Scale shape: the naive form is one window partitioned by group —
+    * which funnels each ENTIRE group through a single task (a language
+    * at 100 TB is tens of TB: a scale-killer). This computes the same
+    * answer in two phases with no whole-group sort: (1) coarsen score
+    * into `resolution` buckets (monotone in score, so bucket order
+    * refines global order) and aggregate per-(group, bucket) token sums
+    * — a map-side-combined hash agg to a GROUPS x resolution table whose
+    * running totals are a window over that tiny table; (2) the per-doc
+    * running total is bucket-prefix + a window partitioned by
+    * (group, BUCKET) — partitions `resolution`-times finer than the
+    * group, so no single task ever sees a whole group. Output: input id,
+    * group, n_toks, cum_tokens, selected.
+    */
+  def budgetSample(df: DataFrame, groupCol: String, scoreCol: Column,
+                   tokenCol: Column, budget: Long, resolution: Int = 1024,
+                   idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = df.select(col(idCol), col(groupCol),
+      tokenCol.cast("long").as("n_toks"), scoreCol.as("_score"))
+      .withColumn("_bucket", floor(col("_score") * resolution).cast("int"))
+    val bucketTot = scored.groupBy(groupCol, "_bucket")
+      .agg(sum(col("n_toks")).as("_btoks"))
+    // running total of all STRICTLY HIGHER buckets — a window over the
+    // (groups x resolution)-row aggregate, not over the corpus
+    val wb = Window.partitionBy(groupCol).orderBy(col("_bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketBefore = bucketTot.withColumn(
+      "_before", coalesce(sum(col("_btoks")).over(wb), lit(0L)))
+      .drop("_btoks")
+    // within-(group, bucket) running total: partitions are resolution-x
+    // finer than the group, so no whole-group single-task sort
+    val ww = Window.partitionBy(col(groupCol), col("_bucket"))
+      .orderBy(col("_score").desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    scored.join(bucketBefore, Seq(groupCol, "_bucket"))
+      .withColumn("cum_tokens", col("_before") + sum(col("n_toks")).over(ww))
+      .withColumn("selected", col("cum_tokens") <= budget)
+      .select(col(idCol), col(groupCol), col("n_toks"), col("cum_tokens"),
+        col("selected"))
+  }
 }

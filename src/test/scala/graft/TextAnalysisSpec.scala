@@ -125,4 +125,26 @@ class TextAnalysisSpec extends SparkSpec {
     val expect1 = (0L until 50L).sortBy(id => (h(id), id)).take(10).toSet
     assert(kept1 == expect1)
   }
+
+  test("budget sample: two-phase prefix equals the single-window form, budget binds exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // synthetic skewed groups: scores spread across buckets, duplicate
+    // scores inside one bucket, one group entirely under budget
+    val docs = (0L until 200L).map { i =>
+      val g = if (i % 4 == 0) "a" else if (i % 4 == 1) "b" else "a"
+      val score = ((i * 37) % 101).toDouble / 101.0
+      (i, g, score, 10L + i % 7)
+    }.toDF("doc_id", "grp", "score", "n")
+    val got = graft.operators.Sampling.budgetSample(
+      docs, "grp", col("score"), col("n"), budget = 300L, resolution = 16)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+    // naive single-window reference
+    val w = Window.partitionBy("grp").orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val want = docs.withColumn("cum", sum(col("n")).over(w))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(4), r.getLong(4) <= 300L))).toMap
+    assert(got == want)
+    assert(got.values.exists(_._2) && got.values.exists(!_._2)) // budget binds
+  }
 }
