@@ -2,8 +2,8 @@ package graft.streaming
 
 import graft.core.{Lsh, MinHashPipeline}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 
 /** Structured Streaming surface of the engine (an extension over the
   * reference, which has no streaming — SURVEY §2.1). The batch pipeline
@@ -86,6 +86,39 @@ object Streams {
             out.reverseIterator
           }
       }
+  }
+
+  /** Per-user dedup ledger as a Spark 4 StatefulProcessor: a MapState
+    * keyed by event id, so each arriving row costs ONE point
+    * lookup/insert against the state store. This is the scale contrast
+    * with [[dedupEvents]]'s ValueState[Set]: that form deserializes and
+    * rewrites a key's entire seen-set every batch the key appears in
+    * (O(|set|) per update — unbounded as history grows); MapState leaves
+    * the ledger in the store and touches only the arriving ids. */
+  class DedupProcessor extends StatefulProcessor[Long, Seen, Seen] {
+    @transient private var seen: MapState[Long, Boolean] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getMapState[Long, Boolean](
+        "seen", Encoders.scalaLong, Encoders.scalaBoolean, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Seen],
+                                 timers: TimerValues): Iterator[Seen] =
+      rows.filter { e =>
+        val fresh = !seen.containsKey(e.eventId)
+        if (fresh) seen.updateValue(e.eventId, true)
+        fresh
+      }
+  }
+
+  /** [[dedupEvents]]'s exactly-once contract through the Spark 4
+    * arbitrary-state API (`transformWithState` + [[DedupProcessor]]).
+    * Requires the RocksDB state store provider — the transformWithState
+    * operator does not run on the default HDFS-backed provider, which is
+    * also the right production choice: state lives off-heap with
+    * changelog checkpointing instead of in executor heap snapshots. */
+  def dedupEventsTws(events: Dataset[Seen]): Dataset[Seen] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId)
+      .transformWithState(new DedupProcessor, TimeMode.None(), OutputMode.Append())
   }
 
   /** Built-in watermark-bounded streaming dedup: Spark's

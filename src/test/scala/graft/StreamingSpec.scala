@@ -124,6 +124,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState MapState ledger dedups per user across batches (RocksDB provider)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Streams.Seen]
+      val deduped = Streams.dedupEventsTws(stream.toDS())
+      val q = deduped.writeStream.format("memory").queryName("dedup_tws_stream")
+        .outputMode("append").start()
+      stream.addData(Streams.Seen(1, 100), Streams.Seen(1, 101), Streams.Seen(2, 100))
+      q.processAllAvailable()
+      // 100 dups within-key across batches; same eid on another key is fresh
+      stream.addData(Streams.Seen(1, 100), Streams.Seen(1, 102), Streams.Seen(2, 101))
+      q.processAllAvailable()
+      try {
+        val got = spark.table("dedup_tws_stream").orderBy("userId", "eventId")
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        assert(got.toSeq ==
+          Seq((1L, 100L), (1L, 101L), (1L, 102L), (2L, 100L), (2L, 101L)))
+      } finally q.stop()
+    } finally prevProv match {
+      case Some(p) => spark.conf.set(provKey, p)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
   test("foreachBatch LSH probe returns same top-k as batch query") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
