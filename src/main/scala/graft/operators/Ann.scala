@@ -196,6 +196,33 @@ object Ann {
       .agg(top_k_by_score(col("score"), col("id"), k).as("topk")))
   }
 
+  /** Multi-probe RHP LSH (Lv et al. 2007, VLDB): each query probes its
+    * own hyperplane bucket PLUS every bucket at Hamming distance 1 (one
+    * sign flip) — planes+1 probes per query — recovering the recall
+    * lost to near-boundary neighbors at a constant probe fan-out. The
+    * alternative (fewer planes) doubles every bucket's size corpus-wide;
+    * multi-probe leaves the index untouched (still exactly one bucket
+    * per corpus vector, so no (query, id) pair can repeat) and only
+    * multiplies the broadcast-sized probe set. Output: (query_id, rank,
+    * id). */
+  def multiProbeCosineTopK(embs: DataFrame, queries: DataFrame, k: Int,
+                           planes: Int = 8, idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.TopKByScore.top_k_by_score
+    val base = embs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", rhpBucket(col("v"), planes))
+    val probes = queries
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qb", rhpBucket(col("qv"), planes))
+      .select(col("query_id"), col("qv"), explode(array(
+        col("qb") +: (0 until planes).map(p => col("qb").bitwiseXOR(lit(1L << p))): _*))
+        .as("bucket"))
+    explodeTopK(base.join(broadcast(probes), "bucket")
+      .select(col("query_id"), col("id"), cosine_sim(col("v"), col("qv")).as("score"))
+      .groupBy("query_id")
+      .agg(top_k_by_score(col("score"), col("id"), k).as("topk")))
+  }
+
   /** Filtered vector search: cosine top-k restricted to candidates whose
     * metadata label equals the query's — the "search within my tenant /
     * language / shard" form every vector store exposes. The label is an

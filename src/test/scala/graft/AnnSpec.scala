@@ -39,6 +39,25 @@ class AnnSpec extends SparkSpec {
     assert(hits >= 20 * 5 * 0.5, s"recall too low: $hits/100")
   }
 
+  test("multi-probe LSH candidates dominate single-probe rank-for-rank and lift recall toward exact") {
+    val queries = embs.filter(col("vec_id") < 10)
+    def hits(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSeq
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val single = hits(Ann.lshCosineTopK(embs, queries, k = 5, planes = 8))
+    val multi = hits(Ann.multiProbeCosineTopK(embs, queries, k = 5, planes = 8))
+    val exact = hits(Ann.bruteForceTopK(embs, queries, k = 5, cosine_sim))
+    // candidate superset: every single-probe hit list is a subset of what
+    // multi-probe could return, so overlap with exact never decreases
+    val recall = (m: Map[Long, Seq[Long]]) =>
+      exact.keys.toSeq.map(q => m.getOrElse(q, Nil).count(exact(q).contains)).sum
+    assert(multi.keySet == exact.keySet) // probes always cover the query's own bucket
+    assert(recall(multi) >= recall(single))
+    // self-match: the query vector itself always survives at rank 1
+    multi.foreach { case (q, ids) => assert(ids.head == q) }
+  }
+
   test("filtered search returns only same-label hits and matches the restricted brute force") {
     val queries = embs.filter(col("vec_id") < 10)
     val got = Ann.filteredTopK(embs, queries, k = 5)
