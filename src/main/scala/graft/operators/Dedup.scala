@@ -254,6 +254,51 @@ object Dedup {
           .otherwise(col("n_dup_windows").cast("double") / col("n_windows").cast("double")))
   }
 
+  /** Exact substring-duplicate REMOVAL (the operation Lee et al. 2022
+    * actually perform, where [[substringDupSignals]] only measures): a
+    * token is removed when ANY `w`-token window covering it appears in
+    * >= 2 distinct documents; the surviving tokens are re-joined into
+    * the cleaned text. Within-doc repeats don't trigger removal (same
+    * cross-doc rule as the signals operator). Output: (idCol, n_toks,
+    * n_removed, cleaned_text).
+    *
+    * Scale shape: same O(n) rolling-kernel reduction as d10 — windows
+    * shrink to (id, pos, whash) rows, the dup set is one hash agg, and
+    * coverage is a w-wide explode of only the DUP windows (a left-semi
+    * join gates it, so clean corpora explode nothing). The text
+    * rebuild is a per-doc sort of surviving (pos, token) pairs inside
+    * one hash aggregation — grouped by doc, never a global sort. */
+  def substringDupRemove(docs: DataFrame, w: Int = 8, idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol),
+      Shingling.tokens(col(textCol)).as("toks"),
+      window_fingerprints(
+        shingle_hashes_md5(Shingling.tokens(lower(col(textCol)))), w).as("whs"))
+    val wins = base.select(col(idCol), posexplode(col("whs")).as(Seq("pos", "whash")))
+    val dup = wins.groupBy("whash")
+      .agg(min(col(idCol)).as("mn"), max(col(idCol)).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select("whash")
+    val covered = wins.join(dup, Seq("whash"), "left_semi")
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (w - 1))).as("tpos"))
+      .distinct()
+    val kept = base
+      .select(col(idCol), posexplode(col("toks")).as(Seq("tpos", "tok")))
+      .join(covered, Seq(idCol, "tpos"), "left_anti")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("tpos"), col("tok")))),
+          x => x.getField("tok")), " ").as("cleaned_text"))
+    base.select(col(idCol), size(col("toks")).cast("long").as("n_toks"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_toks"),
+        (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication inside trained k-means clusters of the embedding
     * space. Within each cluster, any pair with cosine >= threshold is a

@@ -252,6 +252,23 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) == ((0L, 0L, 0.0)))
   }
 
+  test("substring removal drops exactly the tokens covered by cross-doc dup windows") {
+    val got = Dedup.substringDupRemove(docs, w = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // docs 0/1 identical, 10 tokens: all three 8-token windows are dups
+    // -> every position covered -> fully removed
+    assert(got(0L) == ((10L, 10L, "")))
+    assert(got(1L) == ((10L, 10L, "")))
+    // doc 2 differs from doc 0 only in the last token, so the windows
+    // starting at 0 AND 1 both match doc 0 (neither sees position 9) ->
+    // positions 0..8 covered, only the changed token survives
+    assert(got(2L) == ((10L, 9L, "lambda")))
+    // unrelated doc untouched; sub-window-length docs have no windows
+    assert(got(3L) == ((10L, 0L, "one two three four five six seven eight nine ten")))
+    assert(got(4L) == ((3L, 0L, "same short doc")))
+    assert(got(5L) == ((3L, 0L, "same short doc")))
+  }
+
   test("SemDeDup keeps the farthest-from-centroid of each in-cluster duplicate set") {
     // cluster 0 centroid (1,0): ids 0/1/5 colinear (cosine 1), id 4 opposite;
     // cluster 1 centroid (0,1): ids 2/3 colinear
