@@ -169,6 +169,14 @@ object Sketches {
     df.select(hash60(col(valueCol)).as("h")).distinct()
       .orderBy("h").limit(k)
 
+  /** KMV shard merge — THE property that makes the sketch distributed:
+    * union the shards' minima sets, dedup, keep the k smallest. Exactly
+    * equals the sketch a single pass over the concatenated shards would
+    * build (min-k distributes over union), so per-partition / per-day /
+    * per-shard sketches roll up without ever re-reading the data. */
+  def kmvMerge(k: Int, sketches: DataFrame*): DataFrame =
+    sketches.reduce(_ unionByName _).distinct().orderBy("h").limit(k)
+
   /** Driver-side KMV estimate: (k-1) / fraction-of-hash-space covered by
     * the k-th smallest value. Exact count when fewer than k distinct
     * values exist (the sketch IS the value set then). */

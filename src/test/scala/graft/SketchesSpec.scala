@@ -116,7 +116,7 @@ class SketchesSpec extends SparkSpec {
     // merge: union two shard sketches, re-take k smallest -> one-shot sketch
     val a = Sketches.kmvSketch(values.filter(length(col("v")) % 2 === 0), "v", 64)
     val b = Sketches.kmvSketch(values.filter(length(col("v")) % 2 === 1), "v", 64)
-    val merged = a.unionAll(b).distinct().orderBy("h").limit(64)
+    val merged = Sketches.kmvMerge(64, a, b)
       .collect().map(_.getLong(0)).toSeq
     assert(merged == one)
   }
