@@ -169,6 +169,17 @@ object Sketches {
     df.select(hash60(col(valueCol)).as("h")).distinct()
       .orderBy("h").limit(k)
 
+  /** HLL shard merge: register-wise max. Equals the registers one pass
+    * over the concatenated shards builds (max distributes over union). */
+  def hllMerge(sketches: DataFrame*): DataFrame =
+    sketches.reduce(_ unionByName _)
+      .groupBy("register").agg(max(col("max_rho")).as("max_rho"))
+
+  /** Count-min shard merge: cell-wise sum (counts are additive). */
+  def cmsMerge(sketches: DataFrame*): DataFrame =
+    sketches.reduce(_ unionByName _)
+      .groupBy("row", "cell").agg(sum(col("cnt")).as("cnt"))
+
   /** KMV shard merge — THE property that makes the sketch distributed:
     * union the shards' minima sets, dedup, keep the k smallest. Exactly
     * equals the sketch a single pass over the concatenated shards would

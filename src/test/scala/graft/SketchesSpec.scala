@@ -20,8 +20,7 @@ class SketchesSpec extends SparkSpec {
     // merge property: registers of two shards max-merge to the one-shot table
     val a = Sketches.hllRegisters(values.filter(length(col("v")) % 2 === 0), "v", p = 8)
     val b = Sketches.hllRegisters(values.filter(length(col("v")) % 2 === 1), "v", p = 8)
-    val merged = a.unionAll(b).groupBy("register")
-      .agg(max("max_rho").as("max_rho"))
+    val merged = Sketches.hllMerge(a, b)
       .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
     assert(merged == regs)
   }
@@ -80,6 +79,12 @@ class SketchesSpec extends SparkSpec {
     // sketch total mass per row = number of values
     for (row <- 0 until 4)
       assert(cells.collect { case ((r, _), n) if r == row => n }.sum == 2000L)
+    // merge property: cell-wise sum of two shard sketches = one-shot
+    val sa = Sketches.countMinSketch(values.filter(length(col("v")) % 2 === 0), "v", d = 4, w = 64)
+    val sb = Sketches.countMinSketch(values.filter(length(col("v")) % 2 === 1), "v", d = 4, w = 64)
+    val mergedCells = Sketches.cmsMerge(sa, sb)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(mergedCells == cells)
     // a value absent from the corpus still gets a row, and an untouched
     // cell counts as 0 (left-join + coalesce contract) — expected value
     // recomputed exactly from the sketch cells
