@@ -192,6 +192,48 @@ object Pq {
         .agg(top_k_by_score(col("score"), col("id"), k).as("topk")))
   }
 
+  /** Residual IVF-PQ (the construction FAISS's IndexIVFPQ actually
+    * builds — Jégou et al. 2011 §III: product-quantize x − c(x), the
+    * residual to the assigned coarse centroid, not x itself). Residual
+    * quantization centers every cluster's distribution at the origin,
+    * so the same 32 bits spend their resolution on local structure —
+    * the recall win that makes IVF-PQ usable at small code budgets.
+    * `fusedResid` is (id, centroid_id, codes) with codes from
+    * residual-trained codebooks; each query builds ONE LUT PER PROBED
+    * CENTROID from its own residual q − c (that is the price of
+    * residuals: LUTs are nprobe× the plain form — still
+    * queries × nprobe × m × k doubles, broadcast-sized always).
+    *
+    * Scale shape: identical to [[ivfAdcTopKFused]] — the fused code
+    * table streams through a BROADCAST of the per-(query, centroid)
+    * LUT set joined on centroid_id; the corpus never shuffles. */
+  def ivfAdcTopKResidual(fusedResid: DataFrame, codebooks: DataFrame,
+                         cents: DataFrame, queries: DataFrame, k: Int,
+                         nprobe: Int, m: Int, subDim: Int, codewords: Int = 16,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val probes = ivfProbeSet(cents, queries, nprobe, idCol, vecCol)
+    val c = cents.select(col("centroid_id").cast("long").as("centroid_id"),
+      col("cv").as("ccv"))
+    // (query, probed centroid) residual pseudo-queries, keyed by a
+    // composite so the shared LUT builder can treat each as one query
+    // (coarse centroid ids are < 1024 by construction)
+    val pseudo = probes
+      .join(queries.select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).as("qv")), "query_id")
+      .join(broadcast(c), "centroid_id")
+      .select((col("query_id") * 1024 + col("centroid_id")).as("qkey"),
+        zip_with(col("qv"), col("ccv"), (x, y) => x - y).as("qrv"))
+    val lut = packLut(queryLut(pseudo, codebooks, m, subDim, "qkey", "qrv"))
+      .select(expr("query_id div 1024").as("query_id"),
+        (col("query_id") % 1024).cast("long").as("centroid_id"), col("lut"))
+    Ann.explodeTopK(
+      fusedResid.join(broadcast(lut), "centroid_id")
+        .select(col("query_id"), col("id"),
+          adc_score(col("codes"), col("lut"), codewords).as("score"))
+        .groupBy("query_id")
+        .agg(top_k_by_score(col("score"), col("id"), k).as("topk")))
+  }
+
   /** Separate-tables form of [[ivfAdcTopKFused]] (`packed` (id, codes) +
     * `assigned` (id, centroid_id)): joins them once on id first — fine
     * for gate-scale inputs; an engine serving repeated probes should

