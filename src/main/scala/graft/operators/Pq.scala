@@ -192,6 +192,20 @@ object Pq {
         .agg(top_k_by_score(col("score"), col("id"), k).as("topk")))
   }
 
+  /** The coarse-residual table (idCol, centroid_id, vecCol = x − c(x))
+    * residual PQ trains and encodes over — ONE owner for the
+    * construction so production and tests cannot drift: a single float
+    * subtraction per dimension (exact-then-round, so it reproduces as
+    * `(x::DOUBLE − c::DOUBLE)::FLOAT` in any IEEE engine). `assigned`
+    * is (id, centroid_id); centroids broadcast. */
+  def residualTable(embs: DataFrame, cents: DataFrame, assigned: DataFrame,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    embs.select(col(idCol).cast("long").as("id"), col(vecCol))
+      .join(assigned, "id")
+      .join(broadcast(cents), "centroid_id")
+      .select(col("id").as(idCol), col("centroid_id"),
+        zip_with(col(vecCol), col("cv"), (x, y) => x - y).as(vecCol))
+
   /** Residual IVF-PQ (the construction FAISS's IndexIVFPQ actually
     * builds — Jégou et al. 2011 §III: product-quantize x − c(x), the
     * residual to the assigned coarse centroid, not x itself). Residual
@@ -211,12 +225,22 @@ object Pq {
                          cents: DataFrame, queries: DataFrame, k: Int,
                          nprobe: Int, m: Int, subDim: Int, codewords: Int = 16,
                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // the composite LUT key packs centroid_id into 10 bits — fail fast
+    // instead of silently mis-decoding if a caller brings a bigger (or
+    // negative-id) coarse quantizer. cents is the broadcast-sized model
+    // table, so this one-row agg is free next to the probe itself.
+    val cidBounds = cents
+      .agg(min(col("centroid_id").cast("long")), max(col("centroid_id").cast("long")))
+      .head()
+    require(!cidBounds.isNullAt(0) && cidBounds.getLong(0) >= 0 &&
+      cidBounds.getLong(1) < 1024,
+      s"residual LUT key packs centroid_id into [0, 1024); got " +
+        s"[${cidBounds.get(0)}, ${cidBounds.get(1)}] — repack with a wider key")
     val probes = ivfProbeSet(cents, queries, nprobe, idCol, vecCol)
     val c = cents.select(col("centroid_id").cast("long").as("centroid_id"),
       col("cv").as("ccv"))
     // (query, probed centroid) residual pseudo-queries, keyed by a
     // composite so the shared LUT builder can treat each as one query
-    // (coarse centroid ids are < 1024 by construction)
     val pseudo = probes
       .join(queries.select(col(idCol).cast("long").as("query_id"),
         col(vecCol).as("qv")), "query_id")

@@ -135,9 +135,15 @@ object Sampling {
                    tokenCol: Column, budget: Long, resolution: Int = 1024,
                    idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // bucket edge rows exactly where the single-window desc order puts
+    // them: NaN scores sort FIRST under desc (Spark and standard SQL
+    // agree) -> the top bucket; null scores sort LAST -> the bottom one
     val scored = df.select(col(idCol), col(groupCol),
-      tokenCol.cast("long").as("n_toks"), scoreCol.as("_score"))
-      .withColumn("_bucket", floor(col("_score") * resolution).cast("int"))
+      tokenCol.cast("long").as("n_toks"), scoreCol.cast("double").as("_score"))
+      .withColumn("_bucket",
+        when(isnan(col("_score")), lit(Long.MaxValue)).otherwise(
+          coalesce(floor(col("_score") * resolution),
+            lit(Long.MinValue))))
     val bucketTot = scored.groupBy(groupCol, "_bucket")
       .agg(sum(col("n_toks")).as("_btoks"))
     // running total of all STRICTLY HIGHER buckets — a window over the
@@ -147,12 +153,16 @@ object Sampling {
     val bucketBefore = bucketTot.withColumn(
       "_before", coalesce(sum(col("_btoks")).over(wb), lit(0L)))
       .drop("_btoks")
+      .withColumnRenamed(groupCol, "_g").withColumnRenamed("_bucket", "_b")
     // within-(group, bucket) running total: partitions are resolution-x
     // finer than the group, so no whole-group single-task sort
     val ww = Window.partitionBy(col(groupCol), col("_bucket"))
       .orderBy(col("_score").desc, col(idCol))
       .rowsBetween(Window.unboundedPreceding, 0)
-    scored.join(bucketBefore, Seq(groupCol, "_bucket"))
+    // null-safe join keys: a null group is a legal window partition in
+    // the single-window form and must not drop here
+    scored.join(bucketBefore,
+        col(groupCol) <=> col("_g") && col("_bucket") <=> col("_b"))
       .withColumn("cum_tokens", col("_before") + sum(col("n_toks")).over(ww))
       .withColumn("selected", col("cum_tokens") <= budget)
       .select(col(idCol), col(groupCol), col("n_toks"), col("cum_tokens"),

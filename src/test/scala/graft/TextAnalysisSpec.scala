@@ -130,12 +130,17 @@ class TextAnalysisSpec extends SparkSpec {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     // synthetic skewed groups: scores spread across buckets, duplicate
-    // scores inside one bucket, one group entirely under budget
-    val docs = (0L until 200L).map { i =>
+    // scores inside one bucket, one group entirely under budget, plus
+    // the desc-order edge rows — NaN (sorts FIRST) and null (sorts LAST)
+    val docs = ((0L until 200L).map { i =>
       val g = if (i % 4 == 0) "a" else if (i % 4 == 1) "b" else "a"
       val score = ((i * 37) % 101).toDouble / 101.0
-      (i, g, score, 10L + i % 7)
-    }.toDF("doc_id", "grp", "score", "n")
+      (i, g, Option(score), 10L + i % 7)
+    } ++ Seq(
+      (200L, "a", Option(Double.NaN), 11L),
+      (201L, "b", Option.empty[Double], 12L),
+      (202L, "a", Option.empty[Double], 13L)
+    )).toDF("doc_id", "grp", "score", "n")
     val got = graft.operators.Sampling.budgetSample(
       docs, "grp", col("score"), col("n"), budget = 300L, resolution = 16)
       .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(4)))).toMap
