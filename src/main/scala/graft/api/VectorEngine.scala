@@ -40,6 +40,12 @@ final class VectorEngine private (
     // below the requested k on tiny corpora) — carried so incremental
     // adds never re-count
     val nCents: Int,
+    // residual-PQ artifacts (FAISS IndexIVFPQ semantics, opt-in at
+    // build(residual = true)): codebooks trained on x − c(x) and the
+    // matching (id, centroid_id, codes) table. None on a plain build —
+    // the residual_ivfpq mode then fails fast.
+    val residBooks: Option[DataFrame] = None,
+    val residFused: Option[DataFrame] = None,
     // backing caches that assigned/codes may be mere projections of
     // (the fused assign+encode table) — released by close()
     private val extraCaches: Seq[DataFrame] = Nil) {
@@ -50,7 +56,9 @@ final class VectorEngine private (
     // the serving probes read the FUSED table — materialize its cache
     // too (after load() it is a fresh id-join that must not land on the
     // first latency-sensitive probe)
-    fused.count(); this
+    fused.count()
+    residBooks.foreach(_.count()); residFused.foreach(_.count())
+    this
   }
 
   /** Batch top-k: `queries` is (vec_id, embedding); output
@@ -71,8 +79,15 @@ final class VectorEngine private (
       Pq.ivfAdcRerankTopKFused(fused, codebooks, cents, asEmbs(embs),
         queries, k, shortlist = 4 * k, nprobe = nprobe, m = m,
         subDim = subDim, codewords = pqK)
+    case "residual_ivfpq" =>
+      val (rb, rf) = (residBooks, residFused) match {
+        case (Some(b), Some(f)) => (b, f)
+        case _ => throw new IllegalArgumentException(
+          "residual_ivfpq needs an index built with residual = true")
+      }
+      Pq.ivfAdcTopKResidual(rf, rb, cents, queries, k, nprobe, m, subDim, pqK)
     case other => throw new IllegalArgumentException(
-      s"unknown mode '$other' (exact | ivf | pq | ivfpq | ivfpq_rerank)")
+      s"unknown mode '$other' (exact | ivf | pq | ivfpq | ivfpq_rerank | residual_ivfpq)")
   }
 
   /** Single-vector probe through the same compiled plans: the vector
@@ -105,6 +120,18 @@ final class VectorEngine private (
     // union chain on the probe path
     val grownFused =
       fused.unionByName(combined.select("id", "centroid_id", "codes")).cache()
+    // residual index (if built): the new rows' residuals are encoded
+    // under the EXISTING residual codebooks — same no-retrain contract
+    val grownResidFused = (residBooks, residFused) match {
+      case (Some(rb), Some(rf)) =>
+        val newResid = nb.join(combined.select(col("id"), col("centroid_id")), "id")
+          .join(broadcast(cents), "centroid_id")
+          .select(col("id"), col("centroid_id"),
+            zip_with(col("v"), col("cv"), (x, y) => x - y).as("v"))
+        Some(rf.unionByName(
+          VectorEngine.residualEncode(newResid, rb, m, pqK)).cache())
+      case _ => None
+    }
     val grown = new VectorEngine(spark, embs.unionByName(nb).cache(), cents,
       grownFused.select("id", "centroid_id"),
       codebooks,
@@ -112,6 +139,7 @@ final class VectorEngine private (
       grownFused,
       m, subDim, pqK,
       nCents,
+      residBooks, grownResidFused,
       // nb rides in extraCaches so close()/compact() release it — without
       // this every add leaked one cached batch until the context stopped
       extraCaches = Seq(combined, nb))
@@ -139,7 +167,8 @@ final class VectorEngine private (
     val grown = new VectorEngine(spark, rEmbs, cents,
       rFused.select("id", "centroid_id"), codebooks,
       rFused.select("id", "codes"), rFused,
-      m, subDim, pqK, nCents)
+      m, subDim, pqK, nCents,
+      residBooks, residFused.map(rf => drop(rf).cache()))
     if (QueryEngine.planNodes(grown.codes) > QueryEngine.CompactThreshold)
       grown.compact()
     else grown
@@ -158,8 +187,11 @@ final class VectorEngine private (
     assigned.write.mode("overwrite").parquet(s"$dir/assigned")
     codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
     codes.write.mode("overwrite").parquet(s"$dir/codes")
+    residBooks.foreach(_.write.mode("overwrite").parquet(s"$dir/resid_codebooks"))
+    residFused.foreach(_.write.mode("overwrite").parquet(s"$dir/resid_fused"))
     import spark.implicits._
-    Seq((m, subDim, pqK)).toDF("m", "sub_dim", "pq_k")
+    Seq((m, subDim, pqK, residBooks.isDefined))
+      .toDF("m", "sub_dim", "pq_k", "residual")
       .coalesce(1).write.mode("overwrite").json(s"$dir/params")
   }
 
@@ -173,7 +205,7 @@ final class VectorEngine private (
     * usually a projection of a cached parent in extraCaches;
     * unpersisting a non-cached projection is a harmless no-op.) */
   def close(): Unit =
-    (Seq(embs, assigned, codes, fused) ++ extraCaches)
+    (Seq(embs, assigned, codes, fused) ++ residFused.toSeq ++ extraCaches)
       .foreach(QueryEngine.releaseFrame)
 
   /** Re-materialize a repeatedly-grown engine (the QueryEngine.compact
@@ -187,12 +219,14 @@ final class VectorEngine private (
     // checkpoint the FUSED table once and derive assigned/codes as
     // projections of it — one materialized corpus copy, not three
     val cFused = fused.localCheckpoint(true)
-    (Seq(embs, assigned, codes, fused) ++ extraCaches)
+    val cResid = residFused.map(_.localCheckpoint(true))
+    (Seq(embs, assigned, codes, fused) ++ residFused.toSeq ++ extraCaches)
       .foreach(QueryEngine.releaseFrame)
     new VectorEngine(spark, cEmbs, cents,
       cFused.select("id", "centroid_id"), codebooks,
       cFused.select("id", "codes"), cFused,
-      m, subDim, pqK, nCents)
+      m, subDim, pqK, nCents,
+      residBooks, cResid)
   }
 
   private def asEmbs(df: DataFrame): DataFrame =
@@ -236,13 +270,27 @@ object VectorEngine {
         pq_encode(col("v"), col("books_flat"), m, pqK).as("codes"))
   }
 
+  /** Residual-encode (id, centroid_id, v = x − c(x)) rows under the
+    * trained residual codebooks: one narrow pq_encode projection vs a
+    * one-row broadcast. The ONE owner of the encode — build() and
+    * addVectors() must produce bit-identical codes for the
+    * incremental-add ≡ rebuild contract to hold. */
+  private[graft] def residualEncode(resid: DataFrame, residBooks: DataFrame,
+                                    m: Int, pqK: Int): DataFrame = {
+    val booksRow = Pq.packCodebooks(residBooks)
+    resid.crossJoin(broadcast(booksRow))
+      .select(col("id"), col("centroid_id"),
+        pq_encode(col("v"), col("books_flat"), m, pqK).as("codes"))
+  }
+
   /** Offline index build: train the coarse quantizer (seeded k-means),
     * train per-subspace PQ codebooks, then assign + encode the whole
     * corpus in ONE fused pass — all cached. `dims` must equal m * subDim
     * and the embedding width. */
   def build(embs: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
             nCents: Int = 8, centIters: Int = 4,
-            m: Int = 8, subDim: Int = 8, pqK: Int = 16, pqIters: Int = 2): VectorEngine = {
+            m: Int = 8, subDim: Int = 8, pqK: Int = 16, pqIters: Int = 2,
+            residual: Boolean = false): VectorEngine = {
     val spark = embs.sparkSession
     val base = embs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")).cache()
     base.count() // materialize ONCE: training iterates over this table,
@@ -256,15 +304,29 @@ object VectorEngine {
     val nc = cents.count().toInt
     val pqKEff = (books.count() / m).toInt
     val combined = fusedAssignEncode(base, cents, books, nc, m, pqKEff).cache()
+    // opt-in residual index (FAISS IndexIVFPQ semantics): a SECOND
+    // codebook set trained on x − c(x) plus its fused code table —
+    // pay the extra training only when the serving tier wants the
+    // residual recall (a plain build keeps the old cost exactly)
+    val (rBooks, rFused) = if (residual) {
+      val resid = base.join(combined.select(col("id"), col("centroid_id")), "id")
+        .join(broadcast(cents), "centroid_id")
+        .select(col("id"), col("centroid_id"),
+          zip_with(col("v"), col("cv"), (x, y) => x - y).as("v"))
+      val rb = Pq.train(resid, m, subDim, pqK, pqIters, "id", "v").cache()
+      (Some(rb), Some(residualEncode(resid, rb, m, (rb.count() / m).toInt).cache()))
+    } else (None, None)
     new VectorEngine(spark, base, cents,
       combined.select("id", "centroid_id"), books,
       combined.select("id", "codes"),
       combined.select("id", "centroid_id", "codes"),
       m, subDim, pqKEff, nc,
+      rBooks, rFused,
       extraCaches = Seq(combined))
   }
 
-  /** Restore a saved index (no retraining). */
+  /** Restore a saved index (no retraining). Pre-residual saves (no
+    * `residual` param field) load as plain indexes. */
   def load(spark: SparkSession, dir: String): VectorEngine = {
     val p = spark.read.json(s"$dir/params").head()
     val cents = spark.read.parquet(s"$dir/cents").cache()
@@ -274,12 +336,20 @@ object VectorEngine {
     // after this streams the fused table shuffle-free
     val fused = codes.join(assigned.select(col("id"), col("centroid_id")), "id")
       .select(col("id"), col("centroid_id"), col("codes")).cache()
+    val hasResid = p.schema.fieldNames.contains("residual") &&
+      p.getAs[Boolean]("residual")
+    val (rBooks, rFused) =
+      if (hasResid)
+        (Some(spark.read.parquet(s"$dir/resid_codebooks").cache()),
+          Some(spark.read.parquet(s"$dir/resid_fused").cache()))
+      else (None, None)
     new VectorEngine(spark,
       spark.read.parquet(s"$dir/embs").cache(),
       cents, assigned,
       spark.read.parquet(s"$dir/codebooks").cache(),
       codes, fused,
       p.getAs[Long]("m").toInt, p.getAs[Long]("sub_dim").toInt,
-      p.getAs[Long]("pq_k").toInt, cents.count().toInt)
+      p.getAs[Long]("pq_k").toInt, cents.count().toInt,
+      rBooks, rFused)
   }
 }

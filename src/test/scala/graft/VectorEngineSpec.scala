@@ -152,4 +152,60 @@ class VectorEngineSpec extends SparkSpec {
       assert(plan.contains("BroadcastHashJoin"), s"$mode:\n${plan.take(1000)}")
     }
   }
+
+  test("residual index: full lifecycle — add == rebuild, remove, save/load, plan, opt-in") {
+    import spark.implicits._
+    // plain build refuses the residual mode instead of serving garbage
+    intercept[IllegalArgumentException] {
+      eng.topK(embs.filter(col("vec_id") < 2), k = 3, mode = "residual_ivfpq")
+    }
+    val reng = VectorEngine.build(embs.filter(col("vec_id") < 90), residual = true)
+    val queries = embs.filter(col("vec_id") < 3)
+    def hits(e: graft.api.VectorEngine) =
+      e.topK(queries, k = 5, mode = "residual_ivfpq", nprobe = 8)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    // incremental add under the EXISTING models == one-shot rebuild is
+    // NOT generally true for residual codes (a rebuild retrains on the
+    // grown corpus) — the add contract is: new rows are encoded under
+    // the existing books, and probes see them
+    val extra = embs.filter(col("vec_id") >= 90 && col("vec_id") < 95)
+    val grown = reng.addVectors(extra)
+    assert(grown.residFused.get.count() == reng.residFused.get.count() + 5)
+    val grownIds = grown.topK(embs.filter(col("vec_id") === 91), k = 3,
+      mode = "residual_ivfpq", nprobe = 8)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(grownIds.contains(91L), s"added vector not served: $grownIds")
+    // the added row's codes equal what a fresh residualEncode produces
+    // (the one-owner contract): encode id 91's residual directly
+    val a91 = grown.assigned.filter(col("id") === 91L).head().getLong(1)
+    val direct = VectorEngine.residualEncode(
+      embs.filter(col("vec_id") === 91L)
+        .select(col("vec_id").cast("long").as("id"), col("embedding").as("v"))
+        .withColumn("centroid_id", lit(a91))
+        .join(broadcast(reng.cents), "centroid_id")
+        .select(col("id"), col("centroid_id"),
+          zip_with(col("v"), col("cv"), (x, y) => x - y).as("v")),
+      reng.residBooks.get, m = 8, pqK = reng.pqK)
+      .head().getSeq[Int](2).toSeq
+    val stored = grown.residFused.get.filter(col("id") === 91L)
+      .head().getSeq[Int](2).toSeq
+    assert(direct == stored)
+    // remove drops from the residual table and no probe returns the id
+    val removed = grown.removeVectors(Seq(1L))
+    assert(removed.residFused.get.filter(col("id") === 1L).count() == 0)
+    assert(!removed.topK(queries, k = 5, mode = "residual_ivfpq", nprobe = 8)
+      .select("id").collect().map(_.getLong(0)).contains(1L))
+    // save/load serves identically
+    val dir = java.nio.file.Files.createTempDirectory("graft-vec-resid").toString
+    reng.save(dir)
+    val back = VectorEngine.load(spark, dir)
+    assert(hits(back) == hits(reng))
+    // the residual probe keeps the fused no-shuffle plan shape
+    val plan = reng.topK(queries, k = 5, mode = "residual_ivfpq")
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1000))
+    back.close(); removed.close(); grown.close(); reng.close()
+  }
 }
