@@ -270,16 +270,56 @@ object Dedup {
     * one hash aggregation — grouped by doc, never a global sort. */
   def substringDupRemove(docs: DataFrame, w: Int = 8, idCol: String = "doc_id",
                          textCol: String = "text"): DataFrame = {
-    val base = docs.select(col(idCol),
-      Shingling.tokens(col(textCol)).as("toks"),
-      window_fingerprints(
-        shingle_hashes_md5(Shingling.tokens(lower(col(textCol)))), w).as("whs"))
+    val base = tokensAndWindows(docs, w, idCol, textCol)
     val wins = base.select(col(idCol), posexplode(col("whs")).as(Seq("pos", "whash")))
     val dup = wins.groupBy("whash")
       .agg(min(col(idCol)).as("mn"), max(col(idCol)).as("mx"))
       .filter(col("mn") =!= col("mx"))
       .select("whash")
-    val covered = wins.join(dup, Seq("whash"), "left_semi")
+    removeCoveredWindows(base, wins.join(dup, Seq("whash"), "left_semi"),
+      w, idCol)
+  }
+
+  /** Decontamination REMOVAL — the apply form of [[ngramDecontaminate]]
+    * (as [[substringDupRemove]] is to the d10 signals): every TEST token
+    * covered by a `w`-token window that appears verbatim anywhere in the
+    * TRAIN split is dropped, and the surviving test text re-joined. This
+    * is the scrub an eval set actually receives before use — flagging
+    * (d11) tells you the damage; this removes it. Output rows are TEST
+    * docs: (idCol, n_toks, n_removed, cleaned_text).
+    *
+    * Scale shape: train collapses to its distinct window-fingerprint set
+    * (one hash agg); the test windows LEFT SEMI join it on the 61-bit
+    * fingerprint and only the CONTAMINATED windows explode into
+    * coverage — a clean test set pays one semi-join and nothing more. */
+  def decontaminateRemove(train: DataFrame, test: DataFrame, w: Int = 8,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val trainw = tokensAndWindows(train, w, idCol, textCol)
+      .select(explode(col("whs")).as("whash")).distinct()
+    val base = tokensAndWindows(test, w, idCol, textCol)
+    val wins = base.select(col(idCol), posexplode(col("whs")).as(Seq("pos", "whash")))
+    removeCoveredWindows(base, wins.join(trainw, Seq("whash"), "left_semi"),
+      w, idCol)
+  }
+
+  /** (idCol, toks, whs): original-case tokens plus the `w`-token rolling
+    * fingerprints over their lowered twins — token positions align
+    * because lowering never changes whitespace. */
+  private def tokensAndWindows(docs: DataFrame, w: Int, idCol: String,
+                               textCol: String): DataFrame =
+    docs.select(col(idCol),
+      Shingling.tokens(col(textCol)).as("toks"),
+      window_fingerprints(
+        shingle_hashes_md5(Shingling.tokens(lower(col(textCol)))), w).as("whs"))
+
+  /** Shared rebuild: drop every token covered by one of the flagged
+    * windows (start positions in `flagged`(idCol, pos)), re-join the
+    * survivors per doc. The per-doc sort happens inside one hash
+    * aggregation — grouped by doc, never global. */
+  private def removeCoveredWindows(base: DataFrame, flagged: DataFrame,
+                                   w: Int, idCol: String): DataFrame = {
+    val covered = flagged
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + (w - 1))).as("tpos"))
       .distinct()

@@ -269,6 +269,21 @@ class DedupSpec extends SparkSpec {
     assert(got(5L) == ((3L, 0L, "same short doc")))
   }
 
+  test("decontamination removal scrubs exactly the train-covered test tokens") {
+    val train = docs.filter(col("doc_id") === 0L)
+    val test = docs.filter(col("doc_id").isin(2L, 3L, 4L))
+    val got = Dedup.decontaminateRemove(train, test, w = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // only test rows come back
+    assert(got.keySet == Set(2L, 3L, 4L))
+    // doc 2 shares the windows starting at 0 and 1 with train doc 0 ->
+    // positions 0..8 scrubbed, the changed last token survives
+    assert(got(2L) == ((10L, 9L, "lambda")))
+    // clean test doc untouched; sub-window doc has no windows
+    assert(got(3L) == ((10L, 0L, "one two three four five six seven eight nine ten")))
+    assert(got(4L) == ((3L, 0L, "same short doc")))
+  }
+
   test("SemDeDup keeps the farthest-from-centroid of each in-cluster duplicate set") {
     // cluster 0 centroid (1,0): ids 0/1/5 colinear (cosine 1), id 4 opposite;
     // cluster 1 centroid (0,1): ids 2/3 colinear
