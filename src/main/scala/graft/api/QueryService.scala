@@ -1,0 +1,102 @@
+package graft.api
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+/** HTTP transport for [[QueryEngine]] — the reference's primary entry
+  * point (`POST /query`, query_service.py:139-196) over the JDK's
+  * built-in `com.sun.net.httpserver` (no new dependency).
+  *
+  * Request:  `{"vector": [<u64 signature>...], "k": 10,
+  * "max_candidates": 2000}` (k optional, default 10 —
+  * query_service.py:46; max_candidates optional, default the
+  * reference's 2000 cap (minhash_lsh.py:70), 0 = full band scan —
+  * the engine's deterministic semantics, SURVEY §7.4).
+  * Response: `{"candidates": [{"id":..,"score":..,"vector_preview":
+  * [..]}]}`, score-desc, padded with id=-1/score=0.0 to k (O12/O21).
+  *
+  * Serving shape: a warmed engine answers a single-vector probe from the
+  * driver replica with ZERO Spark jobs, so the handler is a sub-ms
+  * in-process call — the executor default (a cached thread pool) is
+  * plenty; the heavy lifting (index build) happened before `serve`.
+  * Errors mirror the reference's envelope: a malformed body or missing
+  * vector returns `{"error": ...}` (query_service.py:162-163). */
+object QueryService {
+  private val mapper = new ObjectMapper()
+
+  /** Standalone entry: `runMain graft.api.QueryService <corpusParquet>
+    * [port]` — build + warm an index over (doc_id, text) and serve, the
+    * end-to-end demo of the reference's service (curl_query.sh). */
+  def main(args: Array[String]): Unit = {
+    val corpus = args(0)
+    val port = if (args.length > 1) args(1).toInt else 8000
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val engine = QueryEngine.build(spark.read.parquet(corpus)).warmUp()
+    val server = serve(engine, port)
+    println(s"[query-service] serving POST /query on port ${server.getAddress.getPort}")
+    Thread.currentThread().join()
+  }
+
+  /** Start serving `engine` on `port` (0 = ephemeral; read the bound
+    * port from the returned server). Caller owns the server lifecycle
+    * (`stop`) and the engine's (`close`). */
+  def serve(engine: QueryEngine, port: Int): HttpServer = {
+    val server = HttpServer.create(new InetSocketAddress(port), 0)
+    server.createContext("/query", (exchange: HttpExchange) => handle(engine, exchange))
+    server.start()
+    server
+  }
+
+  private def handle(engine: QueryEngine, ex: HttpExchange): Unit = {
+    try {
+      val (status, body) =
+        if (ex.getRequestMethod != "POST")
+          (405, """{"error":"POST required"}""")
+        else {
+          val raw = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          parse(raw) match {
+            case Left(err) => (400, s"""{"error":"$err"}""")
+            case Right((vector, k, maxCand)) =>
+              (200, toJson(engine.query(vector, k, maxCand)))
+          }
+        }
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(status, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
+    } finally ex.close()
+  }
+
+  private def toJson(cands: Seq[QueryEngine.Candidate]): String =
+    cands.map { c =>
+      s"""{"id":${c.id},"score":${c.score},"vector_preview":[${c.vectorPreview.mkString(",")}]}"""
+    }.mkString("""{"candidates":[""", ",", "]}")
+
+  /** Parse `{"vector":[...], "k":n, "max_candidates":n}`; jackson rides
+    * in from Spark's own classpath. Long.MIN/MAX-range values only —
+    * signatures are mod 2^61-1, well inside. */
+  private def parse(raw: String): Either[String, (Array[Long], Int, Int)] =
+    try {
+      val root = mapper.readTree(raw)
+      val vec = root.get("vector")
+      if (vec == null || !vec.isArray || vec.isEmpty)
+        Left("missing or empty vector")
+      else {
+        val arr = new Array[Long](vec.size())
+        var i = 0
+        while (i < arr.length) { arr(i) = vec.get(i).asLong(); i += 1 }
+        val k = if (root.hasNonNull("k")) root.get("k").asInt(10) else 10
+        val mc = if (root.hasNonNull("max_candidates"))
+          root.get("max_candidates").asInt(2000) else 2000
+        if (k <= 0) Left("k must be positive") else Right((arr, k, mc))
+      }
+    } catch { case e: Exception => Left(s"malformed JSON: ${e.getMessage}") }
+}

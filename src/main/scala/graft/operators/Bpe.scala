@@ -56,6 +56,19 @@ object Bpe {
       replace(acc, lit(s" $pair "), lit(merged)))
   }
 
+  /** Checkpointed-vocab partition bound: small enough that a round's
+    * scheduler overhead stays negligible (the coalesce rationale holds
+    * at 1 vs 200, not 1 vs 32), large enough that each round's
+    * pair-explode map stage parallelizes — a 10M-word vocab at extreme
+    * scale never serializes ~10^8 pair rows through ONE task, which is
+    * exactly what a coalesce(1) checkpoint would do. */
+  private val VocabPartitions = 32
+
+  /** Eager round checkpoint at the bounded partition count (exposed so
+    * BpeSpec can pin that no round serializes onto one task). */
+  private[graft] def checkpointVocab(df: DataFrame): DataFrame =
+    df.coalesce(VocabPartitions).localCheckpoint(true)
+
   /** Train `rounds` greedy merges over the corpus vocabulary. Returns
     * (round 1.., pair "a b", cnt) — the learned merge table, in order.
     * Driver-coordinated loop like the k-means trainer (Ann.kmeansTrain):
@@ -63,9 +76,8 @@ object Bpe {
   def trainMerges(docs: DataFrame, rounds: Int, textCol: String = "text",
                   repl: Int = 12): DataFrame = {
     val spark = docs.sparkSession
-    var words = vocab(docs, textCol)
-      .select(col("word"), col("freq"), spacedSymbols(col("word")).as("s"))
-      .coalesce(1).localCheckpoint(true)
+    var words = checkpointVocab(vocab(docs, textCol)
+      .select(col("word"), col("freq"), spacedSymbols(col("word")).as("s")))
     val merges = Seq.newBuilder[(Int, String, Long)]
     var r = 1
     while (r <= rounds) {
@@ -74,9 +86,8 @@ object Bpe {
       if (top.nonEmpty) {
         val pair = top(0).getString(0)
         merges += ((r, pair, top(0).getLong(1)))
-        val next = words
-          .withColumn("s", applyMerge(col("s"), pair, repl))
-          .coalesce(1).localCheckpoint(true)
+        val next = checkpointVocab(
+          words.withColumn("s", applyMerge(col("s"), pair, repl)))
         // the eager localCheckpoint above fully materialized `next`, so
         // the superseded round's blocks can go now — without this the
         // trainer holds rounds × vocab-sized RDD blocks until session end

@@ -12,8 +12,8 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Exact duplicate groups by content hash: (text_hash, cnt, keep_id,
-    * dup_ids). `keep_id` is the smallest doc_id (canonical survivor). */
+  /** Exact duplicate groups by content hash: (text_hash, cnt, keep_id).
+    * `keep_id` is the smallest doc_id (canonical survivor). */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(
@@ -349,8 +349,21 @@ object Dedup {
     * (id, centroid_id, n_dups, keep).
     *
     * Scale shape: candidate pairs are gated by the coarse assignment
-    * (equi-join on centroid_id — expected cluster size n/k; a skewed hot
-    * cluster salts like any hot join key). The drop rule is a pairwise
+    * (equi-join on centroid_id — expected cluster size n/k). The
+    * within-cluster join is a SELF-join that must enumerate pairs, so a
+    * hot cluster CANNOT be salted (both sides need every member;
+    * cross-salt pairs would be silently dropped) — a pathological
+    * cluster is O(|cluster|^2) pair rows. `maxClusterSize > 0` installs
+    * the guard: a cluster over the cap contributes edges only among its
+    * `maxClusterSize` smallest ids (deterministic keep-smallest-ids,
+    * mirroring the LSH bucket cap in [[graft.core.Lsh.capBuckets]] and
+    * the reference's bounded candidate generation); members beyond the
+    * cap pass through un-deduplicated (keep=true, n_dups=0) — the
+    * documented recall trade of any bounded candidate generator. The
+    * over-cap cluster list is k-bounded (broadcasts), and member
+    * selection is a partial+final top-k AGGREGATE (map-side combine
+    * caps every task's state at `maxClusterSize` entries) — never a
+    * whole-cluster sort pinned to one task. The drop rule is a pairwise
     * dominance test folded into ONE hash aggregation over the directed
     * pair edges (max over neighbors of "dominates me"), never an
     * iterative connected-components pass, and the centroid table rides
@@ -358,15 +371,34 @@ object Dedup {
     */
   def semanticDedup(embs: DataFrame, cents: DataFrame, assigned: DataFrame,
                     threshold: Double, idCol: String = "vec_id",
-                    vecCol: String = "embedding"): DataFrame = {
+                    vecCol: String = "embedding",
+                    maxClusterSize: Int = 0): DataFrame = {
     val base = embs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .join(assigned, "id")
       .join(broadcast(cents), "centroid_id")
       .select(col("id"), col("centroid_id"), col("v"),
         neg_l2_float(col("v"), col("cv")).as("cdist"))
-    val l = base.select(col("centroid_id"), col("id").as("a"),
+    val participants =
+      if (maxClusterSize <= 0) base
+      else {
+        import graft.functions.TopKByScore.top_k_by_score
+        val over = base.groupBy("centroid_id")
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") > maxClusterSize)
+          .select("centroid_id")
+        val small = base.join(broadcast(over), Seq("centroid_id"), "left_anti")
+        // constant score -> the buffer's id-asc tie-break keeps the
+        // maxClusterSize SMALLEST ids per over-cap cluster, bounded state
+        val kept = base.join(broadcast(over), Seq("centroid_id"))
+          .groupBy("centroid_id")
+          .agg(top_k_by_score(lit(0d), col("id"), maxClusterSize).as("tk"))
+          .select(col("centroid_id"), explode(col("tk").getField("id")).as("id"))
+        val big = base.join(broadcast(kept), Seq("centroid_id", "id"))
+        small.unionByName(big)
+      }
+    val l = participants.select(col("centroid_id"), col("id").as("a"),
       col("v").as("va"), col("cdist").as("da"))
-    val r = base.select(col("centroid_id"), col("id").as("b"),
+    val r = participants.select(col("centroid_id"), col("id").as("b"),
       col("v").as("vb"), col("cdist").as("db"))
     // directed duplicate edges a -> b (each unordered pair appears twice,
     // once per direction, so one groupBy(a) sees every neighborhood)

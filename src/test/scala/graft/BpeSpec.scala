@@ -96,6 +96,20 @@ class BpeSpec extends SparkSpec {
     assert(refApply(" a a a a ", "a a", 2) == " aa aa ")
   }
 
+  test("round checkpoints keep a multi-task vocab — no round serializes the pair explode onto one core") {
+    // a coalesce(1) checkpoint would make EVERY round's pairCounts map
+    // stage a single task (at a 10M-word vocab that's ~10^8 pair rows
+    // through one core per round); the bounded coalesce must preserve
+    // parallelism whenever the upstream has it
+    val wide = spark.range(0, 1000).selectExpr(
+      "concat('w', id) AS word", "1L AS freq", "concat(' w ', id, ' ') AS s")
+      .repartition(32)
+    val ck = Bpe.checkpointVocab(wide)
+    assert(ck.rdd.getNumPartitions > 1, s"got ${ck.rdd.getNumPartitions}")
+    assert(ck.rdd.getNumPartitions <= 32)
+    graft.api.QueryEngine.releaseFrame(ck)
+  }
+
   test("countBpeTokens replays the learned merges as a pure projection") {
     val docs = Seq("low lower lowest", "low low").toDF("text")
     val pairs = Bpe.trainMerges(docs, rounds = 3)

@@ -308,4 +308,32 @@ class DedupSpec extends SparkSpec {
     assert(got(2L) == ((1L, false)))
     assert(got(3L) == ((1L, true)))
   }
+
+  test("SemDeDup cluster cap bounds pair enumeration to the smallest ids") {
+    // one hot cluster of 6 colinear vectors; cap=3 -> only ids 0,1,2
+    // enumerate pairs; 3,4,5 pass through keep=true/n_dups=0 (the
+    // documented recall trade of the bounded candidate generator)
+    val embs = (0L to 5L).map(i => (i, Array((i + 1).toFloat, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(1.0f, 0.0f))).toDF("centroid_id", "cv")
+    val assigned = (0L to 5L).map(i => (i, 0L)).toDF("id", "centroid_id")
+    val got = Dedup.semanticDedup(embs, cents, assigned, threshold = 0.9,
+      maxClusterSize = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got.keySet == (0L to 5L).toSet) // every input row still emitted
+    // among {0,1,2}: farthest from centroid (1,0) is id 2 (dist 2)
+    assert(got(0L) == ((2L, false)))
+    assert(got(1L) == ((2L, false)))
+    assert(got(2L) == ((2L, true)))
+    // beyond the cap: no candidates generated
+    assert(got(3L) == ((0L, true)))
+    assert(got(4L) == ((0L, true)))
+    assert(got(5L) == ((0L, true)))
+    // cap larger than every cluster -> identical to the uncapped run
+    val capped = Dedup.semanticDedup(embs, cents, assigned, threshold = 0.9,
+      maxClusterSize = 100).collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).toSet
+    val uncapped = Dedup.semanticDedup(embs, cents, assigned, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).toSet
+    assert(capped == uncapped)
+  }
 }

@@ -1,0 +1,74 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.api.{QueryEngine, QueryService}
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import scala.jdk.CollectionConverters._
+
+/** End-to-end HTTP smoke of the reference's primary entry point
+  * (query_service.py:139-196 / curl_query.sh): build the engine over the
+  * checked-in reference corpus, POST the #1025 fixture vector over real
+  * HTTP, and match reference_expected.json. */
+class QueryServiceSpec extends SparkSpec {
+
+  private lazy val mapper = new ObjectMapper()
+  private lazy val expected = mapper.readTree(
+    getClass.getResourceAsStream("/reference_expected.json"))
+  private def longs(field: String): Seq[Long] =
+    expected.get(field).elements().asScala.map(_.asLong()).toSeq
+  private def doubles(field: String): Seq[Double] =
+    expected.get(field).elements().asScala.map(_.asDouble()).toSeq
+
+  private def post(port: Int, body: String): (Int, String) = {
+    val client = HttpClient.newHttpClient()
+    val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/query"))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  test("POST /query on the #1025 fixture reproduces reference_expected.json over HTTP") {
+    val corpus = spark.read.parquet(
+      getClass.getResource("/reference_corpus.parquet").getPath)
+    val eng = QueryEngine.build(corpus,
+      mp = graft.core.MinHashPipeline.Params(kShingle = 1, byWord = true)).warmUp()
+    val server = QueryService.serve(eng, port = 0)
+    try {
+      val port = server.getAddress.getPort
+      val qSig = longs("query_sig")
+
+      // full-band-scan semantics (max_candidates=0) -> the fixture's
+      // deterministic top-5, ids AND scores, over the wire
+      val (st, body) = post(port,
+        s"""{"vector":[${qSig.mkString(",")}],"k":5,"max_candidates":0}""")
+      assert(st == 200, body)
+      val cands = mapper.readTree(body).get("candidates")
+      assert(cands.size() == 5)
+      val ids = (0 until 5).map(cands.get(_).get("id").asLong())
+      val sims = (0 until 5).map(cands.get(_).get("score").asDouble())
+      assert(ids == longs("det_top5_ids"))
+      assert(sims == doubles("det_top5_sims"))
+      // previews ride along (worker_tasks.py returns (id, score, preview))
+      assert(cands.get(0).get("vector_preview").size() == 10)
+
+      // transport parity: the default-capped POST byte-equals the
+      // in-process queryJson the engine serves from its driver replica
+      val (st2, body2) = post(port, s"""{"vector":[${qSig.mkString(",")}],"k":5}""")
+      assert(st2 == 200)
+      assert(body2 == eng.queryJson(qSig.toArray, k = 5))
+
+      // error envelope mirrors the reference (query_service.py:162-163)
+      val (st3, body3) = post(port, """{"k":5}""")
+      assert(st3 == 400 && body3.contains("error"))
+      val (st4, body4) = post(port, """not json""")
+      assert(st4 == 400 && body4.contains("error"))
+    } finally {
+      server.stop(0)
+      eng.close()
+    }
+  }
+}
