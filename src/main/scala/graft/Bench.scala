@@ -390,6 +390,32 @@ object Bench {
         (5L until 25L).foreach(i => eng1m.query(someSigs1m(i), 5)))
       eng1m.close()
       quiesce()
+      // ---- the 4M docs decade: fourth point of the flat-probe claim ----
+      // The vectors side already measures 4M; the docs side stopped at 1M.
+      // One more 4x step for the three probe paths whose cost must NOT
+      // carry a corpus-size term: capped cached-index batch, bucketed
+      // disk batch (candidate I/O bounded by the batch's buckets), and
+      // the LRU-probe-cache hot single (128M postings, two decades above
+      // the driver-replica bound). Build stays the linear contrast row.
+      val tB4 = System.nanoTime()
+      val eng4md = QueryEngine.build(
+        SyntheticCorpus.docs(spark, 4000000),
+        mp = graft.core.MinHashPipeline.Params(kShingle = 1)).warmUp()
+      val buildSec4m = (System.nanoTime() - tB4) / 1e9
+      val bucketed100At4m = bucketedBatch(eng4md, "graft_bench_bucketed_4m",
+        "x_lsh_bucketed_batch100_sec_4mdocs")
+      def qDf4m(n: Int) = eng4md.sigs.filter(col("doc_id") < n)
+        .select(col("doc_id").as("query_id"), col("sig"))
+      val batch100At4m = medianOf("x_lsh_batch100_queries_sec_4mdocs")(() =>
+        graft.core.Lsh.queryBatch(eng4md.sigs, eng4md.index, qDf4m(100), k = 5,
+          maxCandidates = 2000).count())
+      val someSigs4m = eng4md.sigs.filter(col("doc_id") < 30)
+        .orderBy("doc_id").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+      val singleAvg4m = singleProbeAvg("x_lsh_single_query_avg_sec_4mdocs")(() =>
+        (5L until 25L).foreach(i => eng4md.query(someSigs4m(i), 5)))
+      eng4md.close()
+      quiesce()
       val tV3 = System.nanoTime()
       val veng1m = graft.api.VectorEngine.build(
         graft.sources.SyntheticCorpus.vectors(spark, 1000000)).warmUp()
@@ -492,6 +518,10 @@ object Bench {
         "x_lsh_bucketed_batch100_sec_1mdocs" -> bucketed100At1m,
         "x_lsh_batch100_queries_sec_1mdocs" -> batch100At1m,
         "x_lsh_single_query_avg_sec_1mdocs" -> singleAvg1m,
+        "x_index_build_sec_4mdocs" -> buildSec4m,
+        "x_lsh_bucketed_batch100_sec_4mdocs" -> bucketed100At4m,
+        "x_lsh_batch100_queries_sec_4mdocs" -> batch100At4m,
+        "x_lsh_single_query_avg_sec_4mdocs" -> singleAvg4m,
         "x_vec_build_sec_1mvecs" -> vecBuild1m,
         "x_vec_ivfpq_batch100_sec_1mvecs" -> vecIvfpq1m,
         "x_vec_ivfpq_rerank_batch100_sec_1mvecs" -> vecRerank1m,

@@ -1,0 +1,128 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.io.{BufferedOutputStream, DataOutputStream, FileOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+/** Reader/writer for the reference's on-disk shard format: 2-D `.npy`
+  * arrays, C-order, one file per shard (`split_and_save`,
+  * index_builder.py:22-36; `sigs.npy` from synth_data.py:148-157 is
+  * shape (N, num_perm) uint64).
+  *
+  * Scale shape: the shard FILE is the reference's own parallelism unit
+  * (shard_size=100000 rows ~ 100 MB), so reading via Spark's binaryFile
+  * source — one row per shard, decoded on the executor that holds it —
+  * preserves the distribution story; only the fixed 128-byte headers are
+  * touched on the driver (to assign each shard its global row-offset
+  * base). Writing reverses it: one `.npy` per partition, written
+  * executor-side, with range partitioning keeping global id order across
+  * the lexicographic shard filenames. */
+object Npy {
+
+  private val Magic: Array[Byte] = "\u0093NUMPY".getBytes(StandardCharsets.ISO_8859_1)
+
+  private case class Header(descr: String, rows: Int, cols: Int, dataOffset: Int)
+
+  /** Parse a v1/v2 .npy header from the first bytes of the file. */
+  private def parseHeader(bytes: Array[Byte]): Header = {
+    require(bytes.length > 10 && Magic.indices.forall(i => bytes(i) == Magic(i)),
+      "not a .npy file (bad magic)")
+    val major = bytes(6)
+    val (headerLen, dictStart) =
+      if (major == 1) {
+        val bb = ByteBuffer.wrap(bytes, 8, 2).order(ByteOrder.LITTLE_ENDIAN)
+        (bb.getShort.toInt & 0xffff, 10)
+      } else {
+        val bb = ByteBuffer.wrap(bytes, 8, 4).order(ByteOrder.LITTLE_ENDIAN)
+        (bb.getInt, 12)
+      }
+    val dict = new String(bytes, dictStart, headerLen, StandardCharsets.ISO_8859_1)
+    val descr = "'descr':\\s*'([^']+)'".r.findFirstMatchIn(dict)
+      .getOrElse(sys.error(s"no descr in npy header: $dict")).group(1)
+    val fortran = "'fortran_order':\\s*(True|False)".r.findFirstMatchIn(dict)
+      .map(_.group(1)).getOrElse("False")
+    require(fortran == "False", "fortran_order arrays not supported (the reference writes C-order)")
+    val shape = "'shape':\\s*\\((\\d+)\\s*,\\s*(\\d+)\\s*,?\\s*\\)".r.findFirstMatchIn(dict)
+      .getOrElse(sys.error(s"only 2-D .npy supported (reference shards are (N, D)): $dict"))
+    Header(descr, shape.group(1).toInt, shape.group(2).toInt, dictStart + headerLen)
+  }
+
+  /** Read a directory of 2-D int64/uint64 `.npy` shards as
+    * (row_idx: Long, sig: Array[Long]). `row_idx` is the global row
+    * index across shards in lexicographic filename order — the
+    * reference's implicit id space (ids.pkl is positional). u64 values
+    * land in the same Long bit pattern the engine's signature kernels
+    * use (signatures are mod 2^61-1, well inside). */
+  def readLongShards(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val files = spark.read.format("binaryFile").load(s"$path/*.npy")
+      .select("path", "content")
+    // global row-offset base per shard from the bounded headers: shard
+    // count is the driver-held unit of work either way (the reference
+    // enumerates the same listing), and only ~128 bytes per file are read
+    val heads = files.select(col("path"), substring(col("content"), 1, 256).as("head"))
+      .collect()
+      .map(r => r.getString(0) -> parseHeader(r.getAs[Array[Byte]](1)))
+      .sortBy(_._1)
+    val bases = heads.scanLeft(0L) { case (acc, (_, h)) => acc + h.rows }
+    val baseOf = heads.map(_._1).zip(bases).toMap
+    val baseB = spark.sparkContext.broadcast(baseOf)
+    files.as[(String, Array[Byte])].flatMap { case (p, content) =>
+      val h = parseHeader(content)
+      require(h.descr == "<u8" || h.descr == "<i8",
+        s"expected 64-bit integer shards, got ${h.descr}")
+      val bb = ByteBuffer.wrap(content, h.dataOffset, h.rows * h.cols * 8)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      val base = baseB.value(p)
+      (0 until h.rows).iterator.map { r =>
+        val row = new Array[Long](h.cols)
+        var c = 0
+        while (c < h.cols) { row(c) = bb.getLong((h.dataOffset + (r.toLong * h.cols + c) * 8).toInt); c += 1 }
+        (base + r, row)
+      }
+    }.toDF("row_idx", "sig")
+  }
+
+  /** Write (idCol, vecCol: Array[Long]) as `.npy` shards under `dir`:
+    * range-partitioned on id into `shards` files (shard_00000.npy ...),
+    * C-order '<u8', one file per partition written on its executor —
+    * the engine's form of the reference's `split_and_save`. All rows of
+    * one shard must share the vector width. */
+  def saveLongShards(df: DataFrame, idCol: String, vecCol: String,
+                     dir: String, shards: Int = 4): Unit = {
+    new java.io.File(dir).mkdirs()
+    df.select(col(idCol).cast("long"), col(vecCol))
+      .repartitionByRange(shards, col(idCol))
+      .sortWithinPartitions(idCol)
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val rows = it.map(r => r.getSeq[Long](1).toArray).toArray
+        if (rows.nonEmpty) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val cols = rows(0).length
+          val dict = s"{'descr': '<u8', 'fortran_order': False, 'shape': (${rows.length}, $cols), }"
+          // v1 header padded with spaces to 64-byte alignment, '\n'-terminated
+          val unpadded = 10 + dict.length + 1
+          val pad = (64 - unpadded % 64) % 64
+          val headerStr = dict + (" " * pad) + "\n"
+          val out = new DataOutputStream(new BufferedOutputStream(
+            new FileOutputStream(f"$dir/shard_$pid%05d.npy")))
+          try {
+            out.write(Magic)
+            out.write(1); out.write(0)
+            out.write(headerStr.length & 0xff)
+            out.write((headerStr.length >> 8) & 0xff)
+            out.write(headerStr.getBytes(StandardCharsets.ISO_8859_1))
+            val bb = ByteBuffer.allocate(cols * 8).order(ByteOrder.LITTLE_ENDIAN)
+            rows.foreach { row =>
+              bb.clear()
+              row.foreach(v => bb.putLong(v))
+              out.write(bb.array())
+            }
+          } finally out.close()
+        }
+      }
+  }
+}

@@ -60,6 +60,20 @@ COPY (
 ) TO '{out}/events.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 2048)
 """)
 
+# embeddings: ten offset copies (20k vectors). Offsets are multiples of
+# 10, so d15's deterministic skewed assignment (vec_id % 10 < 3 ->
+# cluster 0) keeps its 30% hot cluster at every scale — the SemDeDup
+# cluster-cap stress (one cluster >= 10% of vectors) holds by
+# construction, and cap=64 binds hard (6k-member hot cluster).
+con.execute(f"""
+COPY (
+  SELECT vec_id + c * 10000000 AS vec_id, embedding, label
+  FROM '/root/testdata/sf0.1/embeddings.parquet'
+  CROSS JOIN (SELECT range AS c FROM range(10)) copies
+) TO '{out}/embeddings.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 2048)
+""")
+
 docs = con.sql(f"SELECT count(*) c FROM '{out}/documents.parquet'").fetchone()[0]
 evs = con.sql(f"SELECT count(*) c FROM '{out}/events.parquet'").fetchone()[0]
-print(f"{out}: {docs} documents, {evs} events (capstress={capstress})")
+embs = con.sql(f"SELECT count(*) c FROM '{out}/embeddings.parquet'").fetchone()[0]
+print(f"{out}: {docs} documents, {evs} events, {embs} embeddings (capstress={capstress})")
