@@ -136,7 +136,13 @@ class QueryEngineSpec extends SparkSpec {
       mp = graft.core.MinHashPipeline.Params(kShingle = 1))
     val dir = Files.createTempDirectory("graft-idx-params").toString
     eng.save(dir)
-    // corrupt the params record in place: present-but-unreadable => throw
+    // corrupt the params record in place: present-but-unreadable => throw.
+    // NOTE for log readers: this overwrite deliberately invalidates the
+    // Hadoop LocalFS .crc sidecar, so the load below emits
+    // org.apache.hadoop.fs.ChecksumException WARN/ERROR stacks into the
+    // test log — that noise IS the scenario under test (a torn/corrupted
+    // params write must fail loudly, never silently default), not a
+    // flaky read path
     val paramsDir = new java.io.File(s"$dir/params")
     paramsDir.listFiles().filter(_.getName.endsWith(".json"))
       .foreach { f =>
