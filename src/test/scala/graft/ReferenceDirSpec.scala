@@ -1,0 +1,79 @@
+package graft
+
+import graft.core.MinHashPipeline
+import graft.sources.ReferenceDir
+import org.apache.spark.sql.functions._
+
+/** The reference's complete `data/` directory as one boundary.
+  *
+  * Import direction: `refdir_fixture` was written by the REFERENCE'S OWN
+  * code path (shingle_document + MinHash.batch_signature + np.save +
+  * pickle.dump — tools/make_pickle_fixture.py); loading it and matching
+  * the engine's ref-family kernel against the numpy-written sigs.npy is
+  * a full-circle parity check with no Python at test time. Export
+  * direction: save → load round-trip over engine-built frames. */
+class ReferenceDirSpec extends SparkSpec {
+
+  private def fixture = getClass.getResource("/refdir_fixture").getPath
+
+  test("loads a CPython/numpy-written data/ dir; engine ref kernel matches its sigs.npy") {
+    val loaded = ReferenceDir.load(spark, fixture)
+    assert(loaded.meta == Map("num_perm" -> 128L, "k_shingle" -> 3L,
+      "by_word" -> true, "seed" -> 42L))
+
+    val docs = loaded.docs.orderBy("row_idx").collect()
+    assert(docs.length == 5)
+    assert(docs.map(_.getString(1)).toSeq ==
+      (0 until 5).map(i => f"doc_$i%06d"))
+    assert(docs(1).getString(2).startsWith("unicode: café"))
+
+    // shingles.pkl (reference's shingle_document output) == the engine's
+    // shingler over docs.pkl, including the <k-words whole-doc fallback
+    // and the empty doc
+    val engineSh = MinHashPipeline.withShingles(
+        loaded.docs, "text", MinHashPipeline.Params(kShingle = 3))
+      .select(col("row_idx"), array_sort(col("shingles")).as("sh"))
+      .orderBy("row_idx").collect().map(_.getSeq[String](1))
+    val fileSh = loaded.shingles.orderBy("row_idx").collect()
+      .map(_.getSeq[String](1))
+    assert(engineSh.toSeq == fileSh.toSeq)
+
+    // sigs.npy (numpy-written from the reference's MinHash) == the
+    // engine's SHA-1/wrap signature kernel recomputed from docs.pkl —
+    // bit-for-bit, including the unicode doc
+    val recomputed = MinHashPipeline.withSignature(
+        loaded.docs, "text", MinHashPipeline.Params(kShingle = 3))
+      .select("row_idx", "sig").orderBy("row_idx").collect()
+      .map(_.getSeq[Long](1))
+    val fromNpy = loaded.sigs.orderBy("row_idx").collect()
+      .map(_.getSeq[Long](1))
+    assert(fromNpy.length == 5)
+    recomputed.zip(fromNpy).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a == b, s"signature mismatch at row $i")
+    }
+  }
+
+  test("save → load round-trips engine-built frames") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("refdir_rt").toString
+    val docs = Seq((0L, "alpha beta gamma delta"), (1L, "x y"), (2L, ""))
+      .toDF("doc_id", "text")
+    val shingled = MinHashPipeline.withSignature(docs, "text",
+      MinHashPipeline.Params(kShingle = 3))
+    ReferenceDir.save(docs,
+      shingled.select(col("doc_id"), col("sig")),
+      shingled.select(col("doc_id"), col("shingles")), out)
+    val loaded = ReferenceDir.load(spark, out)
+    assert(loaded.docs.orderBy("row_idx").collect().map(_.getString(2)).toSeq ==
+      Seq("alpha beta gamma delta", "x y", ""))
+    assert(loaded.meta("num_perm") == 128L)
+    val sigBack = loaded.sigs.orderBy("row_idx").collect().map(_.getSeq[Long](1))
+    val sigOrig = shingled.orderBy("doc_id").collect()
+      .map(_.getAs[scala.collection.Seq[Long]]("sig"))
+    assert(sigBack.toSeq == sigOrig.toSeq)
+    val shBack = loaded.shingles.orderBy("row_idx").collect().map(_.getSeq[String](1))
+    val shOrig = shingled.orderBy("doc_id")
+      .select(array_sort(col("shingles"))).collect().map(_.getSeq[String](0))
+    assert(shBack.toSeq == shOrig.toSeq)
+  }
+}
