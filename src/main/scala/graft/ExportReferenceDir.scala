@@ -30,9 +30,15 @@ object ExportReferenceDir {
     // reference itself would have written for the same corpus
     val shingled = MinHashPipeline.withSignature(docs, "text",
       MinHashPipeline.Params(kShingle = SparkEntry.K, byWord = true))
+    // hist_edges.npy: the QED service's startup artifact
+    // (query_service.py:54-59), per-dim np.histogram edges over the
+    // signature matrix — histogramEdges is bit-exact to numpy's linspace
+    val edges = graft.core.Qed.histogramEdges(
+      shingled.select(col("doc_id"), col("sig")), "sig", unsigned = true)
     graft.sources.ReferenceDir.save(
       docs, shingled.select(col("doc_id"), col("sig")),
-      shingled.select(col("doc_id"), col("shingles")), outDir)
+      shingled.select(col("doc_id"), col("shingles")), outDir,
+      edges = Some(edges))
     println(s"[export] wrote reference data/ directory to $outDir")
     spark.stop()
   }

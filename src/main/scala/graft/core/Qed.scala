@@ -17,14 +17,27 @@ import org.apache.spark.sql.{Column, DataFrame}
   * data-sized stage and it is map-side-combinable.
   */
 object Qed {
-  /** (vec_id, embedding) -> exploded (dim 0-based, v double). */
-  def explodeDims(df: DataFrame, vecCol: String): DataFrame =
+  /** long->double treating the long as uint64 (numpy's view of the
+    * signature matrix): Guava's round-to-odd trick — fold the dropped
+    * low bit into the shifted value as a sticky bit, then double — is
+    * CORRECTLY rounded, unlike `conv(v) + 2^64` (double rounding). */
+  private def asDouble(v: Column, unsigned: Boolean): Column =
+    if (!unsigned) v.cast("double")
+    else when(v >= 0, v.cast("double"))
+      .otherwise(shiftrightunsigned(v, 1).bitwiseOR(v.bitwiseAND(lit(1L)))
+        .cast("double") * lit(2.0))
+
+  /** (vec_id, embedding) -> exploded (dim 0-based, v double). `unsigned`
+    * converts 64-bit integer components as uint64 (the dtype of
+    * sigs.npy); conversion is monotone over the unsigned order, so
+    * min/max downstream equal numpy's unsigned min/max converted. */
+  def explodeDims(df: DataFrame, vecCol: String, unsigned: Boolean = false): DataFrame =
     df.select(posexplode(col(vecCol)).as(Seq("dim", "v")))
-      .select(col("dim"), col("v").cast("double").as("v"))
+      .select(col("dim"), asDouble(col("v"), unsigned).as("v"))
 
   /** Per-dimension (dim, lo, hi) bounds (the histogram range). */
-  def dimBounds(df: DataFrame, vecCol: String): DataFrame =
-    explodeDims(df, vecCol).groupBy("dim")
+  def dimBounds(df: DataFrame, vecCol: String, unsigned: Boolean = false): DataFrame =
+    explodeDims(df, vecCol, unsigned).groupBy("dim")
       .agg(min("v").as("lo"), max("v").as("hi"))
 
   /** Bucket index of `v` within [lo, hi] split into nBins equi-width bins;
@@ -45,13 +58,26 @@ object Qed {
   }
 
   /** O13 edges: per-dimension bin boundary array (dim, edges[n_bins+1]) —
-    * the engine-side equivalent of `hist_edges.npy` (qed.py:18-36). */
-  def histogramEdges(df: DataFrame, vecCol: String, nBins: Int = 256): DataFrame =
-    dimBounds(df, vecCol).select(
+    * the engine-side equivalent of `hist_edges.npy` (qed.py:18-36).
+    * Bit-exact to `np.histogram`'s edges: numpy computes
+    * `linspace(lo, hi, n+1)` as `i * step + lo` with ONE precomputed
+    * `step = (hi-lo)/n`, then forces the last edge to `hi` — the same
+    * IEEE expression tree here (and in the io09 oracle), so the exported
+    * artifact is byte-comparable to what the reference's offline step
+    * would have written. */
+  def histogramEdges(df: DataFrame, vecCol: String, nBins: Int = 256,
+                     unsigned: Boolean = false): DataFrame = {
+    // np.histogram._get_outer_edges widens a degenerate (lo==hi) range
+    // to +/-0.5 before linspace
+    val lo = when(col("hi") === col("lo"), col("lo") - lit(0.5)).otherwise(col("lo"))
+    val hi = when(col("hi") === col("lo"), col("hi") + lit(0.5)).otherwise(col("hi"))
+    dimBounds(df, vecCol, unsigned).select(
       col("dim"),
       transform(sequence(lit(0), lit(nBins)),
-        i => col("lo") + (col("hi") - col("lo")) * i.cast("double") / lit(nBins).cast("double"))
+        i => when(i === nBins, hi).otherwise(
+          lo + i.cast("double") * ((hi - lo) / lit(nBins).cast("double"))))
         .as("edges"))
+  }
 
   /** O14: query-dependent bin windows, driver-side like the reference
     * (qed.py:38-52): per dim, the query's bin widened by

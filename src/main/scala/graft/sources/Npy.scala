@@ -24,6 +24,10 @@ object Npy {
 
   private val Magic: Array[Byte] = "\u0093NUMPY".getBytes(StandardCharsets.ISO_8859_1)
 
+  /** A shard directory or one explicit `.npy` file. */
+  private def npyGlob(path: String): String =
+    if (path.endsWith(".npy")) path else s"$path/*.npy"
+
   private case class Header(descr: String, rows: Int, cols: Int, dataOffset: Int)
 
   /** Parse a v1/v2 .npy header from the first bytes of the file. */
@@ -58,7 +62,7 @@ object Npy {
     * use (signatures are mod 2^61-1, well inside). */
   def readLongShards(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val files = spark.read.format("binaryFile").load(s"$path/*.npy")
+    val files = spark.read.format("binaryFile").load(npyGlob(path))
       .select("path", "content")
     // global row-offset base per shard from the bounded headers: shard
     // count is the driver-held unit of work either way (the reference
@@ -86,6 +90,80 @@ object Npy {
     }.toDF("row_idx", "sig")
   }
 
+  /** Read a directory of 2-D float64 `.npy` shards as
+    * (row_idx: Long, vec: Array[Double]) — the dtype of the reference's
+    * `hist_edges.npy` (query_service.py:54-59). Same global row-order
+    * contract as [[readLongShards]]. */
+  def readDoubleShards(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val files = spark.read.format("binaryFile").load(npyGlob(path))
+      .select("path", "content")
+    val heads = files.select(col("path"), substring(col("content"), 1, 256).as("head"))
+      .collect()
+      .map(r => r.getString(0) -> parseHeader(r.getAs[Array[Byte]](1)))
+      .sortBy(_._1)
+    val bases = heads.scanLeft(0L) { case (acc, (_, h)) => acc + h.rows }
+    val baseOf = heads.map(_._1).zip(bases).toMap
+    val baseB = spark.sparkContext.broadcast(baseOf)
+    files.as[(String, Array[Byte])].flatMap { case (p, content) =>
+      val h = parseHeader(content)
+      require(h.descr == "<f8", s"expected float64 shards, got ${h.descr}")
+      val bb = ByteBuffer.wrap(content).order(ByteOrder.LITTLE_ENDIAN)
+      val base = baseB.value(p)
+      (0 until h.rows).iterator.map { r =>
+        val row = new Array[Double](h.cols)
+        var c = 0
+        while (c < h.cols) { row(c) = bb.getDouble((h.dataOffset + (r.toLong * h.cols + c) * 8).toInt); c += 1 }
+        (base + r, row)
+      }
+    }.toDF("row_idx", "vec")
+  }
+
+  /** [[saveLongShards]] for float64 vectors — writes '<f8' shards. */
+  def saveDoubleShards(df: DataFrame, idCol: String, vecCol: String,
+                       dir: String, shards: Int = 4): Unit = {
+    new java.io.File(dir).mkdirs()
+    df.select(col(idCol).cast("long"), col(vecCol))
+      .repartitionByRange(shards, col(idCol))
+      .sortWithinPartitions(idCol)
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val rows = it.map(r => r.getSeq[Double](1).toArray).toArray
+        if (rows.nonEmpty) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          writeNpyFile(f"$dir/shard_$pid%05d.npy", "<f8", rows.length, rows(0).length) {
+            (bb, r) => rows(r).foreach(v => bb.putDouble(v))
+          }
+        }
+      }
+  }
+
+  /** Write one 2-D C-order v1 `.npy` file; `fillRow(bb, r)` appends row
+    * r's `cols` 8-byte values to the little-endian buffer. */
+  private def writeNpyFile(path: String, descr: String, rows: Int, cols: Int)
+                          (fillRow: (ByteBuffer, Int) => Unit): Unit = {
+    val dict = s"{'descr': '$descr', 'fortran_order': False, 'shape': ($rows, $cols), }"
+    // v1 header padded with spaces to 64-byte alignment, '\n'-terminated
+    val unpadded = 10 + dict.length + 1
+    val pad = (64 - unpadded % 64) % 64
+    val headerStr = dict + (" " * pad) + "\n"
+    val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(path)))
+    try {
+      out.write(Magic)
+      out.write(1); out.write(0)
+      out.write(headerStr.length & 0xff)
+      out.write((headerStr.length >> 8) & 0xff)
+      out.write(headerStr.getBytes(StandardCharsets.ISO_8859_1))
+      val bb = ByteBuffer.allocate(cols * 8).order(ByteOrder.LITTLE_ENDIAN)
+      var r = 0
+      while (r < rows) {
+        bb.clear()
+        fillRow(bb, r)
+        out.write(bb.array())
+        r += 1
+      }
+    } finally out.close()
+  }
+
   /** Write (idCol, vecCol: Array[Long]) as `.npy` shards under `dir`:
     * range-partitioned on id into `shards` files (shard_00000.npy ...),
     * C-order '<u8', one file per partition written on its executor —
@@ -101,27 +179,9 @@ object Npy {
         val rows = it.map(r => r.getSeq[Long](1).toArray).toArray
         if (rows.nonEmpty) {
           val pid = org.apache.spark.TaskContext.getPartitionId()
-          val cols = rows(0).length
-          val dict = s"{'descr': '<u8', 'fortran_order': False, 'shape': (${rows.length}, $cols), }"
-          // v1 header padded with spaces to 64-byte alignment, '\n'-terminated
-          val unpadded = 10 + dict.length + 1
-          val pad = (64 - unpadded % 64) % 64
-          val headerStr = dict + (" " * pad) + "\n"
-          val out = new DataOutputStream(new BufferedOutputStream(
-            new FileOutputStream(f"$dir/shard_$pid%05d.npy")))
-          try {
-            out.write(Magic)
-            out.write(1); out.write(0)
-            out.write(headerStr.length & 0xff)
-            out.write((headerStr.length >> 8) & 0xff)
-            out.write(headerStr.getBytes(StandardCharsets.ISO_8859_1))
-            val bb = ByteBuffer.allocate(cols * 8).order(ByteOrder.LITTLE_ENDIAN)
-            rows.foreach { row =>
-              bb.clear()
-              row.foreach(v => bb.putLong(v))
-              out.write(bb.array())
-            }
-          } finally out.close()
+          writeNpyFile(f"$dir/shard_$pid%05d.npy", "<u8", rows.length, rows(0).length) {
+            (bb, r) => rows(r).foreach(v => bb.putLong(v))
+          }
         }
       }
   }

@@ -38,9 +38,15 @@ object ReferenceDir {
     * @param docs     (doc_id: Long, text: String)
     * @param sigs     (doc_id: Long, sig: Array[Long]) — num_perm wide
     * @param shingles (doc_id: Long, shingles: Seq[String])
+    * @param edges    optional (dim: Long, edges: Array[Double]) — written
+    *                 as `hist_edges.npy` (the (D, n_bins+1) float64 array
+    *                 query_service.py:54-59 loads at startup; build it
+    *                 with [[graft.core.Qed.histogramEdges]], which is
+    *                 bit-exact to np.histogram's linspace edges)
     */
   def save(docs: DataFrame, sigs: DataFrame, shingles: DataFrame,
-           outDir: String, meta: Map[String, Any] = DefaultMeta): Unit = {
+           outDir: String, meta: Map[String, Any] = DefaultMeta,
+           edges: Option[DataFrame] = None): Unit = {
     new java.io.File(outDir).mkdirs()
     val d = docs.select(col("doc_id").cast("long"), col("text"))
       .orderBy("doc_id").collect()
@@ -60,6 +66,14 @@ object ReferenceDir {
       java.nio.file.Paths.get(s"$outDir/sigs.npy"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     java.nio.file.Files.deleteIfExists(tmp)
+    edges.foreach { e =>
+      val t = java.nio.file.Files.createTempDirectory("graft_refdir_edges")
+      Npy.saveDoubleShards(e, "dim", "edges", t.toString, shards = 1)
+      java.nio.file.Files.move(t.resolve("shard_00000.npy"),
+        java.nio.file.Paths.get(s"$outDir/hist_edges.npy"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.deleteIfExists(t)
+    }
     ()
   }
 
@@ -68,7 +82,7 @@ object ReferenceDir {
     * benchmark_runner.py:175). Shingle sets come back as sorted arrays
     * (column-type-stable; set semantics live in the values). */
   case class Loaded(docs: DataFrame, sigs: DataFrame, shingles: DataFrame,
-                    meta: Map[String, Any])
+                    meta: Map[String, Any], edges: Option[DataFrame])
 
   def load(spark: SparkSession, dir: String): Loaded = {
     import spark.implicits._
@@ -82,7 +96,14 @@ object ReferenceDir {
     val shingles = Pickle.readStringSetList(s"$dir/shingles.pkl").zipWithIndex
       .map { case (s, r) => (r.toLong, s.toSeq.sorted) }
       .toDF("row_idx", "shingles")
-    Loaded(docs, Npy.readLongShards(spark, dir), shingles,
-      Pickle.readStringMap(s"$dir/minhash_meta.pkl"))
+    // each member is addressed by its exact filename — sigs.npy is int64,
+    // hist_edges.npy float64, so neither reader may glob the whole dir
+    val edges =
+      if (new java.io.File(s"$dir/hist_edges.npy").exists())
+        Some(Npy.readDoubleShards(spark, s"$dir/hist_edges.npy")
+          .select(col("row_idx").as("dim"), col("vec").as("edges")))
+      else None
+    Loaded(docs, Npy.readLongShards(spark, s"$dir/sigs.npy"), shingles,
+      Pickle.readStringMap(s"$dir/minhash_meta.pkl"), edges)
   }
 }

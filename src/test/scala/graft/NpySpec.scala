@@ -25,6 +25,36 @@ class NpySpec extends SparkSpec {
     }
   }
 
+  test("reads numpy-written float64 shards (hist_edges.npy dtype)") {
+    val dir = getClass.getResource("/npy_fixture_f8").getPath
+    val got = Npy.readDoubleShards(spark, dir).orderBy("row_idx").collect()
+    assert(got.length == 7)
+    // values are row-major (i*3+c)*0.375 - 2.0 (exact in binary) split
+    // 4/3 across two shards
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) == i)
+      assert(r.getSeq[Double](1) ==
+        (0 until 3).map(c => (i * 3 + c).toDouble * 0.375 - 2.0), s"row $i")
+    }
+  }
+
+  test("saveDoubleShards roundtrips through the reader; single-file path reads too") {
+    val dir = java.nio.file.Files.createTempDirectory("npy_f8_rt").toString
+    val df = (0L until 9L).map(i => (i, (0 until 4).map(c => i * 0.5 - c * 0.25).toArray))
+      .toDF("dim", "edges")
+    Npy.saveDoubleShards(df, "dim", "edges", dir, shards = 2)
+    val back = Npy.readDoubleShards(spark, dir).orderBy("row_idx").collect()
+    assert(back.length == 9)
+    back.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getSeq[Double](1) == (0 until 4).map(c => i * 0.5 - c * 0.25))
+    }
+    // an explicit .npy file path (sigs.npy / hist_edges.npy style)
+    val one = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".npy"))
+      .sortBy(_.getName).head
+    val first = Npy.readDoubleShards(spark, one.getPath).orderBy("row_idx").collect()
+    assert(first.nonEmpty && first.length < 9)
+  }
+
   test("saveLongShards roundtrips through the reader and writes numpy v1 headers") {
     val dir = java.nio.file.Files.createTempDirectory("npy_rt").toString
     val df = (0L until 23L).map(i => (i, (0 until 5).map(c => i * 31 + c).toArray))

@@ -51,6 +51,30 @@ class ReferenceDirSpec extends SparkSpec {
     recomputed.zip(fromNpy).zipWithIndex.foreach { case ((a, b), i) =>
       assert(a == b, s"signature mismatch at row $i")
     }
+
+    // hist_edges.npy (numpy-written: np.histogram per sig dimension) ==
+    // Qed.histogramEdges over the same sigs — pins BOTH the uint64 ->
+    // float64 conversion (round-to-odd for the high half) and the
+    // linspace expression tree, bit-for-bit, 128 dims x 257 edges
+    val fileEdges = loaded.edges.get.orderBy("dim").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+    val engEdges = graft.core.Qed.histogramEdges(loaded.sigs, "sig", unsigned = true)
+      .orderBy("dim").collect()
+      .map(r => r.getInt(0).toLong -> r.getSeq[Double](1))
+    assert(fileEdges.length == 128 && fileEdges.forall(_._2.length == 257))
+    engEdges.zip(fileEdges).foreach { case ((d1, a), (d2, b)) =>
+      assert(d1 == d2)
+      assert(a == b, s"edge mismatch at dim $d1")
+    }
+  }
+
+  test("histogramEdges widens a degenerate dimension ±0.5 like np.histogram") {
+    import spark.implicits._
+    val df = Seq((0L, Seq(3.0, 1.0)), (1L, Seq(3.0, 2.0))).toDF("vec_id", "v")
+    val e = graft.core.Qed.histogramEdges(df, "v", nBins = 4)
+      .orderBy("dim").collect().map(_.getSeq[Double](1))
+    assert(e(0) == Seq(2.5, 2.75, 3.0, 3.25, 3.5)) // lo==hi -> [lo-.5, hi+.5]
+    assert(e(1) == Seq(1.0, 1.25, 1.5, 1.75, 2.0))
   }
 
   test("save → load round-trips engine-built frames") {

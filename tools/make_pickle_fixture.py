@@ -60,5 +60,25 @@ with open(f"{out2}/shingles.pkl", "wb") as f:
 with open(f"{out2}/minhash_meta.pkl", "wb") as f:
     pickle.dump({"num_perm": 128, "k_shingle": 3, "by_word": True,
                  "seed": 42}, f)
+# hist_edges.npy: the QED service's startup artifact
+# (query_service.py:54-59) — np.histogram edges per sig dimension,
+# exactly as the reference's offline build_histograms (qed.py:18-36)
+# computes them. ReferenceDirSpec pins Qed.histogramEdges(unsigned=true)
+# bit-for-bit against this numpy-written file.
+n_bins = 256
+edges = np.zeros((sigs.shape[1], n_bins + 1), dtype=float)
+for d in range(sigs.shape[1]):
+    _, bin_edges = np.histogram(sigs[:, d], bins=n_bins)
+    edges[d, :] = bin_edges
+np.save(f"{out2}/hist_edges.npy", edges)
 print("wrote reference-executed refdir fixture to", out2,
-      "sigs", sigs.shape, sigs.dtype)
+      "sigs", sigs.shape, sigs.dtype, "edges", edges.shape, edges.dtype)
+
+# ---- float64 .npy shards for NpySpec's '<f8' reader test
+out3 = os.path.join(os.path.dirname(__file__),
+                    "../src/test/resources/npy_fixture_f8")
+os.makedirs(out3, exist_ok=True)
+vals = (np.arange(7 * 3, dtype=np.float64).reshape(7, 3) * 0.375 - 2.0)
+np.save(f"{out3}/shard_00000.npy", vals[:4])
+np.save(f"{out3}/shard_00001.npy", vals[4:])
+print("wrote f8 shard fixture to", out3)
