@@ -302,6 +302,31 @@ object QueryEngine {
     new QueryEngine(docs.sparkSession, sigs, index, lp, mp, release)
   }
 
+  /** Serve directly from the reference's own `data/` output directory
+    * ([[graft.sources.ReferenceDir]]): `sigs.npy` becomes the signature
+    * table (the reference's POSITIONAL row ids are the id space —
+    * benchmark_runner.py:175), `minhash_meta.pkl` restores the shingle
+    * space so `queryText`/`addDocuments` sign new text consistently, and
+    * the LSH build params default to the reference service's hardcoded
+    * startup settings (BANDS=32, MAX_BUCKET=5000 —
+    * query_service.py:112-114). A user holding the reference's actual
+    * artifacts serves `/query` from them with no conversion step. */
+  def fromReferenceDir(spark: SparkSession, dir: String,
+                       lp: Lsh.Params = Lsh.Params()): QueryEngine = {
+    val loaded = graft.sources.ReferenceDir.load(spark, dir)
+    val sigs = loaded.sigs
+      .select(col("row_idx").as("doc_id"), col("sig")).cache()
+    val mp = MinHashPipeline.Params(
+      kShingle = loaded.meta.get("k_shingle")
+        .map(_.asInstanceOf[Long].toInt).getOrElse(1),
+      byWord = loaded.meta.get("by_word")
+        .forall(_.asInstanceOf[Boolean]))
+    val fullLp = loaded.meta.get("num_perm")
+      .map(p => lp.copy(numPerm = p.asInstanceOf[Long].toInt)).getOrElse(lp)
+    val (postings, release) = Lsh.postingsWithScratch(sigs, "doc_id", "sig", fullLp)
+    new QueryEngine(spark, sigs, postings.cache(), fullLp, mp, release)
+  }
+
   /** Restore a saved index (restart-safe, unlike the reference's
     * memory-only worker state). Build params are read back from the
     * save-time `params` record so text signing and incremental growth

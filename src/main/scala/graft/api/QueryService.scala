@@ -27,9 +27,12 @@ import java.nio.charset.StandardCharsets
 object QueryService {
   private val mapper = new ObjectMapper()
 
-  /** Standalone entry: `runMain graft.api.QueryService <corpusParquet>
-    * [port]` — build + warm an index over (doc_id, text) and serve, the
-    * end-to-end demo of the reference's service (curl_query.sh). */
+  /** Standalone entry: `runMain graft.api.QueryService <corpus> [port]`
+    * — build + warm an index and serve, the end-to-end demo of the
+    * reference's service (curl_query.sh). `<corpus>` is either a parquet
+    * corpus of (doc_id, text) or the reference's own `data/` output
+    * directory (detected by `sigs.npy` — served via
+    * [[QueryEngine.fromReferenceDir]] with no conversion step). */
   def main(args: Array[String]): Unit = {
     val corpus = args(0)
     val port = if (args.length > 1) args(1).toInt else 8000
@@ -39,7 +42,10 @@ object QueryService {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val engine = QueryEngine.build(spark.read.parquet(corpus)).warmUp()
+    val engine =
+      (if (new java.io.File(s"$corpus/sigs.npy").exists())
+        QueryEngine.fromReferenceDir(spark, corpus)
+      else QueryEngine.build(spark.read.parquet(corpus))).warmUp()
     val server = serve(engine, port)
     println(s"[query-service] serving POST /query on port ${server.getAddress.getPort}")
     Thread.currentThread().join()

@@ -68,6 +68,23 @@ class ReferenceDirSpec extends SparkSpec {
     }
   }
 
+  test("an engine serves /query straight from the reference's artifacts") {
+    val engine = graft.api.QueryEngine.fromReferenceDir(spark, fixture).warmUp()
+    try {
+      assert(engine.mpParams.kShingle == 3 && engine.mpParams.byWord)
+      val q0 = ReferenceDir.load(spark, fixture).sigs
+        .orderBy("row_idx").head().getSeq[Long](1).toArray
+      val res = engine.query(q0, k = 3)
+      assert(res.head.id == 0L && res.head.score == 1.0)
+      // raw text through the meta-restored shingle space signs with the
+      // same ref-family kernel the fixture's sigs.npy was built with, so
+      // it lands on its own doc with estimated Jaccard 1.0
+      val resT = engine.queryText(
+        "hello world of shingles and minhash signatures", k = 3)
+      assert(resT.head.id == 0L && resT.head.score == 1.0)
+    } finally engine.close()
+  }
+
   test("histogramEdges widens a degenerate dimension ±0.5 like np.histogram") {
     import spark.implicits._
     val df = Seq((0L, Seq(3.0, 1.0)), (1L, Seq(3.0, 2.0))).toDF("vec_id", "v")
