@@ -417,6 +417,35 @@ object Kernels {
     true
   }
 
+  /** Reference-faithful QED bin test (point_passes_bins, qed.py:54-63):
+    * per-dim bin via np.searchsorted(edges[d], x, side='right') - 1 over
+    * the REAL histogram edge matrix — including the quirk the arithmetic
+    * variant above deliberately avoids (a point equal to the per-dim max
+    * lands in bin nBins and is excluded). `edges` is the (D, nBins+1)
+    * matrix flattened row-major; `v` holds 64-bit signature components,
+    * converted to double exactly as numpy promotes them before
+    * comparing. Binary search: lo ends as the count of edges <= x, i.e.
+    * searchsorted side='right'. */
+  def passesBinsEdges(v: ArrayData, edges: Array[Double],
+                      wlo: Array[Int], whi: Array[Int], nBins: Int): Boolean = {
+    val d = wlo.length
+    var i = 0
+    while (i < d) {
+      val x = v.getLong(i).toDouble
+      val base = i * (nBins + 1)
+      var lo = 0
+      var hi = nBins + 1
+      while (lo < hi) {
+        val m = (lo + hi) >>> 1
+        if (edges(base + m) <= x) lo = m + 1 else hi = m
+      }
+      val b = lo - 1
+      if (b < wlo(i) || b > whi(i)) return false
+      i += 1
+    }
+    true
+  }
+
   /** Gopher-style repetition quality signals in ONE pass over the token
     * stream (public filtering rules from Rae et al. 2021 "Scaling Language
     * Models", App. A1.1): [n_tokens, distinct_token_ratio, top_token_frac,

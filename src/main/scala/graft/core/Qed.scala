@@ -113,4 +113,17 @@ object Qed {
         org.apache.spark.sql.graftbridge.Bridge.expression(vec),
         bounds.map(_._1), bounds.map(_._2),
         windows.map(_._1), windows.map(_._2), nBins))
+
+  /** Reference-faithful variant of [[passesBins]] over the REAL edge
+    * matrix (searchsorted bins — point_passes_bins, qed.py:54-63,
+    * including its max-value-excluded quirk): the predicate the
+    * reference's `/query` scatter-gather applies on workers. `edges` is
+    * the collected (D, nBins+1) matrix, broadcast into the codegen
+    * kernel like the reference ships `edges` to every worker. */
+  def passesBinsEdges(vec: Column, edges: Array[Array[Double]],
+                      windows: Array[(Int, Int)], nBins: Int = 256): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.QedEdgeFilter(
+        org.apache.spark.sql.graftbridge.Bridge.expression(vec),
+        edges.flatten, windows.map(_._1), windows.map(_._2), nBins))
 }

@@ -238,6 +238,29 @@ case class QedBinFilter(child: Expression, lo: Array[Double], hi: Array[Double],
   override def prettyName: String = "qed_bin_filter"
 }
 
+/** array<long> signature -> boolean: reference-faithful QED bin-window
+  * predicate over the real histogram edge matrix (searchsorted bins —
+  * Kernels.passesBinsEdges; point_passes_bins, qed.py:54-63). `edges`
+  * is (D, nBins+1) flattened row-major. */
+case class QedEdgeFilter(child: Expression, edges: Array[Double],
+                         wlo: Array[Int], whi: Array[Int], nBins: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    graft.core.Kernels.passesBinsEdges(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], edges, wlo, whi, nBins)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val eRef = ctx.addReferenceObj("qedEdges", edges, "double[]")
+    val wloRef = ctx.addReferenceObj("qedEWlo", wlo, "int[]")
+    val whiRef = ctx.addReferenceObj("qedEWhi", whi, "int[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.core.Kernels.passesBinsEdges($c, $eRef, $wloRef, $whiRef, $nBins)")
+  }
+  override protected def withNewChildInternal(c: Expression): QedEdgeFilter = copy(child = c)
+  override def prettyName: String = "qed_edge_filter"
+}
+
 /** string -> array<double>(4): one-pass Gopher-style repetition quality
   * signals [n_tokens, distinct_token_ratio, top_token_frac,
   * top_bigram_frac] — Kernels.repetitionStats. */

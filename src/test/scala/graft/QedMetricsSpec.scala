@@ -26,6 +26,20 @@ class QedMetricsSpec extends SparkSpec {
     assert(Qed.queryDependentBins(Array(1.0), dup).head == (1, 3))
   }
 
+  test("passesBinsEdges is searchsorted-faithful, incl. the max-value exclusion quirk") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val edges = Array(0.0, 1.0, 2.0, 3.0, 4.0) // one dim, 4 bins
+    def passes(v: Long, wlo: Int, whi: Int): Boolean =
+      graft.core.Kernels.passesBinsEdges(
+        new GenericArrayData(Array[Any](v)), edges, Array(wlo), Array(whi), 4)
+    assert(passes(0L, 0, 3))   // == first edge -> bin 0
+    assert(passes(3L, 3, 3))   // == inner edge -> right side -> bin 3
+    assert(!passes(3L, 0, 2))
+    // the reference's quirk (point_passes_bins, qed.py:59): a point equal
+    // to the per-dim max lands in bin nBins and NO window can include it
+    assert(!passes(4L, 0, 3))
+  }
+
   test("histogram counts sum to N per dimension and respect np-style last bin") {
     val df = Seq((0L, Seq(0.0f, 1.0f)), (1L, Seq(0.5f, 1.0f)), (2L, Seq(1.0f, 1.0f)))
       .toDF("vec_id", "embedding")
