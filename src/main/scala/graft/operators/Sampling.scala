@@ -112,6 +112,55 @@ object Sampling {
         col("hit.id").as(idCol))
   }
 
+  /** Temperature-flattened domain mixing — the multilingual/multi-domain
+    * sampling primitive of large-corpus pipelines (sample each domain
+    * ∝ n^alpha with alpha < 1, so dominant domains are down-weighted and
+    * the tail is up-weighted). Each group's document quota is
+    * floor(docsPerSqrtDoc * sqrt(n_g)) — alpha = 0.5 hardwired because
+    * sqrt is IEEE-correctly-rounded in every engine (unlike pow/log), so
+    * quotas are cross-engine exact — and the quota is filled
+    * deterministically by smallest stable id hash (52-bit md5 prefix),
+    * ties by id: membership is a pure function of (id, group, n_g),
+    * reproducible across runs, partitionings, and engines.
+    *
+    * Output: (idCol, groupCol, n_docs, quota, rank, selected).
+    *
+    * Scale shape: quotas come from a group-sized count aggregate that
+    * broadcasts back; the within-group hash rank uses the [[budgetSample]]
+    * two-phase trick — 1024 coarse hash buckets (the top 10 bits of the
+    * 52-bit hash, monotone in hash order) give per-(group, bucket) counts
+    * whose running totals are a window over a GROUPS x 1024-row aggregate,
+    * and the per-doc rank is bucket-prefix + row_number over (group,
+    * bucket) — so no whole-group single-task sort ever forms. */
+  def temperatureMix(df: DataFrame, groupCol: String, docsPerSqrtDoc: Double,
+                     idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hash52 = conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
+      .cast("decimal(38,0)").cast("long")
+    val quotas = df.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("quota",
+        floor(lit(docsPerSqrtDoc) * sqrt(col("n_docs").cast("double"))).cast("long"))
+      .withColumnRenamed(groupCol, "_qg")
+    val bucketed = df.select(col(idCol), col(groupCol), hash52.as("_h"))
+      .withColumn("_bucket", shiftright(col("_h"), 42)) // top 10 of 52 bits
+    val wb = Window.partitionBy(groupCol).orderBy("_bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val before = bucketed.groupBy(groupCol, "_bucket").agg(count(lit(1)).as("_c"))
+      .withColumn("_before", coalesce(sum(col("_c")).over(wb), lit(0L)))
+      .drop("_c")
+      .withColumnRenamed(groupCol, "_bg").withColumnRenamed("_bucket", "_bb")
+    // null-safe joins: a null group is a legal partition and must not drop
+    val ww = Window.partitionBy(col(groupCol), col("_bucket"))
+      .orderBy(col("_h"), col(idCol))
+    bucketed
+      .join(before, col(groupCol) <=> col("_bg") && col("_bucket") <=> col("_bb"))
+      .withColumn("rank", col("_before") + row_number().over(ww).cast("long"))
+      .join(quotas, col(groupCol) <=> col("_qg"))
+      .select(col(idCol), col(groupCol), col("n_docs"), col("quota"),
+        col("rank"), (col("rank") <= col("quota")).as("selected"))
+  }
+
   /** Quality-ranked selection under a per-group token budget — the "data
     * mixing" primitive: within each group (language, domain, source),
     * take documents in (score desc, id) order until the group's token

@@ -169,6 +169,56 @@ object TextAnalysis {
           .as("tfidf"))
   }
 
+  /** Bigram-LM document fluency score — the CCNet / Wenzek et al. 2020
+    * perplexity-filter shape with an exact-integer cross-entropy proxy.
+    * The corpus's own bigram counts are the language model, and each
+    * bigram occurrence (w1, w2) costs
+    *   bits(w1, w2) = bitlen(count(w1, *)) − bitlen(count(w1, w2))
+    * where bitlen(x) = number of binary digits of x. That is an integer
+    * proxy of −log2 P(w2 | w1) accurate to within 1 bit per term, and it
+    * is EXACT integer arithmetic — bit-identical cross-engine, where a
+    * libm log2 would not be (the oracle contract bans transcendentals).
+    * Ranking by bits_per_bigram reads like perplexity ranking: fluent
+    * high-probability bigram chains cost few bits, rare or garbled ones
+    * cost many. Output: (idCol, n_bigrams, h_bits, bits_per_bigram);
+    * docs with fewer than 2 tokens score (0, 0, 0.0).
+    *
+    * Scale shape: bigram extraction is a pure array projection + explode
+    * (no shuffle); the per-doc bigram TF, bigram LM, and left-context LM
+    * are three hash aggregations with map-side combine; scoring joins the
+    * corpus-sized TF to the vocabulary-bounded LM tables by term key (a
+    * shuffle hash join — the LM side is bounded by vocabulary size, never
+    * corpus size); the per-doc total is one more hash agg. No windows, no
+    * driver-side iteration. */
+  def lmScore(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val t = toks(col(textCol))
+    val n = size(t)
+    // get() is 0-based and null-safe out of bounds (no ANSI error); the
+    // n >= 2 guard keeps sequence() ascending and explode() drops the
+    // null arrays of short docs
+    val bg = docs.select(col(idCol), explode(
+        when(n >= 2, transform(sequence(lit(0), n - 2),
+          i => struct(get(t, i).as("w1"), get(t, i + 1).as("w2"))))).as("p"))
+      .select(col(idCol), col("p.w1"), col("p.w2"))
+    val tf = bg.groupBy(idCol, "w1", "w2").agg(count(lit(1)).as("tf"))
+    val bigLm = tf.groupBy("w1", "w2").agg(sum("tf").as("c2"))
+    // conditional denominator: occurrences of w1 as a bigram left context
+    val uniLm = bigLm.groupBy("w1").agg(sum("c2").as("c1"))
+    val perDoc = tf.join(bigLm, Seq("w1", "w2")).join(uniLm, Seq("w1"))
+      .groupBy(idCol)
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum((length(bin(col("c1"))) - length(bin(col("c2")))).cast("long") * col("tf"))
+          .as("h_bits"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("h_bits"), lit(0L)).as("h_bits"))
+      .withColumn("bits_per_bigram",
+        when(col("n_bigrams") === 0, lit(0.0))
+          .otherwise(col("h_bits").cast("double") / col("n_bigrams").cast("double")))
+  }
+
   /** Exact Okapi BM25 per (doc, term) in the log-free idf-ratio form:
     * idf_ratio = (N - df + 0.5) / (df + 0.5)   [monotone in the usual
     * log idf — same ranking per term, but one IEEE divide instead of a

@@ -126,6 +126,70 @@ class TextAnalysisSpec extends SparkSpec {
     assert(kept1 == expect1)
   }
 
+  test("temperature mix: two-phase rank equals the single-window form, tail up-weighted") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // dominant group (400 docs) and tail group (25 docs)
+    val docs = ((0L until 400L).map(i => (i, "big")) ++
+      (400L until 425L).map(i => (i, "small"))).toDF("doc_id", "grp")
+    val got = graft.operators.Sampling
+      .temperatureMix(docs, "grp", docsPerSqrtDoc = 2.0)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))))
+      .toMap
+    // naive single-window reference: rank by (md5-52-bit prefix, id)
+    def h(id: Long): BigInt = BigInt(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13), 16)
+    val w = Window.partitionBy("grp").orderBy(
+      org.apache.spark.sql.functions.conv(
+        substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+        .cast("decimal(38,0)"), col("doc_id"))
+    val want = docs
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).map {
+        case (id, g, rank) =>
+          val n = if (g == "big") 400L else 25L
+          val quota = math.floor(2.0 * math.sqrt(n.toDouble)).toLong
+          id -> ((n, quota, rank, rank <= quota))
+      }.toMap
+    assert(got == want)
+    // quotas: floor(2*sqrt(400)) = 40 of 400 (10%); floor(2*sqrt(25)) = 10
+    // of 25 (40%) — the tail is up-weighted, both quotas bind
+    assert(got.count { case (_, (_, _, _, sel)) => sel } == 50)
+    val kept = got.values.groupBy(_._1).map { case (n, vs) => n -> vs.count(_._4) }
+    assert(kept(400L) == 40 && kept(25L) == 10)
+    // membership is the hash-minimal subset of each group
+    val keptBig = got.collect { case (id, (400L, _, _, true)) => id }.toSet
+    assert(keptBig == (0L until 400L).sortBy(id => (h(id), id)).take(40).toSet)
+  }
+
+  test("LM score: bitlen cross-entropy matches hand-computed bigram counts") {
+    import spark.implicits._
+    // bigrams — doc0: (a,b)x2, (b,a); doc1: (a,c); doc2: none (1 token)
+    // LM: c2(a,b)=2, c2(b,a)=1, c2(a,c)=1; c1(a)=3, c1(b)=1
+    // bits: (a,b) = bitlen(3)-bitlen(2) = 0; (b,a) = 0; (a,c) = 2-1 = 1
+    val docs = Seq(
+      (0L, "a b a b"),
+      (1L, "a c"),
+      (2L, "x")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.lmScore(docs).orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    assert(r(0) == ((0L, 3L, 0L, 0.0)))   // fluent: repeated bigrams cost 0
+    assert(r(1) == ((1L, 1L, 1L, 1.0)))   // rarer continuation costs bits
+    assert(r(2) == ((2L, 0L, 0L, 0.0)))   // no bigrams
+  }
+
+  test("LM score plan: hash aggregations only — no window, no cartesian product") {
+    val docs = spark.read.parquet(s"$testDataDir/documents.parquet")
+    val p = TextAnalysis.lmScore(docs).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("budget sample: two-phase prefix equals the single-window form, budget binds exactly") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
