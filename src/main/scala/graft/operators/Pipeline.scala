@@ -10,6 +10,10 @@ import org.apache.spark.sql.functions._
   * of stage flags.
   *
   * Stages (all existing operators, composed unchanged):
+  *   0. ingest id-collapse — duplicate doc_ids (re-crawls, shard
+  *                           overlaps) keep the lexicographically
+  *                           smallest (text, lang) row, so every later
+  *                           stage sees ids as identities (one hash agg)
   *   1. holdout split      — [[Sampling.split]] (stable id-hash 90/5/5);
   *                           the pipeline prepares the train split, the
   *                           test split is the decontamination target
@@ -42,8 +46,12 @@ object Pipeline {
 
   def prepareCorpus(docs: DataFrame, docsPerSqrtDoc: Double = 2.0,
                     hammingBudget: Int = 3, w: Int = 8): DataFrame = {
-    val withSplit = docs.join(
-      Sampling.split(docs).select("doc_id", "split"), "doc_id")
+    // stage 0: ingest id-collapse (struct min = lexicographic (text, lang))
+    val uniq = docs.groupBy("doc_id")
+      .agg(min(struct(col("text"), col("lang"))).as("_s"))
+      .select(col("doc_id"), col("_s.text").as("text"), col("_s.lang").as("lang"))
+    val withSplit = uniq.join(
+      Sampling.split(uniq).select("doc_id", "split"), "doc_id")
     val base = withSplit.filter(col("split") === "train")
       .select("doc_id", "lang", "text")
     val testDocs = withSplit.filter(col("split") === "test")

@@ -66,4 +66,23 @@ class PipelineSpec extends SparkSpec {
     assert(out(dupB) == ((true, false)))  // its exact duplicate is dropped
     assert(out.count(!_._2._2) >= 1)
   }
+
+  test("corpus prep: duplicate ingest ids collapse to the lexicographic-min row") {
+    import spark.implicits._
+    def fluent(seed: Long) = (0 until 20).map(j => s"w${(seed * 13 + j * 3) % 503}q$j")
+      .mkString(" ")
+    val docs = ((0L until 120L).map(id => (id, "en", fluent(id))) ++
+      Seq((7L, "en", fluent(7).replace("q0", "q9")),  // dup id, different text
+        (7L, "de", fluent(7))))                       // dup id AND dup text, other lang
+      .toDF("doc_id", "lang", "text")
+    val out = Pipeline.prepareCorpus(docs).collect()
+    // exactly one output row per distinct train id — no join fan-out
+    val ids = out.map(_.getLong(0))
+    assert(ids.distinct.length == ids.length)
+    // id 7's survivor is the minimum (text, lang) row
+    val rows7 = Seq(("en", fluent(7)), ("de", fluent(7)),
+      ("en", fluent(7).replace("q0", "q9")))
+    val wantLang = rows7.map { case (l, t) => (t, l) }.min._2
+    out.find(_.getLong(0) == 7L).foreach(r => assert(r.getString(1) == wantLang))
+  }
 }
