@@ -134,6 +134,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("temperature mix: corpus rank window partitions (group, bucket); quotas broadcast") {
+    val docs = spark.read.parquet(s"$testDataDir/documents.parquet")
+      .select("doc_id", "lang")
+    val p = plan(graft.operators.Sampling.temperatureMix(docs, "lang", 3.0))
+    // the per-doc row_number window must carry the hash-bucket key — a
+    // whole-language corpus sort must never form (the u06 two-phase rule)
+    val rn = p.indexOf("row_number()")
+    assert(rn >= 0, p.take(3000))
+    val spec = p.substring(rn, math.min(p.length, rn + 300))
+    assert(spec.contains("_bucket"), spec)
+    // the group-sized quota and bucket-prefix tables broadcast back
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("embedding near-dup plans without a distinct exchange over scored pairs") {
     import graft.operators.Dedup
     val embs = spark.read.parquet(s"$testDataDir/embeddings.parquet")
