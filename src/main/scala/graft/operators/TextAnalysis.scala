@@ -169,6 +169,26 @@ object TextAnalysis {
           .as("tfidf"))
   }
 
+  /** The corpus card as a streaming-safe single pass (no self-join): one
+    * projection computing every per-row signal, then one hash aggregation
+    * per (lang, source). All counters are integers, so the card is
+    * cross-engine exact and — because sums and counts are commutative —
+    * micro-batch-split-insensitive: the SAME operator maintains the card
+    * over a stream in Complete output mode (the s13 gate) and equals the
+    * one-shot batch oracle. Exact distinct-text counting is deliberately
+    * absent here (not streamable in one bounded pass — that is what the
+    * HLL sketch family is for; the batch t11 card carries it). */
+  def corpusCard(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("lang"), col("source"),
+        langId(col(textCol)).as("lang_pred"),
+        qualityScore(col(textCol)).as("quality"),
+        tokenCount(col(textCol)).cast("long").as("n_toks"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("sum_tokens"),
+        sum(when(col("quality") >= 0.5, 1L).otherwise(0L)).as("n_quality_pass"),
+        sum(when(col("lang_pred") === col("lang"), 1L).otherwise(0L)).as("n_lang_id_match"))
+
   /** Bigram-LM document fluency score — the CCNet / Wenzek et al. 2020
     * perplexity-filter shape with an exact-integer cross-entropy proxy.
     * The corpus's own bigram counts are the language model, and each
