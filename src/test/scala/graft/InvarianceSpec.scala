@@ -21,7 +21,11 @@ class InvarianceSpec extends SparkSpec {
       "a01_cosine_topk", "o26_metrics_summary", "s03_skew_agg",
       // round-4 surfaces: window as-of, banded range join, sequence
       // packing (partitioned window), packed-code ADC ranking
-      "j01_asof_join", "j02_range_join", "u03_pack_sequences", "a12_pq_topk")
+      "j01_asof_join", "j02_range_join", "u03_pack_sequences", "a12_pq_topk",
+      // round-10 surfaces: hash-rank quotas, integer LM bits, the card
+      // (p01 is excluded only because its result caches per (session,
+      // dir) — the second collect would read the cache, not re-plan)
+      "u07_temperature_mix", "t10_lm_quality", "t11_corpus_card")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       spark.conf.set("spark.sql.shuffle.partitions", "4")
