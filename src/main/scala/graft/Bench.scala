@@ -45,7 +45,8 @@ object Bench {
     // in a fresh JVM, before the catalog pass fills the heap with cached
     // plans/broadcasts whose GC pressure would tax them (observed 2-3x
     // on the batch-1000 probe when run last)
-    val (probeMetrics, probeSamples, degradedProbes) = computeProbeMetrics(spark)
+    val (probeMetrics, probeSamples, degradedProbes, contendedSections) =
+      computeProbeMetrics(spark)
     // warmup: build caches + codegen
     if (!probesOnly) SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
@@ -76,27 +77,52 @@ object Bench {
       (if (results.nonEmpty) Map("catalog_total_sec" -> total) else Map.empty)
     val (ratios, regressions, prevArtifact) = ratiosVsPrev(curForRatios)
     // STDOUT gets a COMPACT line: the driver's capture keeps only the last
-    // ~3 KB of output, and three rounds running the full line (77 catalog
-    // entries + samples) overflowed that window, leaving parsed:null in
-    // BENCH_r{4,5,6}.json. The headline reference-comparable probes (the
-    // judged numbers) plus the catalog total fit with room to spare; the
-    // complete result — catalog per-query times and every probe sample —
-    // goes to target/bench_result.json, the artifact of record.
+    // ~2 KB of output. Three rounds running the full line (77 catalog
+    // entries + samples) overflowed that window, and round 10's "probe
+    // metrics only" line (~2.3 KB once the 4M decade landed) overflowed it
+    // AGAIN, leaving parsed:null in BENCH_r{4,5,6,10}.json. The compact
+    // line now carries ONLY the judged headline: the reference-comparable
+    // 20k-scale probes (the BASELINE.md rows), the catalog total, and the
+    // health flags — budgeted at <= 1.5 KB and asserted by the post-write
+    // self-check below. Every other probe (the 200k/1M/4M decades, vec
+    // builds, samples, ratios) lives in target/bench_result.json, the
+    // artifact of record.
     def jarr(ss: Seq[String]): String = ss.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val headline = Seq(
+      "x_index_build_sec_20kdocs",
+      "x_lsh_single_query_avg_sec_20kdocs",
+      "x_lsh_batch100_queries_sec_20kdocs",
+      "x_lsh_batch1000_queries_sec_20kdocs",
+      "x_brute_batch100_queries_sec_20kdocs",
+      "x_lsh_bucketed_batch100_sec_20kdocs",
+      "x_vec_build_sec_20kvecs",
+      "x_vec_exact_batch100_sec_20kvecs",
+      "x_vec_ivfpq_batch100_sec_20kvecs")
     val shortLine = jmap(Seq(
       "metric" -> "\"total\"", "value" -> f6(total), "unit" -> "\"sec\"",
-      "queries" -> jmap((probeMetrics ++ Map("catalog_total_sec" -> total))
-        .map { case (k, v) => k -> f6(v) }),
+      "queries" -> jmap(
+        (headline.flatMap(k => probeMetrics.get(k).map(k -> _)) ++
+          Seq("catalog_total_sec" -> total))
+          .map { case (k, v) => k -> f6(v) }),
       "sf" -> ("\"" + sfDir + "\""),
       // the >=3x flag list rides in the compact line (usually empty) so a
       // regression is visible in BENCH_r{N} itself, not only the detail file
-      "regressions_3x" -> jarr(regressions),
+      // flag lists are size-capped in the compact line (counts stay exact;
+      // full lists live in the detail file) so a pathological run can't
+      // push the line back over the tail budget it exists to respect
+      "regressions_3x_n" -> regressions.size.toString,
+      "regressions_3x" -> jarr(regressions.take(8)),
       // self-describing contention refusal (round 9): probes whose sample
       // spread never settled under 3x across retry batches — a non-empty
       // list means the medians above are NOT trustworthy and the run
       // should be repeated on a quiet box before being judged
       "degraded" -> (if (degradedProbes.nonEmpty) "true" else "false"),
-      "degraded_probes" -> jarr(degradedProbes),
+      "degraded_probes" -> jarr(degradedProbes.take(8)),
+      // sections whose boundary contention canary drifted >= 2x off the
+      // run's baseline (round 10's 1M window read 1.5-2.9x its quiet-box
+      // twins with no flag anywhere) — probes inside a listed section are
+      // suspect and the quiet-box twin artifact is the number of record
+      "contended_sections" -> jarr(contendedSections.take(8)),
       "detail" -> "\"target/bench_result.json\""))
     val fullLine = jmap(Seq(
       "metric" -> "\"total\"", "value" -> f6(total), "unit" -> "\"sec\"",
@@ -108,23 +134,39 @@ object Bench {
       "regressions_3x" -> jarr(regressions),
       "degraded" -> (if (degradedProbes.nonEmpty) "true" else "false"),
       "degraded_probes" -> jarr(degradedProbes),
+      "contended_sections" -> jarr(contendedSections),
       // every timed probe sample (not just the reported median):
       // round-over-round diffs can then separate box noise (spread across
       // samples) from a plan regression (all samples moved) without a rerun
       "samples" -> jmap(probeSamples.map { case (k, vs) =>
         k -> vs.map(f6).mkString("[", ",", "]")
       })))
-    println(shortLine)
-    System.out.flush()
+    // detail file FIRST, compact stdout line LAST: the driver's capture
+    // keeps the tail of stdout, so nothing may print after the line
+    var selfCheckError: Option[String] = None
     try {
       val out = java.nio.file.Paths.get("target", "bench_result.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out,
         (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // post-write self-check (round 11): re-READ the detail file and
+      // validate both emitted artifacts — r9 lost CORRECTNESS and r10
+      // lost BENCH to silent emit-time failures; a broken artifact must
+      // turn the run red, not record a hole
+      val written = new String(java.nio.file.Files.readAllBytes(out),
+        java.nio.charset.StandardCharsets.UTF_8)
+      selfCheckError =
+        ArtifactSelfCheck.checkBench(shortLine, written, probeMetrics.size)
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write target/bench_result.json: $e")
+      selfCheckError = Some(s"could not write/re-read target/bench_result.json: $e")
     }
+    println(shortLine)
+    System.out.flush()
     spark.stop()
+    selfCheckError.foreach { msg =>
+      System.err.println(s"[bench] ARTIFACT SELF-CHECK FAILED: $msg")
+      sys.exit(2)
+    }
   }
 
   /** Per-probe current/previous ratios against the newest committed
@@ -162,14 +204,45 @@ object Bench {
     * relative result is brute-vs-LSH shape — results_synthetic.csv).
     * Returns (median metrics, all timed samples per probe). */
   def computeProbeMetrics(spark: SparkSession)
-      : (Map[String, Double], Map[String, Seq[Double]], Seq[String]) = {
+      : (Map[String, Double], Map[String, Seq[Double]], Seq[String], Seq[String]) = {
     val samples = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val degraded = scala.collection.mutable.LinkedHashSet.empty[String]
+    // Cross-section contention canary (round 10's committed artifact
+    // carried a 1M section whose probes read 1.5-2.9x their quiet-box
+    // twins — certifiedMedian refuses WITHIN-probe spread but cannot see
+    // uniform cross-section box load). A fixed, cache-free, pure-CPU job
+    // (64M-row xxhash fold — no I/O, no caches, no skew) runs at every
+    // scale-section boundary; a boundary whose canary reads >= 2x the
+    // run's baseline marks the adjacent sections contended, and the
+    // section list rides the compact stdout line so a poisoned window is
+    // visible in BENCH_r{N} itself.
+    def canaryOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(1L << 26).selectExpr("sum(xxhash64(id)) AS h").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val contended = scala.collection.mutable.LinkedHashSet.empty[String]
+    var canaryBase = Double.NaN
+    var prevBoundaryHot = false
+    def canaryAt(boundary: String): Unit = {
+      val c = canaryOnce()
+      samples(s"canary_$boundary") = Seq(c)
+      val hot = !canaryBase.isNaN && c / canaryBase >= 2.0
+      // a section is contended when EITHER of its boundary canaries ran
+      // hot — load at the start poisons early probes, load at the end
+      // poisons late ones; two point samples bound the window honestly
+      if (hot || prevBoundaryHot) contended += boundary
+      prevBoundaryHot = hot
+    }
     // scale-section boundary: drop cached plans AND give the ContextCleaner
     // a GC cycle so the previous section's dropped broadcasts/RDD blocks
     // are actually released — without it their weak refs survive into the
-    // next section and its probes pay the eviction/GC cost
-    def quiesce(): Unit = { spark.catalog.clearCache(); System.gc() }
+    // next section and its probes pay the eviction/GC cost; then sample
+    // the contention canary with the caches quiet
+    def quiesce(endedSection: String): Unit = {
+      spark.catalog.clearCache(); System.gc()
+      canaryAt(endedSection)
+    }
     try {
       import graft.api.QueryEngine
       import graft.sources.SyntheticCorpus
@@ -178,6 +251,11 @@ object Bench {
       // against every cached plan, and the big cached pipelines add
       // planning latency to the small probes
       spark.catalog.clearCache()
+      // canary baseline: median of 3 on the fresh, quiet JVM (the first
+      // sample also JIT-warms the canary plan so boundary samples compare
+      // steady-state against steady-state)
+      canaryBase = { val cs = Seq(canaryOnce(), canaryOnce(), canaryOnce()).sorted; cs(1) }
+      samples("canary_baseline") = Seq(canaryBase)
       // index-build throughput: raw docs -> signatures -> postings ->
       // warmed caches + bucket stats, end to end (the reference's offline
       // build_local_lsh_init step; FAISS's baseline row pays its build
@@ -310,7 +388,7 @@ object Bench {
       }
       val bucketed100At20k = bucketedBatch(eng, "graft_bench_bucketed_20k",
         "x_lsh_bucketed_batch100_sec_20kdocs")
-      quiesce()
+      quiesce("20kdocs")
       val tB2 = System.nanoTime()
       val eng200 = QueryEngine.build(
         SyntheticCorpus.docs(spark, 200000),
@@ -365,7 +443,7 @@ object Bench {
       // was hiding under fixed overhead (e.g. the cached-index scan term
       // in LSH batch growth). Probes must stay ~flat; builds ~linear.
       eng200.close(); veng200.close()
-      quiesce()
+      quiesce("200kdocs")
       val tB3 = System.nanoTime()
       val eng1m = QueryEngine.build(
         SyntheticCorpus.docs(spark, 1000000),
@@ -389,7 +467,7 @@ object Bench {
       val singleAvg1m = singleProbeAvg("x_lsh_single_query_avg_sec_1mdocs")(() =>
         (5L until 25L).foreach(i => eng1m.query(someSigs1m(i), 5)))
       eng1m.close()
-      quiesce()
+      quiesce("1mdocs")
       // ---- the 4M docs decade: fourth point of the flat-probe claim ----
       // The vectors side already measures 4M; the docs side stopped at 1M.
       // One more 4x step for the three probe paths whose cost must NOT
@@ -415,7 +493,7 @@ object Bench {
       val singleAvg4m = singleProbeAvg("x_lsh_single_query_avg_sec_4mdocs")(() =>
         (5L until 25L).foreach(i => eng4md.query(someSigs4m(i), 5)))
       eng4md.close()
-      quiesce()
+      quiesce("4mdocs")
       val tV3 = System.nanoTime()
       val veng1m = graft.api.VectorEngine.build(
         graft.sources.SyntheticCorpus.vectors(spark, 1000000)).warmUp()
@@ -435,7 +513,7 @@ object Bench {
       val vecExact1m = medianOf("x_vec_exact_batch100_sec_1mvecs")(() =>
         veng1m.topK(vq1m, k = 5, mode = "exact").count())
       veng1m.close()
-      quiesce()
+      quiesce("1mvecs")
       // the FAISS sizing lever: scored codes per IVF-PQ query are the
       // nprobe/nCents corpus fraction, so a fixed nCents=8 index scans
       // 37.5% of any corpus — flat probes at scale need nCents to grow
@@ -453,7 +531,7 @@ object Bench {
       val vecIvfpq1mC = medianOf("x_vec_ivfpq_batch100_sec_1mvecs_c64", minSamples = 5)(() =>
         veng1mC.topK(vq1mC, k = 5, mode = "ivfpq").count())
       veng1mC.close()
-      quiesce()
+      quiesce("1mvecs_c64")
       // ---- the 4M decade: the compressed-path crossover evidence ----
       // The engine's own 100 TB default is ivfpq/ivfpq_rerank, yet through
       // 1M the EXACT scan won every measured scale — fixed plan overhead
@@ -478,7 +556,7 @@ object Bench {
       val vecRerank4m = medianOf("x_vec_ivfpq_rerank_batch100_sec_4mvecs")(() =>
         veng4m.topK(vq4m, k = 5, mode = "ivfpq_rerank").count())
       veng4m.close()
-      quiesce()
+      quiesce("4mvecs")
       val tV6 = System.nanoTime()
       val veng4mC = graft.api.VectorEngine.build(
         graft.sources.SyntheticCorpus.vectors(spark, 4000000), nCents = 64).warmUp()
@@ -493,7 +571,7 @@ object Bench {
       // follows must not pay CacheManager plan-compares and memory
       // pressure against them (mirror of the clearCache() on entry)
       veng4mC.close()
-      quiesce()
+      quiesce("4mvecs_c64")
       (Map(
         "x_index_build_sec_20kdocs" -> buildSec,
         "x_lsh_single_query_avg_sec_20kdocs" -> singleAvg,
@@ -535,12 +613,12 @@ object Bench {
         "x_vec_build_sec_4mvecs_c64" -> vecBuild4mC,
         "x_vec_ivfpq_batch100_sec_4mvecs_c64" -> vecIvfpq4mC,
         "x_vec_ivfpq_rerank_batch100_sec_4mvecs_c64" -> vecRerank4mC),
-        samples.toMap, degraded.toSeq)
+        samples.toMap, degraded.toSeq, contended.toSeq)
     } catch { case e: Throwable =>
       // never sink the whole bench line, but say WHY the probes vanished
       System.err.println(s"[bench] probe metrics failed: $e")
       e.printStackTrace()
-      (Map.empty[String, Double], samples.toMap, degraded.toSeq)
+      (Map.empty[String, Double], samples.toMap, degraded.toSeq, contended.toSeq)
     }
   }
 

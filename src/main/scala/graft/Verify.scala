@@ -27,12 +27,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val dumped = scala.collection.mutable.LinkedHashSet.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          dumped += name
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }
@@ -52,6 +55,29 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Post-write self-check (round 11): re-read what was just emitted and
+    // assert the full expected payload — every selected gate dumped a
+    // committed parquet AND carries its oracle entry in a parseable
+    // oracle_sql.json. Rounds 9/10 each lost a hard signal to a silent
+    // emit-time failure; a broken or partial dump must exit nonzero so
+    // the driver records a red run, not a quietly thin artifact.
+    val expected = SparkEntry.queries.keySet
+      .filter(name => only.forall(_.contains(name)))
+    val notDumped = expected.diff(dumped.toSet)
+    val written = Files.readString(Paths.get(s"$outDir/oracle_sql.json"))
+    val expectedOracles = SparkEntry.oracleSql.keySet
+      .filter(name => only.forall(_.contains(name)))
+    val err =
+      (if (notDumped.nonEmpty)
+        Some(s"${notDumped.size} gate(s) failed to dump: " +
+          notDumped.toSeq.sorted.take(5).mkString(", "))
+      else None)
+        .orElse(ArtifactSelfCheck.checkVerify(outDir, written,
+          dumped.toSet, expectedOracles))
     spark.stop()
+    err.foreach { msg =>
+      System.err.println(s"[verify] ARTIFACT SELF-CHECK FAILED: $msg")
+      sys.exit(2)
+    }
   }
 }

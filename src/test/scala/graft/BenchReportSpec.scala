@@ -97,6 +97,63 @@ class BenchReportSpec extends SparkSpec {
     assert(med == 1.1)          // median of all 9 samples
   }
 
+  // Artifact self-checks (round 11): rounds 9/10 each lost one hard
+  // driver signal to silent emit-time failures (empty CORRECTNESS,
+  // parsed:null BENCH) — these pin that the emitters' post-write checks
+  // actually trip on each observed failure class.
+  test("selfcheck: a valid compact line + detail file passes") {
+    val short = """{"metric":"total","value":1.0,"queries":{"x_a_sec":0.5},"degraded":false}"""
+    val detail = """{"queries":{"x_a_sec":0.5,"x_b_sec":1.25},"samples":{"x_a_sec":[0.5,0.6]}}"""
+    assert(ArtifactSelfCheck.checkBench(short, detail, expectedProbeKeys = 2).isEmpty)
+  }
+
+  test("selfcheck: truncated JSON (the r10 tail-overflow class) trips") {
+    val truncated = """{"metric":"total","queries":{"x_a_sec":0.5,"x_b"""
+    val err = ArtifactSelfCheck.checkBench(truncated, "{}", 0)
+    assert(err.isDefined && err.get.contains("not valid JSON"), err.toString)
+  }
+
+  test("selfcheck: an over-budget compact line trips BEFORE it can overflow the driver tail") {
+    val fat = "{\"queries\":{" +
+      (1 to 60).map(i => s""""x_probe_longish_name_number_$i":1.234567""").mkString(",") +
+      "}}"
+    assert(fat.length > ArtifactSelfCheck.ShortLineMaxBytes)
+    val err = ArtifactSelfCheck.checkBench(fat, "{}", 0)
+    assert(err.isDefined && err.get.contains("overflow"), err.toString)
+  }
+
+  test("selfcheck: a probe-less detail file trips (the probes-vanished class)") {
+    val err = ArtifactSelfCheck.checkBench("""{"ok":true}""",
+      """{"queries":{"q1_agg":0.2}}""", expectedProbeKeys = 3)
+    assert(err.isDefined && err.get.contains("probe keys"), err.toString)
+  }
+
+  test("selfcheck: jsonError accepts every JSON shape the emitters produce") {
+    assert(ArtifactSelfCheck.jsonError("""{"a":[1,2.5,-3e-2],"b":"x\n\"yA","c":null,"d":[],"e":{}}""").isEmpty)
+    assert(ArtifactSelfCheck.jsonError("""{"a":1}garbage""").isDefined)
+    assert(ArtifactSelfCheck.jsonError("""{"a":}""").isDefined)
+    assert(ArtifactSelfCheck.jsonError("""{"a":1,}""").isDefined)
+    assert(ArtifactSelfCheck.jsonError("{\"a\":\"\ttab\"}").isDefined) // raw control char
+  }
+
+  test("selfcheck: verify emitter check trips on a missing oracle and a missing parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-selfcheck").toString
+    new java.io.File(s"$dir/g1").mkdirs()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/g1/_SUCCESS"), "")
+    val oracle = """{"g1": "SELECT 1"}"""
+    assert(ArtifactSelfCheck.checkVerify(dir, oracle, Set("g1"), Set("g1")).isEmpty)
+    // oracle entry missing for g2
+    val e1 = ArtifactSelfCheck.checkVerify(dir, oracle, Set("g1"), Set("g1", "g2"))
+    assert(e1.isDefined && e1.get.contains("g2"), e1.toString)
+    // parquet _SUCCESS missing for g2
+    val e2 = ArtifactSelfCheck.checkVerify(dir, """{"g1":"SELECT 1","g2":"SELECT 2"}""",
+      Set("g1", "g2"), Set("g1", "g2"))
+    assert(e2.isDefined && e2.get.contains("no committed parquet"), e2.toString)
+    // unparseable oracle json
+    val e3 = ArtifactSelfCheck.checkVerify(dir, """{"g1": "SELECT""", Set("g1"), Set("g1"))
+    assert(e3.isDefined && e3.get.contains("not valid JSON"), e3.toString)
+  }
+
   test("ANN method family report: exact truth vs ivf vs pq vs ivfpq") {
     val embs = spark.read.parquet(s"$testDataDir/embeddings.parquet").cache()
     val eng = graft.api.VectorEngine.build(embs).warmUp()
