@@ -30,6 +30,40 @@ object Npy {
 
   private case class Header(descr: String, rows: Int, cols: Int, dataOffset: Int)
 
+  /** Per-shard headers, read DRIVER-SIDE via FileSystem.open + a 256-byte
+    * positioned read, keyed by shard filename in lexicographic order (the
+    * reference's implicit id-space order). Through round 10 this pass ran
+    * as a binaryFile scan + substring(content,1,256) + collect — the
+    * substring pruned what reached the driver, but every executor still
+    * materialized the FULL shard bytes to produce `content`: a complete
+    * extra read of the dataset before the real decode pass. The shard
+    * LISTING is driver-held work either way (the reference enumerates the
+    * same directory), so 256 bytes x shard-count of driver I/O replaces a
+    * full cluster pass — at 100 TB of shards, the difference between one
+    * read and two. */
+  private def headersByName(spark: SparkSession, path: String): Seq[(String, Header)] = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(hconf)
+    val statuses =
+      if (path.endsWith(".npy")) Seq(fs.getFileStatus(base))
+      else fs.listStatus(base).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".npy"))
+    statuses.sortBy(_.getPath.getName).map { st =>
+      val in = fs.open(st.getPath)
+      try {
+        val n = math.min(256L, st.getLen).toInt
+        val buf = new Array[Byte](n)
+        in.readFully(0L, buf, 0, n)
+        st.getPath.getName -> parseHeader(buf)
+      } finally in.close()
+    }
+  }
+
+  /** Filename key for the executor-side base lookup: binaryFile's `path`
+    * column is a URI string, the header map is keyed by shard filename. */
+  private def fileName(uri: String): String = uri.substring(uri.lastIndexOf('/') + 1)
+
   /** Parse a v1/v2 .npy header from the first bytes of the file. */
   private def parseHeader(bytes: Array[Byte]): Header = {
     require(bytes.length > 10 && Magic.indices.forall(i => bytes(i) == Magic(i)),
@@ -64,13 +98,9 @@ object Npy {
     import spark.implicits._
     val files = spark.read.format("binaryFile").load(npyGlob(path))
       .select("path", "content")
-    // global row-offset base per shard from the bounded headers: shard
-    // count is the driver-held unit of work either way (the reference
-    // enumerates the same listing), and only ~128 bytes per file are read
-    val heads = files.select(col("path"), substring(col("content"), 1, 256).as("head"))
-      .collect()
-      .map(r => r.getString(0) -> parseHeader(r.getAs[Array[Byte]](1)))
-      .sortBy(_._1)
+    // global row-offset base per shard from driver-side 256-byte header
+    // reads (one positioned read per shard — never a cluster pass)
+    val heads = headersByName(spark, path)
     val bases = heads.scanLeft(0L) { case (acc, (_, h)) => acc + h.rows }
     val baseOf = heads.map(_._1).zip(bases).toMap
     val baseB = spark.sparkContext.broadcast(baseOf)
@@ -80,7 +110,7 @@ object Npy {
         s"expected 64-bit integer shards, got ${h.descr}")
       val bb = ByteBuffer.wrap(content, h.dataOffset, h.rows * h.cols * 8)
         .order(ByteOrder.LITTLE_ENDIAN)
-      val base = baseB.value(p)
+      val base = baseB.value(fileName(p))
       (0 until h.rows).iterator.map { r =>
         val row = new Array[Long](h.cols)
         var c = 0
@@ -98,10 +128,7 @@ object Npy {
     import spark.implicits._
     val files = spark.read.format("binaryFile").load(npyGlob(path))
       .select("path", "content")
-    val heads = files.select(col("path"), substring(col("content"), 1, 256).as("head"))
-      .collect()
-      .map(r => r.getString(0) -> parseHeader(r.getAs[Array[Byte]](1)))
-      .sortBy(_._1)
+    val heads = headersByName(spark, path)
     val bases = heads.scanLeft(0L) { case (acc, (_, h)) => acc + h.rows }
     val baseOf = heads.map(_._1).zip(bases).toMap
     val baseB = spark.sparkContext.broadcast(baseOf)
@@ -109,7 +136,7 @@ object Npy {
       val h = parseHeader(content)
       require(h.descr == "<f8", s"expected float64 shards, got ${h.descr}")
       val bb = ByteBuffer.wrap(content).order(ByteOrder.LITTLE_ENDIAN)
-      val base = baseB.value(p)
+      val base = baseB.value(fileName(p))
       (0 until h.rows).iterator.map { r =>
         val row = new Array[Double](h.cols)
         var c = 0

@@ -38,6 +38,27 @@ class NpySpec extends SparkSpec {
     }
   }
 
+  test("reader header pass runs ZERO cluster jobs (one-pass read)") {
+    // through round 10 the header pass was a binaryFile scan +
+    // substring(content,1,256) + collect — every executor read the FULL
+    // shard bytes to produce `content`, a complete extra pass over the
+    // dataset before the real decode. Headers are now 256-byte positioned
+    // driver reads: constructing the reader DataFrame must launch no job.
+    val dir = getClass.getResource("/npy_fixture").getPath
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = Npy.readLongShards(spark, dir)
+      Thread.sleep(1000) // listener delivery is async; construction is done
+      assert(jobs.get() == 0, s"header pass launched ${jobs.get()} job(s)")
+      assert(df.count() == 7) // the single real pass still decodes everything
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("saveDoubleShards roundtrips through the reader; single-file path reads too") {
     val dir = java.nio.file.Files.createTempDirectory("npy_f8_rt").toString
     val df = (0L until 9L).map(i => (i, (0 until 4).map(c => i * 0.5 - c * 0.25).toArray))
