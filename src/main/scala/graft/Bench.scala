@@ -487,11 +487,30 @@ object Bench {
       val batch100At4m = medianOf("x_lsh_batch100_queries_sec_4mdocs")(() =>
         graft.core.Lsh.queryBatch(eng4md.sigs, eng4md.index, qDf4m(100), k = 5,
           maxCandidates = 2000).count())
+      // single-probe serving at 4M (two decades above the replica bound).
+      // Round 10 shipped ONE row here that silently mixed tiers: the
+      // untrimmed per-miss fetch thrashed the bounded probe cache, so
+      // every "hot" repeat was really a cold whole-index fetch
+      // (87-298 ms vs 4-6 ms at <=1M). With the cap-prefix-trimmed fetch
+      // the 20-probe working set fits residency and the hot row measures
+      // actual in-process serving; the COLD row (never-probed queries,
+      // one pass) pays its bucket fetches against the SAVED bucketed
+      // table — bucket-pruned I/O, the honest 100 TB cold tier — which
+      // serveFromBucketed wires as the miss path.
+      eng4md.serveFromBucketed("graft_bench_bucketed_4m")
       val someSigs4m = eng4md.sigs.filter(col("doc_id") < 30)
         .orderBy("doc_id").collect()
         .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
       val singleAvg4m = singleProbeAvg("x_lsh_single_query_avg_sec_4mdocs")(() =>
         (5L until 25L).foreach(i => eng4md.query(someSigs4m(i), 5)))
+      val coldSigs4m = eng4md.sigs
+        .filter(col("doc_id") >= 100 && col("doc_id") < 120)
+        .orderBy("doc_id").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+      val tCold4m = System.nanoTime()
+      coldSigs4m.keys.toSeq.sorted.foreach(i => eng4md.query(coldSigs4m(i), 5))
+      val singleCold4m = (System.nanoTime() - tCold4m) / 1e9 / 20.0
+      samples("x_lsh_single_query_cold_avg_sec_4mdocs") = Seq(singleCold4m)
       eng4md.close()
       quiesce("4mdocs")
       val tV3 = System.nanoTime()
@@ -600,6 +619,7 @@ object Bench {
         "x_lsh_bucketed_batch100_sec_4mdocs" -> bucketed100At4m,
         "x_lsh_batch100_queries_sec_4mdocs" -> batch100At4m,
         "x_lsh_single_query_avg_sec_4mdocs" -> singleAvg4m,
+        "x_lsh_single_query_cold_avg_sec_4mdocs" -> singleCold4m,
         "x_vec_build_sec_1mvecs" -> vecBuild1m,
         "x_vec_ivfpq_batch100_sec_1mvecs" -> vecIvfpq1m,
         "x_vec_ivfpq_rerank_batch100_sec_1mvecs" -> vecRerank1m,

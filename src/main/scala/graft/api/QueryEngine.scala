@@ -62,7 +62,7 @@ final class QueryEngine private (
           .map { case (id, score, prev) => Candidate(id, score, prev) }
       case None if maxCandidates > 0 =>
         Lsh.queryProbeCached(sigs, index, Lsh.queryKeysLocal(vector, params),
-          vector, k, maxCandidates)
+          vector, k, maxCandidates, bucketedServing)
           .map { case (id, score, prev) => Candidate(id, score, prev) }
       case None =>
         Lsh.querySignature(sigs, index, vector, k, params, maxCandidates)
@@ -230,6 +230,24 @@ final class QueryEngine private (
       .bucketBy(buckets, "key64")
       .sortBy("key64", "band")
       .saveAsTable(table)
+  }
+
+  // cold-tier fetch source for single-vector probes above the driver
+  // replica bound: when wired, a probe-cache MISS fetches its buckets
+  // from the saved key64-bucketed postings table (bucket pruning +
+  // sorted row-group skipping bound the I/O to the probe's own buckets)
+  // instead of scanning the whole cached index
+  @volatile private var bucketedServing: Option[DataFrame] = None
+
+  /** Serve cold single-probe bucket fetches from `table` (a postings
+    * table previously written by [[saveBucketed]]). Results are
+    * bit-identical to the cached-index fetch — the table holds the same
+    * capped postings — but a miss reads only the probe's buckets, the
+    * shape that holds when the index is 100 TB on disk and the cached
+    * whole-index scan is not an option. Returns this engine. */
+  def serveFromBucketed(table: String): QueryEngine = {
+    bucketedServing = Some(spark.table(table))
+    this
   }
 }
 

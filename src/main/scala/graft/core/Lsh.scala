@@ -404,9 +404,34 @@ object Lsh {
     * distributed). */
   def queryProbeCached(sigs: DataFrame, index: DataFrame,
                        qpRows: Array[(Int, Long, Long)], querySig: Array[Long],
-                       k: Int, maxCandidates: Int): Seq[(Long, Double, Seq[Long])] = {
+                       k: Int, maxCandidates: Int,
+                       fetchFrom: Option[DataFrame] = None): Seq[(Long, Double, Seq[Long])] = {
     require(maxCandidates > 0, "queryProbeCached requires a candidate cap")
     val pc = probeCacheFor(index)
+    // Bound the FETCH to the cap's band prefix when the driver stats map
+    // is warm (round 11): the fold below only ever consumes the smallest
+    // band prefix whose cumulative bucket sizes reach the cap — typically
+    // one or two bands on a skewed corpus — yet the miss fetch used to
+    // pull all 32 buckets. At 4M docs that untrimmed fetch (up to
+    // 32 x maxBucketSize postings per probe) both paid a wider fetch job
+    // and THRASHED the bounded cache: 20 rotating probes exceeded
+    // ProbeCacheMaxPostings, every repeat became a miss, and "hot" serving
+    // read 87-298 ms vs 4-6 ms at <=1M. The trim computes the same prefix
+    // the fold will take (identical cumulative rule over identical sizes —
+    // the stats are grouped from this exact capped index), so results are
+    // bit-identical while the per-probe footprint shrinks ~16x. Stats-cold
+    // indexes keep the untrimmed fetch (correct, just wider).
+    val probeRows: Array[(Int, Long, Long)] = driverStats(index) match {
+      case Some(m) =>
+        val sorted = qpRows.sortBy(_._1)
+        var before = 0L
+        sorted.takeWhile { t =>
+          val ok = before < maxCandidates
+          before += m.getOrElse(t, 0L)
+          ok
+        }
+      case None => qpRows
+    }
     // PHASE 1 (monitor): snapshot the resident buckets for THIS probe
     // (array refs only — the snapshot makes the fold immune to a racing
     // probe's eviction) and note what is missing. The monitor is never
@@ -415,7 +440,7 @@ object Lsh {
     // against the same index behind one cold key.
     val resident = new java.util.HashMap[(Int, Long, Long), Array[Long]]()
     val missing = pc.synchronized {
-      qpRows.filter { t =>
+      probeRows.filter { t =>
         val ids = pc.buckets.get(t) // get also marks LRU recency
         if (ids != null) { resident.put(t, ids); false } else true
       }
@@ -425,11 +450,16 @@ object Lsh {
     // exact-triple membership is re-checked on the driver because key64
     // alone may collide across bands. Two racing probes may both fetch a
     // bucket — harmless double work on identical data, the price of not
-    // serializing every warm probe behind a cold one.
+    // serializing every warm probe behind a cold one. `fetchFrom` (when
+    // wired — QueryEngine.serveFromBucketed) points the fetch at the
+    // SAVED key64-bucketed postings table instead of the cached full
+    // index: the IN literals then engage bucket pruning + sorted
+    // row-group skipping, so a cold probe's I/O is bounded by its own
+    // buckets rather than a whole-index scan — the 100 TB cold tier.
     val fetched = new java.util.HashMap[(Int, Long, Long), Array[Long]]()
     if (missing.nonEmpty) {
       val missingSet = missing.toSet
-      val rows = index
+      val rows = fetchFrom.getOrElse(index)
         .filter(col("key64").isin(missing.map(_._2).distinct.toSeq: _*))
         .select("band", "key64", "key64b", "id").collect()
         .map(r => ((r.getInt(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
@@ -464,11 +494,11 @@ object Lsh {
     // lookup map bridges the (key64, key64b) fold signature to the
     // full-triple keys
     val byTriple = new java.util.HashMap[(Long, Long), Array[Long]]()
-    qpRows.foreach { t =>
+    probeRows.foreach { t =>
       val ids = { val r = resident.get(t); if (r != null) r else fetched.get(t) }
       byTriple.put((t._2, t._3), ids)
     }
-    val cands = foldCandidates(qpRows, maxCandidates, (key, keyB) => {
+    val cands = foldCandidates(probeRows, maxCandidates, (key, keyB) => {
       val ids = byTriple.get((key, keyB))
       if (ids == null || ids.isEmpty) null else ids
     })

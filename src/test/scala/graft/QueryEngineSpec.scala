@@ -89,6 +89,36 @@ class QueryEngineSpec extends SparkSpec {
     eng.close()
   }
 
+  test("prefix-trimmed probe-cache fetch + bucketed cold serving stay bit-identical") {
+    // round 11: with the driver stats map warm, a probe-cache miss fetches
+    // ONLY the cap's band prefix (the fold never consumes more), and with
+    // serveFromBucketed wired the fetch runs against the saved bucketed
+    // postings table (pruned I/O — the 100 TB cold tier). Both trims must
+    // leave every probe bit-identical to the distributed capped plan.
+    val docs = spark.read.parquet(s"$testDataDir/documents.parquet")
+    val eng = QueryEngine.build(docs,
+      mp = graft.core.MinHashPipeline.Params(kShingle = 3))
+    // stats warm (trim engages), replica NOT warm (probes stay on the
+    // probe-cache path instead of the full driver index)
+    assert(graft.core.Lsh.warmDriverStats(eng.index))
+    eng.saveBucketed("qeng_spec_bucketed_serving", buckets = 8)
+    eng.serveFromBucketed("qeng_spec_bucketed_serving")
+    for (qid <- Seq(0L, 7L, 42L, 413L); cap <- Seq(2000, 3)) {
+      val qSig = eng.sigs.filter(col("doc_id") === qid).head().getSeq[Long](1).toArray
+      val dist = graft.core.Lsh.querySignature(
+        eng.sigs, eng.index, qSig, 5, eng.params, maxCandidates = cap)
+        .collect()
+        .map(r => QueryEngine.Candidate(r.getLong(0), r.getDouble(1), r.getSeq[Long](2)))
+        .toSeq
+      val expected = (if (dist.isEmpty) Seq(QueryEngine.Candidate(-1L, 0.0, Nil)) else dist)
+        .padTo(5, QueryEngine.Candidate(-1L, 0.0, Nil)).take(5)
+      assert(eng.query(qSig, 5, maxCandidates = cap) == expected, s"qid=$qid cap=$cap cold")
+      assert(eng.query(qSig, 5, maxCandidates = cap) == expected, s"qid=$qid cap=$cap hot")
+    }
+    eng.close()
+    spark.sql("DROP TABLE IF EXISTS qeng_spec_bucketed_serving")
+  }
+
   test("concurrent cold probe-cache probes stay bit-identical (no lock across jobs)") {
     // two threads share one un-warmed engine (probes route through the
     // per-index ProbeCache): both start cold on overlapping keys, so a
