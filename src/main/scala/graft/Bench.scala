@@ -27,8 +27,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_MASTER=local-cluster[3,4,6144] runs the same bench
+    // against REAL executor JVMs (standalone master + workers in-process,
+    // forked executors — real serialization and locality boundaries, the
+    // sandbox proxy for the reference's 3-worker docker deployment);
+    // executors resolve this build via extraClassPath. Requires
+    // SPARK_HOME + SPARK_SCALA_VERSION=2.13 in the environment.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(master)
+      .config("spark.executor.extraClassPath",
+        new java.io.File("target/scala-2.13/classes").getAbsolutePath)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       // local[32] with a large heap: let AQE broadcast dimension-sized
@@ -41,12 +50,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val probesOnly = args.contains("--probes-only") // dev loop: skip catalog
+    // --headline-only: the reference-scale 20k section only (the
+    // BENCH_CLUSTER configuration — the scale decades are single-box
+    // evidence; the cluster run's job is gates + headline probes through
+    // real executor JVMs, not re-measuring the decades on 12 cores)
+    val headlineOnly = args.contains("--headline-only")
     // probes FIRST: the reference-comparable latency numbers are measured
     // in a fresh JVM, before the catalog pass fills the heap with cached
     // plans/broadcasts whose GC pressure would tax them (observed 2-3x
     // on the batch-1000 probe when run last)
     val (probeMetrics, probeSamples, degradedProbes, contendedSections) =
-      computeProbeMetrics(spark)
+      computeProbeMetrics(spark, headlineOnly)
     // warmup: build caches + codegen
     if (!probesOnly) SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
@@ -203,7 +217,7 @@ object Bench {
     * batch-of-100 brute-force counterpart (the reference's headline
     * relative result is brute-vs-LSH shape — results_synthetic.csv).
     * Returns (median metrics, all timed samples per probe). */
-  def computeProbeMetrics(spark: SparkSession)
+  def computeProbeMetrics(spark: SparkSession, headlineOnly: Boolean = false)
       : (Map[String, Double], Map[String, Seq[Double]], Seq[String], Seq[String]) = {
     val samples = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val degraded = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -388,6 +402,22 @@ object Bench {
       }
       val bucketed100At20k = bucketedBatch(eng, "graft_bench_bucketed_20k",
         "x_lsh_bucketed_batch100_sec_20kdocs")
+      if (headlineOnly) {
+        eng.close()
+        quiesce("20kdocs")
+        return (Map(
+          "x_index_build_sec_20kdocs" -> buildSec,
+          "x_lsh_single_query_avg_sec_20kdocs" -> singleAvg,
+          "x_lsh_batch100_queries_sec_20kdocs" -> batch100,
+          "x_lsh_batch1000_queries_sec_20kdocs" -> batch1000,
+          "x_brute_batch100_queries_sec_20kdocs" -> brute100,
+          "x_vec_build_sec_20kvecs" -> vecBuild,
+          "x_vec_exact_batch100_sec_20kvecs" -> vecExact,
+          "x_vec_ivfpq_batch100_sec_20kvecs" -> vecIvfpq,
+          "x_vec_ivfpq_rerank_batch100_sec_20kvecs" -> vecIvfpqRerank,
+          "x_lsh_bucketed_batch100_sec_20kdocs" -> bucketed100At20k),
+          samples.toMap, degraded.toSeq, contended.toSeq)
+      }
       quiesce("20kdocs")
       val tB2 = System.nanoTime()
       val eng200 = QueryEngine.build(

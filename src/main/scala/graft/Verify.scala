@@ -18,8 +18,14 @@ object Verify {
         s"unknown query names in whitelist: ${unknown.mkString(", ")}")
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_MASTER=local-cluster[3,4,6144] dumps the same gates
+    // through REAL executor JVMs (multi-JVM evidence for the correctness
+    // surface); see Bench for the environment contract.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(master)
+      .config("spark.executor.extraClassPath",
+        new java.io.File("target/scala-2.13/classes").getAbsolutePath)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
