@@ -169,8 +169,13 @@ object Bench {
       // turn the run red, not record a hole
       val written = new String(java.nio.file.Files.readAllBytes(out),
         java.nio.charset.StandardCharsets.UTF_8)
+      // an empty probe map means computeProbeMetrics swallowed a failure
+      // (the first local-cluster run shipped a probe-less artifact with
+      // rc 0 because expectedProbeKeys was trivially 0) — that IS the
+      // probes-vanished class this check exists for
       selfCheckError =
-        ArtifactSelfCheck.checkBench(shortLine, written, probeMetrics.size)
+        (if (probeMetrics.isEmpty) Some("no probe metrics recorded") else None)
+          .orElse(ArtifactSelfCheck.checkBench(shortLine, written, probeMetrics.size))
     } catch { case e: Throwable =>
       selfCheckError = Some(s"could not write/re-read target/bench_result.json: $e")
     }
@@ -232,7 +237,10 @@ object Bench {
     // visible in BENCH_r{N} itself.
     def canaryOnce(): Double = {
       val t0 = System.nanoTime()
-      spark.range(1L << 26).selectExpr("sum(xxhash64(id)) AS h").collect()
+      // the % bounds the summands so 64M of them cannot overflow a long
+      // under ANSI mode (sum of raw xxhash64 longs did, killing every
+      // probe in the first local-cluster run)
+      spark.range(1L << 26).selectExpr("sum(xxhash64(id) % 65536) AS h").collect()
       (System.nanoTime() - t0) / 1e9
     }
     val contended = scala.collection.mutable.LinkedHashSet.empty[String]
