@@ -364,14 +364,22 @@ object Lsh {
     * shape) amortize to in-process latency; cold random probes cost what
     * the distributed plan costs, ONE extra insert aside. Residency is
     * bounded by [[ProbeCacheMaxPostings]] resident posting slots and
-    * [[ProbeCacheMaxSigs]] signatures (~24 MB + ~64 MB), independent of
+    * [[ProbeCacheMaxSigs]] signatures (~24 MB + ~135 MB), independent of
     * index size — driver memory stays flat at any scale. Results are
     * bit-identical to the distributed capped probe (same fold, same
     * scoring — QueryEngineSpec pins it): an absent bucket is stored as an
     * explicit empty array, so absent-because-empty never aliases
-    * absent-because-not-fetched. */
+    * absent-because-not-fetched.
+    *
+    * Sig-bound sizing (round 11): a capped probe on a skewed corpus can
+    * carry up to maxCandidates + maxBucketSize (~7000) candidate sigs, so
+    * a 16-20-key hot set needs ~10^5 resident sigs; at the old 2^16 bound
+    * the hot set THRASHED the sig tier (every repeat refetched ~2000 sigs
+    * — the 4M hot row read 61 ms instead of in-process). 2^17 sigs x 1 KB
+    * ≈ 135 MB holds a realistic hot-key set and stays a flat driver
+    * constant. */
   final val ProbeCacheMaxPostings: Long = DriverStatsMaxEntries
-  final val ProbeCacheMaxSigs: Int = 1 << 16
+  final val ProbeCacheMaxSigs: Int = 1 << 17
 
   final class ProbeCache private[Lsh] {
     private[Lsh] val buckets =
