@@ -199,20 +199,30 @@ object Bench {
     * checkout, driver-relocated cwd). */
   def ratiosVsPrev(cur: Map[String, Double]): (Map[String, Double], Seq[String], String) =
     try {
-      val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
-      if (files.isEmpty) (Map.empty, Nil, "")
+      // the driver artifact (BENCH_r{N}) now carries only the headline
+      // keys in its compact line, so the committed quiet-twin detail
+      // artifacts (BENCH_LOCAL_r{N}*.json) of the SAME newest round are
+      // merged in — the guard keeps full key coverage across rounds.
+      // Later files in name order win on key conflicts (driver artifact
+      // last, so its headline numbers stay the numbers of record).
+      val all = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.matches("BENCH(_LOCAL)?_r\\d+[A-Za-z0-9_]*\\.json"))
+      if (all.isEmpty) (Map.empty, Nil, "")
       else {
-        val prev = files.maxBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt)
-        val text = new String(java.nio.file.Files.readAllBytes(prev.toPath),
-          java.nio.charset.StandardCharsets.UTF_8)
+        def round(f: java.io.File): Int = "\\d+".r.findFirstIn(f.getName).get.toInt
+        val maxRound = all.map(round).max
+        val prevs = all.filter(round(_) == maxRound).sortBy(_.getName.startsWith("BENCH_r"))
         val kv = "\"((?:x_[a-z0-9_]+)|catalog_total_sec)\"\\s*:\\s*([0-9][0-9.eE+-]*)".r
-        val prevMap = kv.findAllMatchIn(text)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val prevMap = prevs.foldLeft(Map.empty[String, Double]) { (acc, f) =>
+          val text = new String(java.nio.file.Files.readAllBytes(f.toPath),
+            java.nio.charset.StandardCharsets.UTF_8)
+          acc ++ kv.findAllMatchIn(text).map(m => m.group(1) -> m.group(2).toDouble)
+        }
         val ratios = cur.flatMap { case (k, v) =>
           prevMap.get(k).filter(_ > 0.0).map(p => k -> v / p)
         }
-        (ratios, ratios.filter(_._2 >= 3.0).keys.toSeq.sorted, prev.getName)
+        (ratios, ratios.filter(_._2 >= 3.0).keys.toSeq.sorted,
+          prevs.map(_.getName).mkString("+"))
       }
     } catch { case _: Throwable => (Map.empty, Nil, "") }
 
