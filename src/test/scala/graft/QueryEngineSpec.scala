@@ -103,7 +103,11 @@ class QueryEngineSpec extends SparkSpec {
     assert(graft.core.Lsh.warmDriverStats(eng.index))
     eng.saveBucketed("qeng_spec_bucketed_serving", buckets = 8)
     eng.serveFromBucketed("qeng_spec_bucketed_serving")
-    for (qid <- Seq(0L, 7L, 42L, 413L); cap <- Seq(2000, 3)) {
+    // cap sweep hits every prefix edge: 1 (first band alone overshoots),
+    // 3/17 (mid-prefix truncation), 2000 (reference default), 100000
+    // (cap never binds — all 32 bands fetched); 413 has near-dups, so
+    // real multi-candidate buckets are in play, not just self-hits
+    for (qid <- Seq(0L, 7L, 42L, 413L); cap <- Seq(1, 3, 17, 2000, 100000)) {
       val qSig = eng.sigs.filter(col("doc_id") === qid).head().getSeq[Long](1).toArray
       val dist = graft.core.Lsh.querySignature(
         eng.sigs, eng.index, qSig, 5, eng.params, maxCandidates = cap)
