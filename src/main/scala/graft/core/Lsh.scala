@@ -427,18 +427,35 @@ object Lsh {
     // read 87-298 ms vs 4-6 ms at <=1M. The trim computes the same prefix
     // the fold will take (identical cumulative rule over identical sizes —
     // the stats are grouped from this exact capped index), so results are
-    // bit-identical while the per-probe footprint shrinks ~16x. Stats-cold
-    // indexes keep the untrimmed fetch (correct, just wider).
-    val probeRows: Array[(Int, Long, Long)] = driverStats(index) match {
-      case Some(m) =>
-        val sorted = qpRows.sortBy(_._1)
-        var before = 0L
-        sorted.takeWhile { t =>
-          val ok = before < maxCandidates
-          before += m.getOrElse(t, 0L)
-          ok
-        }
-      case None => qpRows
+    // bit-identical while the per-probe footprint shrinks ~16x. When the
+    // driver map is refused (bucket count above DriverStatsMaxEntries),
+    // the sizes come from one tiny lookup against the cached stats table
+    // instead — the trim holds at ANY index size.
+    val probeRows: Array[(Int, Long, Long)] = {
+      val sizesOf: ((Int, Long, Long)) => Long = driverStats(index) match {
+        case Some(m) => m.getOrElse(_, 0L)
+        case None =>
+          // stats map refused (too many distinct buckets — e.g. 16M docs
+          // blow past DriverStatsMaxEntries): ONE tiny lookup against the
+          // CACHED stats table recovers this probe's <=32 sizes. Paying a
+          // ~10 ms job per COLD probe beats fetching up to
+          // 32 x maxBucketSize postings it will never fold (and beats the
+          // residency thrash that untrimmed fetch causes) — resident-hot
+          // probes never reach this path at all.
+          val m = bucketSizes(index)
+            .filter(col("key64").isin(qpRows.map(_._2).distinct.toSeq: _*))
+            .select("band", "key64", "key64b", "n").collect()
+            .map(r => ((r.getInt(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
+            .toMap
+          m.getOrElse(_, 0L)
+      }
+      val sorted = qpRows.sortBy(_._1)
+      var before = 0L
+      sorted.takeWhile { t =>
+        val ok = before < maxCandidates
+        before += sizesOf(t)
+        ok
+      }
     }
     // PHASE 1 (monitor): snapshot the resident buckets for THIS probe
     // (array refs only — the snapshot makes the fold immune to a racing
