@@ -394,6 +394,15 @@ object Bench {
       // gate pins (4k = 20), exact float re-score of only the shortlist
       val vecIvfpqRerank =
         medianOf("x_vec_ivfpq_rerank_batch100_sec_20kvecs")(() => vecBatch("ivfpq_rerank"))
+      // served single-vector ivfpq probe (round 11): driver-resident
+      // models + LRU inverted lists — the vector-side twin of the LSH
+      // single-probe tiers; hot repeats run zero Spark jobs
+      veng.warmServing()
+      val someVecs = veng.embs.filter(col("id") < 30)
+        .orderBy("id").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      val vecSingle = singleProbeAvg("x_vec_single_query_avg_sec_20kvecs")(() =>
+        (5L until 25L).foreach(i => veng.query(someVecs(i), 5)))
       // ---- the 10x scale point (200k docs / 200k vectors) ----
       // The 100 TB design evidence the plan-shape arguments rest on:
       // batch-probe cost must stay ~flat as the corpus grows 10x (the
@@ -639,6 +648,22 @@ object Bench {
         veng4mC.topK(vq4mC, k = 5, mode = "ivfpq").count())
       val vecRerank4mC = medianOf("x_vec_ivfpq_rerank_batch100_sec_4mvecs_c64")(() =>
         veng4mC.topK(vq4mC, k = 5, mode = "ivfpq_rerank").count())
+      // served single-vector probe at 4M/c64: hot (resident inverted
+      // lists, zero jobs) and cold (never-probed vectors, one pruned
+      // fetch per new centroid set) — mirrors the 4M docs-side split
+      veng4mC.warmServing()
+      val someVecs4m = veng4mC.embs.filter(col("id") < 30)
+        .orderBy("id").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      val vecSingle4m = singleProbeAvg("x_vec_single_query_avg_sec_4mvecs_c64")(() =>
+        (5L until 25L).foreach(i => veng4mC.query(someVecs4m(i), 5)))
+      val coldVecs4m = veng4mC.embs.filter(col("id") >= 100 && col("id") < 120)
+        .orderBy("id").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      val tVCold = System.nanoTime()
+      coldVecs4m.keys.toSeq.sorted.foreach(i => veng4mC.query(coldVecs4m(i), 5))
+      val vecSingleCold4m = (System.nanoTime() - tVCold) / 1e9 / 20.0
+      samples("x_vec_single_query_cold_avg_sec_4mvecs_c64") = Seq(vecSingleCold4m)
       // drop the probe engines' cached pipelines: the catalog pass that
       // follows must not pay CacheManager plan-compares and memory
       // pressure against them (mirror of the clearCache() on entry)
@@ -654,6 +679,7 @@ object Bench {
         "x_vec_exact_batch100_sec_20kvecs" -> vecExact,
         "x_vec_ivfpq_batch100_sec_20kvecs" -> vecIvfpq,
         "x_vec_ivfpq_rerank_batch100_sec_20kvecs" -> vecIvfpqRerank,
+        "x_vec_single_query_avg_sec_20kvecs" -> vecSingle,
         "x_index_build_sec_200kdocs" -> buildSec200,
         "x_lsh_batch100_queries_sec_200kdocs" -> batch100At200k,
         "x_lsh_single_query_avg_sec_200kdocs" -> singleAvg200,
@@ -685,7 +711,9 @@ object Bench {
         "x_vec_ivfpq_rerank_batch100_sec_4mvecs" -> vecRerank4m,
         "x_vec_build_sec_4mvecs_c64" -> vecBuild4mC,
         "x_vec_ivfpq_batch100_sec_4mvecs_c64" -> vecIvfpq4mC,
-        "x_vec_ivfpq_rerank_batch100_sec_4mvecs_c64" -> vecRerank4mC),
+        "x_vec_ivfpq_rerank_batch100_sec_4mvecs_c64" -> vecRerank4mC,
+        "x_vec_single_query_avg_sec_4mvecs_c64" -> vecSingle4m,
+        "x_vec_single_query_cold_avg_sec_4mvecs_c64" -> vecSingleCold4m),
         samples.toMap, degraded.toSeq, contended.toSeq)
     } catch { case e: Throwable =>
       // never sink the whole bench line, but say WHY the probes vanished

@@ -90,15 +90,52 @@ final class VectorEngine private (
       s"unknown mode '$other' (exact | ivf | pq | ivfpq | ivfpq_rerank | residual_ivfpq)")
   }
 
-  /** Single-vector probe through the same compiled plans: the vector
-    * becomes a one-row broadcast query frame (data, not plan literals).
-    * Returns (id, rank) pairs, best first. */
+  /** Single-vector probe. With the serving model warm
+    * ([[warmServing]]) an `ivfpq` probe runs DRIVER-SIDE: coarse argmin
+    * over the collected centroids, ADC LUT from the collected codebooks,
+    * and scoring over LRU-cached inverted lists — a resident-hot probe
+    * runs ZERO Spark jobs (the reference's in-process serving latency
+    * class, mirrored from QueryEngine's probe cache); a cold centroid
+    * pays one pruned fetch job. Results are bit-identical to the
+    * distributed plan (same fold orders, same tie rules —
+    * VectorEngineSpec pins it). All other modes (and a cold serving
+    * model) run the compiled distributed plan with the vector as a
+    * one-row broadcast query frame. Returns (id, rank), best first. */
   def query(vector: Array[Float], k: Int = 10, mode: String = "ivfpq",
-            nprobe: Int = 3): Seq[(Long, Int)] = {
-    import spark.implicits._
-    val q = Seq((0L, vector.toSeq)).toDF("vec_id", "embedding")
-    topK(q, k, mode, nprobe).orderBy("rank")
-      .collect().map(r => (r.getLong(2), r.getInt(1))).toSeq
+            nprobe: Int = 3): Seq[(Long, Int)] = servingModel match {
+    case Some(sm) if mode == "ivfpq" =>
+      VectorEngine.servedIvfPq(fused, sm, vector, k, nprobe)
+    case _ =>
+      import spark.implicits._
+      val q = Seq((0L, vector.toSeq)).toDF("vec_id", "embedding")
+      topK(q, k, mode, nprobe).orderBy("rank")
+        .collect().map(r => (r.getLong(2), r.getInt(1))).toSeq
+  }
+
+  // driver-resident trained models for the served single-probe path —
+  // kilobytes (nCents + m*pqK codeword vectors), collected once
+  @volatile private var servingModel: Option[VectorEngine.ServingModel] = None
+
+  /** Collect the trained models (coarse centroids + PQ codebooks — KBs,
+    * scale-independent) to the driver and serve `ivfpq` single-vector
+    * probes in-process. The CORPUS never reaches the driver: probed
+    * clusters' code lists are fetched on demand (bucket/partition-pruned
+    * at 100 TB) and LRU-cached under a flat residency bound. */
+  def warmServing(): VectorEngine = {
+    val c = cents
+      .select(col("centroid_id").cast("long").as("centroid_id"), col("cv"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    val cb = codebooks
+      .select(col("subspace").cast("int").as("subspace"),
+        col("centroid_id").cast("int").as("code"), col("cv"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2).toArray)
+      .toMap
+    val books = Array.tabulate(m * pqK)(i => cb((i / pqK, i % pqK)))
+    servingModel = Some(VectorEngine.ServingModel(c, books, m, subDim, pqK))
+    this
   }
 
   /** Incremental growth (the FAISS `add()` contract): new vectors are
@@ -204,9 +241,12 @@ final class VectorEngine private (
     * session ends, which a kilobyte-sized table can afford. (`fused` is
     * usually a projection of a cached parent in extraCaches;
     * unpersisting a non-cached projection is a harmless no-op.) */
-  def close(): Unit =
+  def close(): Unit = {
+    servingModel = None
+    VectorEngine.evictLists(fused)
     (Seq(embs, assigned, codes, fused) ++ residFused.toSeq ++ extraCaches)
       .foreach(QueryEngine.releaseFrame)
+  }
 
   /** Re-materialize a repeatedly-grown engine (the QueryEngine.compact
     * contract): truncates the union-of-union lineage of the corpus-sized
@@ -234,6 +274,145 @@ final class VectorEngine private (
 }
 
 object VectorEngine {
+
+  /** Driver-resident trained models for the served single-probe path:
+    * coarse centroids sorted by id, and the PQ codebooks laid out
+    * (subspace-major, codeword-minor) — the ADC LUT's read layout. */
+  final case class ServingModel(cents: Array[(Long, Array[Float])],
+                                books: Array[Array[Float]],
+                                m: Int, subDim: Int, pqK: Int)
+
+  /** Residency bound for LRU-cached inverted lists (code rows): 2^20
+    * rows x (8 B id + m ints) ≈ 40 MB at m=8 — a flat driver constant,
+    * independent of corpus size (the QueryEngine probe-cache
+    * discipline applied to the vector side). */
+  final val ServingMaxResidentCodeRows: Long = 1L << 20
+
+  private final class ListCache {
+    val lists = new java.util.LinkedHashMap[Long, Array[(Long, Array[Int])]](32, 0.75f, true)
+    var resident: Long = 0L
+  }
+
+  private val listCaches =
+    new java.util.LinkedHashMap[DataFrame, ListCache](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[DataFrame, ListCache]): Boolean = size() > 8
+    }
+
+  private def listCacheFor(fused: DataFrame): ListCache = listCaches.synchronized {
+    val it = listCaches.entrySet().iterator()
+    while (it.hasNext) if (it.next().getKey.sparkSession.sparkContext.isStopped) it.remove()
+    var c = listCaches.get(fused)
+    if (c == null) { c = new ListCache; listCaches.put(fused, c) }
+    c
+  }
+
+  private[api] def evictLists(fused: DataFrame): Unit = listCaches.synchronized {
+    listCaches.remove(fused); ()
+  }
+
+  // ---- driver twins of the scoring kernels (bit-identical fold orders:
+  // Float -> Double per element, sequential accumulation — the identity
+  // is spec-pinned against the Catalyst kernels) ----
+  private def negL2Local(x: Array[Float], y: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < x.length) {
+      val d = x(i).toDouble - y(i).toDouble; s += d * d; i += 1
+    }
+    -math.sqrt(s)
+  }
+
+  private def sqL2Local(x: Array[Float], xOff: Int, y: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < y.length) {
+      val d = x(xOff + i).toDouble - y(i).toDouble; s += d * d; i += 1
+    }
+    s
+  }
+
+  /** Served single-vector IVF-PQ probe: the driver-side twin of
+    * [[graft.operators.Pq.ivfAdcTopKFused]] for one query. Coarse probe
+    * = top-`nprobe` centroids by negL2 (score desc, id asc — the
+    * TopKByScore rule); LUT = squared sub-distances per (subspace,
+    * codeword); candidates = the probed centroids' inverted lists,
+    * LRU-cached (a resident probe runs zero Spark jobs; a miss pays ONE
+    * fetch job whose centroid_id predicate prunes a partitioned/bucketed
+    * code table at scale); score = -(Σ_s lut[s*k+code_s]), top-k by
+    * (score desc, id asc). Bit-identical to the distributed plan. */
+  private[api] def servedIvfPq(fused: DataFrame, sm: ServingModel,
+                               vector: Array[Float], k: Int,
+                               nprobe: Int): Seq[(Long, Int)] = {
+    // coarse probe (driver fold, same tie rule as TopKByScore)
+    val probed = sm.cents
+      .map { case (cid, cv) => (cid, negL2Local(vector, cv)) }
+      .sortBy { case (cid, s) => (-s, cid) }
+      .take(nprobe).map(_._1)
+    // ADC LUT, (subspace-major, codeword-minor) — the kernel layout
+    val lut = new Array[Double](sm.m * sm.pqK)
+    var i = 0
+    while (i < lut.length) {
+      lut(i) = sqL2Local(vector, (i / sm.pqK) * sm.subDim, sm.books(i))
+      i += 1
+    }
+    // inverted lists: snapshot resident, fetch misses OUTSIDE the lock
+    // (the Lsh.queryProbeCached monitor discipline), publish, evict LRU
+    val pc = listCacheFor(fused)
+    val resident = new java.util.HashMap[Long, Array[(Long, Array[Int])]]()
+    val missing = pc.synchronized {
+      probed.filter { cid =>
+        val l = pc.lists.get(cid)
+        if (l != null) { resident.put(cid, l); false } else true
+      }
+    }
+    val fetched = new java.util.HashMap[Long, Array[(Long, Array[Int])]]()
+    if (missing.nonEmpty) {
+      val rows = fused
+        .filter(col("centroid_id").isin(missing.map(Long.box).toSeq: _*))
+        .select(col("centroid_id").cast("long"), col("id").cast("long"), col("codes"))
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getSeq[Int](2).toArray)))
+        .groupBy(_._1)
+      missing.foreach { cid =>
+        fetched.put(cid, rows.get(cid).map(_.map(_._2).sortBy(_._1)).getOrElse(Array.empty))
+      }
+      pc.synchronized {
+        missing.foreach { cid =>
+          if (!pc.lists.containsKey(cid)) {
+            val l = fetched.get(cid)
+            pc.lists.put(cid, l)
+            pc.resident += l.length
+          }
+        }
+        val it = pc.lists.entrySet().iterator()
+        while (pc.resident > ServingMaxResidentCodeRows && it.hasNext) {
+          pc.resident -= it.next().getValue.length
+          it.remove()
+        }
+      }
+    }
+    // score this probe's snapshot: bounded top-k buffer, (score desc,
+    // id asc) — the TopKByScore rule
+    val top = new java.util.TreeSet[(Double, Long)](
+      Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Long))
+    probed.foreach { cid =>
+      val l = { val r = resident.get(cid); if (r != null) r else fetched.get(cid) }
+      var j = 0
+      while (j < l.length) {
+        val (id, codes) = l(j)
+        var s = 0.0
+        var sp = 0
+        while (sp < sm.m) { s += lut(sp * sm.pqK + codes(sp)); sp += 1 }
+        top.add((-s, id))
+        if (top.size > k) top.pollLast()
+        j += 1
+      }
+    }
+    val out = Seq.newBuilder[(Long, Int)]
+    val it = top.iterator()
+    var rank = 1
+    while (it.hasNext) { out += ((it.next()._2, rank)); rank += 1 }
+    out.result()
+  }
 
   /** Coarse argmin assignment of (id, v) rows to broadcast centroids —
     * ties to the smaller centroid_id (the kmeansTrain discipline). */

@@ -139,6 +139,44 @@ class VectorEngineSpec extends SparkSpec {
     back.close()
   }
 
+  test("served single-vector ivfpq probe is bit-identical and zero-job when hot") {
+    // round 11: with the serving model warm, ivfpq single probes run
+    // driver-side (collected centroids + codebooks, LRU-cached inverted
+    // lists). Must equal the distributed plan exactly — same coarse tie
+    // rule, same LUT layout/fold order, same (score desc, id asc) top-k.
+    import spark.implicits._
+    val e2 = VectorEngine.build(embs).warmUp().warmServing()
+    val vecs = embs.filter(col("vec_id").isin(0L, 7L, 63L, 200L))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    for ((vid, v) <- vecs; np <- Seq(1, 3, 8)) {
+      val q = Seq((0L, v.toSeq)).toDF("vec_id", "embedding")
+      val want = e2.topK(q, k = 5, mode = "ivfpq", nprobe = np).orderBy("rank")
+        .collect().map(r => (r.getLong(2), r.getInt(1))).toSeq
+      val cold = e2.query(v, k = 5, mode = "ivfpq", nprobe = np)
+      assert(cold == want, s"vid=$vid nprobe=$np cold")
+      // hot repeat: every probed list is now resident — zero Spark jobs
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val hot = e2.query(v, k = 5, mode = "ivfpq", nprobe = np)
+        Thread.sleep(300)
+        assert(hot == want, s"vid=$vid nprobe=$np hot")
+        assert(jobs.get() == 0, s"vid=$vid nprobe=$np: hot probe ran ${jobs.get()} job(s)")
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    // other modes keep the distributed path (serving model is ivfpq-only)
+    val (vid0, v0) = vecs.head
+    val qe = Seq((0L, v0.toSeq)).toDF("vec_id", "embedding")
+    assert(e2.query(v0, k = 3, mode = "exact") ==
+      e2.topK(qe, k = 3, mode = "exact").orderBy("rank")
+        .collect().map(r => (r.getLong(2), r.getInt(1))).toSeq, s"vid=$vid0")
+    e2.close()
+  }
+
   test("ivfpq probe never shuffles the corpus: all joins broadcast, one agg exchange") {
     val queries = embs.filter(col("vec_id") < 3)
     for (mode <- Seq("ivfpq", "ivfpq_rerank")) {
