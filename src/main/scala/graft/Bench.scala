@@ -216,7 +216,16 @@ object Bench {
         val prevMap = prevs.foldLeft(Map.empty[String, Double]) { (acc, f) =>
           val text = new String(java.nio.file.Files.readAllBytes(f.toPath),
             java.nio.charset.StandardCharsets.UTF_8)
-          acc ++ kv.findAllMatchIn(text).map(m => m.group(1) -> m.group(2).toDouble)
+          // a detail artifact embeds ITS OWN ratios_vs_prev map whose
+          // "key":ratio pairs alias the metric keys — scanning past that
+          // marker read ratios as seconds and flagged 13 phantom >=3x
+          // regressions (build rows "141x slower" vs a 0.72 RATIO). Only
+          // the text before the first ratios/samples section carries
+          // metric values.
+          val cut = Seq(text.indexOf("\"ratios_vs_prev\""), text.indexOf("\"samples\""))
+            .filter(_ >= 0)
+          val scanText = if (cut.isEmpty) text else text.substring(0, cut.min)
+          acc ++ kv.findAllMatchIn(scanText).map(m => m.group(1) -> m.group(2).toDouble)
         }
         val ratios = cur.flatMap { case (k, v) =>
           prevMap.get(k).filter(_ > 0.0).map(p => k -> v / p)

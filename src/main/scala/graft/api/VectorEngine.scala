@@ -282,11 +282,15 @@ object VectorEngine {
                                 books: Array[Array[Float]],
                                 m: Int, subDim: Int, pqK: Int)
 
-  /** Residency bound for LRU-cached inverted lists (code rows): 2^20
-    * rows x (8 B id + m ints) ≈ 40 MB at m=8 — a flat driver constant,
-    * independent of corpus size (the QueryEngine probe-cache
-    * discipline applied to the vector side). */
-  final val ServingMaxResidentCodeRows: Long = 1L << 20
+  /** Residency bound for LRU-cached inverted lists (code rows): 2^22
+    * rows x (8 B id + m ints + boxing) ≈ 170 MB at m=8 — a flat driver
+    * constant, independent of corpus size (the QueryEngine probe-cache
+    * discipline applied to the vector side). Sized like the LSH sig
+    * tier: a realistic hot set (20 keys x nprobe lists of a 4M/c64
+    * index ≈ 3.75M rows) must stay resident, or every repeat becomes a
+    * cold whole-table fetch — the exact thrash the docs side hit at 2^16
+    * sigs. */
+  final val ServingMaxResidentCodeRows: Long = 1L << 22
 
   private final class ListCache {
     val lists = new java.util.LinkedHashMap[Long, Array[(Long, Array[Int])]](32, 0.75f, true)
@@ -391,9 +395,12 @@ object VectorEngine {
       }
     }
     // score this probe's snapshot: bounded top-k buffer, (score desc,
-    // id asc) — the TopKByScore rule
-    val top = new java.util.TreeSet[(Double, Long)](
-      Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Long))
+    // id asc) — the TopKByScore rule. Candidates at or below the current
+    // k-th never enter the tree (one comparison instead of a boxed
+    // insert+evict for the overwhelming majority of a big cluster).
+    val ord: Ordering[(Double, Long)] =
+      Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Long)
+    val top = new java.util.TreeSet[(Double, Long)](ord)
     probed.foreach { cid =>
       val l = { val r = resident.get(cid); if (r != null) r else fetched.get(cid) }
       var j = 0
@@ -402,8 +409,11 @@ object VectorEngine {
         var s = 0.0
         var sp = 0
         while (sp < sm.m) { s += lut(sp * sm.pqK + codes(sp)); sp += 1 }
-        top.add((-s, id))
-        if (top.size > k) top.pollLast()
+        val cand = (-s, id)
+        if (top.size < k) top.add(cand)
+        else if (ord.compare(cand, top.last()) < 0) {
+          top.add(cand); top.pollLast()
+        }
         j += 1
       }
     }
