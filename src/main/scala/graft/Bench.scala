@@ -89,7 +89,14 @@ object Bench {
     // itself). Probes only — catalog entries are min-of-2 and noisier.
     val curForRatios = probeMetrics ++
       (if (results.nonEmpty) Map("catalog_total_sec" -> total) else Map.empty)
-    val (ratios, regressions, prevArtifact) = ratiosVsPrev(curForRatios)
+    // trusted = certified multi-sample medians only (>=3 samples, not
+    // degraded) + the 135-query catalog total; single-sample build/cold
+    // rows and refused-certification probes can't raise the red flag
+    val trustedForFlags = probeSamples.collect {
+      case (k, vs) if vs.size >= 3 && !degradedProbes.contains(k) => k
+    }.toSet ++ (if (results.nonEmpty) Set("catalog_total_sec") else Set.empty[String])
+    val (ratios, regressions, prevArtifact) =
+      ratiosVsPrev(curForRatios, Some(trustedForFlags))
     // STDOUT gets a COMPACT line: the driver's capture keeps only the last
     // ~2 KB of output. Three rounds running the full line (77 catalog
     // entries + samples) overflowed that window, and round 10's "probe
@@ -111,33 +118,42 @@ object Bench {
       "x_lsh_bucketed_batch100_sec_20kdocs",
       "x_vec_build_sec_20kvecs",
       "x_vec_exact_batch100_sec_20kvecs",
-      "x_vec_ivfpq_batch100_sec_20kvecs")
-    val shortLine = jmap(Seq(
+      "x_vec_ivfpq_batch100_sec_20kvecs",
+      "x_vec_single_query_avg_sec_20kvecs")
+    // the >=3x flag list rides in the compact line (usually empty) so a
+    // regression is visible in BENCH_r{N} itself, not only the detail
+    // file. Flag lists are size-capped BY BYTES, not item count: counts
+    // stay exact in the _n fields and full lists live in the detail
+    // file, while the line itself shrinks its lists until it fits the
+    // tail budget — 8 long probe keys per list could otherwise push an
+    // honest-but-flag-heavy run over the very budget the self-check
+    // enforces (exit 2 on a healthy bench).
+    def shortLineWith(listCap: Int): String = jmap(Seq(
       "metric" -> "\"total\"", "value" -> f6(total), "unit" -> "\"sec\"",
       "queries" -> jmap(
         (headline.flatMap(k => probeMetrics.get(k).map(k -> _)) ++
           Seq("catalog_total_sec" -> total))
           .map { case (k, v) => k -> f6(v) }),
       "sf" -> ("\"" + sfDir + "\""),
-      // the >=3x flag list rides in the compact line (usually empty) so a
-      // regression is visible in BENCH_r{N} itself, not only the detail file
-      // flag lists are size-capped in the compact line (counts stay exact;
-      // full lists live in the detail file) so a pathological run can't
-      // push the line back over the tail budget it exists to respect
       "regressions_3x_n" -> regressions.size.toString,
-      "regressions_3x" -> jarr(regressions.take(8)),
+      "regressions_3x" -> jarr(regressions.take(listCap)),
       // self-describing contention refusal (round 9): probes whose sample
       // spread never settled under 3x across retry batches — a non-empty
       // list means the medians above are NOT trustworthy and the run
       // should be repeated on a quiet box before being judged
       "degraded" -> (if (degradedProbes.nonEmpty) "true" else "false"),
-      "degraded_probes" -> jarr(degradedProbes.take(8)),
+      "degraded_n" -> degradedProbes.size.toString,
+      "degraded_probes" -> jarr(degradedProbes.take(listCap)),
       // sections whose boundary contention canary drifted >= 2x off the
       // run's baseline (round 10's 1M window read 1.5-2.9x its quiet-box
       // twins with no flag anywhere) — probes inside a listed section are
       // suspect and the quiet-box twin artifact is the number of record
-      "contended_sections" -> jarr(contendedSections.take(8)),
+      "contended_sections" -> jarr(contendedSections.take(listCap)),
       "detail" -> "\"target/bench_result.json\""))
+    val shortLine = (8 to 0 by -2).view.map(shortLineWith)
+      .find(_.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+        <= ArtifactSelfCheck.ShortLineMaxBytes)
+      .getOrElse(shortLineWith(0))
     val fullLine = jmap(Seq(
       "metric" -> "\"total\"", "value" -> f6(total), "unit" -> "\"sec\"",
       "queries" -> jmap((results ++ probeMetrics).map { case (k, v) => k -> f6(v) }),
@@ -197,21 +213,28 @@ object Bench {
     * — no JSON parser ships in the main sources. Never throws: a missing
     * or unreadable artifact yields empty maps (first round, fresh
     * checkout, driver-relocated cwd). */
-  def ratiosVsPrev(cur: Map[String, Double]): (Map[String, Double], Seq[String], String) =
+  def ratiosVsPrev(cur: Map[String, Double],
+                   trustedKeys: Option[Set[String]] = None,
+                   dir: String = "."): (Map[String, Double], Seq[String], String) =
     try {
       // the driver artifact (BENCH_r{N}) now carries only the headline
       // keys in its compact line, so the committed quiet-twin detail
       // artifacts (BENCH_LOCAL_r{N}*.json) of the SAME newest round are
       // merged in — the guard keeps full key coverage across rounds.
-      // Later files in name order win on key conflicts (driver artifact
-      // last, so its headline numbers stay the numbers of record).
-      val all = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+      // Later files win on key conflicts; the sort is the TUPLE
+      // (isDriverArtifact, name) so the multiple same-round detail files
+      // merge in stable name order (listFiles() order is unspecified —
+      // sorting on the boolean alone left the detail-vs-detail winner
+      // nondeterministic across machines) with the driver artifact last,
+      // so its headline numbers stay the numbers of record.
+      val all = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
         .filter(_.getName.matches("BENCH(_LOCAL)?_r\\d+[A-Za-z0-9_]*\\.json"))
       if (all.isEmpty) (Map.empty, Nil, "")
       else {
         def round(f: java.io.File): Int = "\\d+".r.findFirstIn(f.getName).get.toInt
         val maxRound = all.map(round).max
-        val prevs = all.filter(round(_) == maxRound).sortBy(_.getName.startsWith("BENCH_r"))
+        val prevs = all.filter(round(_) == maxRound)
+          .sortBy(f => (f.getName.startsWith("BENCH_r"), f.getName))
         val kv = "\"((?:x_[a-z0-9_]+)|catalog_total_sec)\"\\s*:\\s*([0-9][0-9.eE+-]*)".r
         val prevMap = prevs.foldLeft(Map.empty[String, Double]) { (acc, f) =>
           val text = new String(java.nio.file.Files.readAllBytes(f.toPath),
@@ -230,8 +253,20 @@ object Bench {
         val ratios = cur.flatMap { case (k, v) =>
           prevMap.get(k).filter(_ > 0.0).map(p => k -> v / p)
         }
-        (ratios, ratios.filter(_._2 >= 3.0).keys.toSeq.sorted,
-          prevs.map(_.getName).mkString("+"))
+        // The >=3x flag list carries only TRUSTED keys: rows whose current
+        // value is a certified multi-sample median (when the caller
+        // supplies the set). BENCH_r11 flagged two phantoms — a
+        // single-sample build row and a sub-second probe — measured on a
+        // contended box; SURVEY §6.1's own rules say single-sample rows
+        // can't carry a claim either way, so they don't get to flag a
+        // regression either. The full ratios map still records every key
+        // for the reader; only the red flag is gated.
+        val flagged = ratios.filter(_._2 >= 3.0).keys.toSeq.sorted
+        val trusted = trustedKeys match {
+          case Some(t) => flagged.filter(t.contains)
+          case None => flagged
+        }
+        (ratios, trusted, prevs.map(_.getName).mkString("+"))
       }
     } catch { case _: Throwable => (Map.empty, Nil, "") }
 
@@ -456,6 +491,7 @@ object Bench {
           "x_vec_exact_batch100_sec_20kvecs" -> vecExact,
           "x_vec_ivfpq_batch100_sec_20kvecs" -> vecIvfpq,
           "x_vec_ivfpq_rerank_batch100_sec_20kvecs" -> vecIvfpqRerank,
+          "x_vec_single_query_avg_sec_20kvecs" -> vecSingle,
           "x_lsh_bucketed_batch100_sec_20kdocs" -> bucketed100At20k),
           samples.toMap, degraded.toSeq, contended.toSeq)
       }

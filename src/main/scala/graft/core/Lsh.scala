@@ -431,44 +431,66 @@ object Lsh {
     // driver map is refused (bucket count above DriverStatsMaxEntries),
     // the sizes come from one tiny lookup against the cached stats table
     // instead — the trim holds at ANY index size.
-    val probeRows: Array[(Int, Long, Long)] = {
-      val sizesOf: ((Int, Long, Long)) => Long = driverStats(index) match {
-        case Some(m) => m.getOrElse(_, 0L)
-        case None =>
-          // stats map refused (too many distinct buckets — e.g. 16M docs
-          // blow past DriverStatsMaxEntries): ONE tiny lookup against the
-          // CACHED stats table recovers this probe's <=32 sizes. Paying a
-          // ~10 ms job per COLD probe beats fetching up to
-          // 32 x maxBucketSize postings it will never fold (and beats the
-          // residency thrash that untrimmed fetch causes) — resident-hot
-          // probes never reach this path at all.
-          val m = bucketSizes(index)
-            .filter(col("key64").isin(qpRows.map(_._2).distinct.toSeq: _*))
-            .select("band", "key64", "key64b", "n").collect()
-            .map(r => ((r.getInt(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
-            .toMap
-          m.getOrElse(_, 0L)
-      }
-      val sorted = qpRows.sortBy(_._1)
-      var before = 0L
-      sorted.takeWhile { t =>
-        val ok = before < maxCandidates
-        before += sizesOf(t)
-        ok
-      }
-    }
     // PHASE 1 (monitor): snapshot the resident buckets for THIS probe
-    // (array refs only — the snapshot makes the fold immune to a racing
-    // probe's eviction) and note what is missing. The monitor is never
-    // held across a Spark job: a cold miss costs a ~0.27 s cluster fetch,
-    // and holding the lock through it serialized every concurrent probe
-    // against the same index behind one cold key.
+    // over the UNTRIMMED band-sorted rows (array refs only — the snapshot
+    // makes the fold immune to a racing probe's eviction) and note what
+    // is missing. Residency comes FIRST so a fully resident hot probe
+    // runs ZERO Spark jobs even when the driver stats map is refused
+    // (>DriverStatsMaxEntries buckets, e.g. 16M docs): the fold below
+    // enforces the exact same cumulative band-prefix cap with the
+    // resident arrays' own lengths (== the stats' n, grouped from this
+    // exact capped index), so skipping the trim on the hot path is
+    // bit-identical. The trim matters only for the FETCH, so it — and the
+    // stats lookup it may need — is computed only when something is
+    // missing. The monitor is never held across a Spark job: a cold miss
+    // costs a ~0.27 s cluster fetch, and holding the lock through it
+    // serialized every concurrent probe against the same index behind one
+    // cold key.
+    val sorted = qpRows.sortBy(_._1)
     val resident = new java.util.HashMap[(Int, Long, Long), Array[Long]]()
-    val missing = pc.synchronized {
-      probeRows.filter { t =>
+    val missingAll = pc.synchronized {
+      sorted.filter { t =>
         val ids = pc.buckets.get(t) // get also marks LRU recency
         if (ids != null) { resident.put(t, ids); false } else true
       }
+    }
+    // Trim the rows the FETCH will consider to the cap's band prefix
+    // (round 11): the fold only ever consumes the smallest band prefix
+    // whose cumulative bucket sizes reach the cap — typically one or two
+    // bands on a skewed corpus — yet the miss fetch used to pull all 32
+    // buckets. At 4M docs that untrimmed fetch (up to 32 x maxBucketSize
+    // postings per probe) both paid a wider fetch job and THRASHED the
+    // bounded cache: 20 rotating probes exceeded ProbeCacheMaxPostings,
+    // every repeat became a miss, and "hot" serving read 87-298 ms vs
+    // 4-6 ms at <=1M. The trim computes the same prefix the fold will
+    // take (identical cumulative rule over identical sizes), so results
+    // are bit-identical while the per-probe footprint shrinks ~16x. When
+    // the driver map is refused the sizes come from one small lookup
+    // against the cached stats table instead (key64-pruned; paid only by
+    // probes that actually miss) — the trim holds at ANY index size.
+    val probeRows: Array[(Int, Long, Long)] =
+      if (missingAll.isEmpty) sorted
+      else {
+        val sizesOf: ((Int, Long, Long)) => Long = driverStats(index) match {
+          case Some(m) => m.getOrElse(_, 0L)
+          case None =>
+            val m = bucketSizes(index)
+              .filter(col("key64").isin(qpRows.map(_._2).distinct.toSeq: _*))
+              .select("band", "key64", "key64b", "n").collect()
+              .map(r => ((r.getInt(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
+              .toMap
+            m.getOrElse(_, 0L)
+        }
+        var before = 0L
+        sorted.takeWhile { t =>
+          val ok = before < maxCandidates
+          before += sizesOf(t)
+          ok
+        }
+      }
+    val missing = {
+      val keep = probeRows.toSet
+      missingAll.filter(keep.contains)
     }
     // PHASE 2 (no lock): ONE fetch job for every missing bucket: key64-IN
     // literals reach the scan (bucket-pruned on a saved bucketed table);

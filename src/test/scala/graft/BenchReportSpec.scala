@@ -97,6 +97,47 @@ class BenchReportSpec extends SparkSpec {
     assert(med == 1.1)          // median of all 9 samples
   }
 
+  // Regression-guard behavior (round 12): BENCH_r11 flagged two phantom
+  // >=3x regressions on single-sample/contended rows, and the same-round
+  // artifact merge order was nondeterministic across machines. These pin
+  // the fixes without touching the repo's real artifacts (fixture dir).
+  test("ratiosVsPrev: only trusted (multi-sample) keys can raise the >=3x flag") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ratios").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/BENCH_r11.json"),
+      """{"queries":{"x_build_sec":10.0,"x_probe_sec":0.004,"catalog_total_sec":50.0}}""")
+    val cur = Map("x_build_sec" -> 40.0, "x_probe_sec" -> 0.02, "catalog_total_sec" -> 51.0)
+    // untrusted build row regressed 4x, trusted probe regressed 5x:
+    // only the probe may flag; the ratios map still records both
+    val (ratios, flags, prev) =
+      Bench.ratiosVsPrev(cur, Some(Set("x_probe_sec", "catalog_total_sec")), dir)
+    assert(prev == "BENCH_r11.json")
+    assert(math.abs(ratios("x_build_sec") - 4.0) < 1e-9)
+    assert(flags == Seq("x_probe_sec"), flags.toString)
+    // no trusted set supplied (legacy callers): every >=3x key flags
+    val (_, flagsAll, _) = Bench.ratiosVsPrev(cur, None, dir)
+    assert(flagsAll == Seq("x_build_sec", "x_probe_sec"), flagsAll.toString)
+  }
+
+  test("ratiosVsPrev: same-round artifacts merge in stable name order, driver last") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ratios2").toString
+    def put(name: String, json: String): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/$name"), json)
+    // two detail twins disagree on a shared key; the driver artifact
+    // carries the headline key. Merge must be name-ordered details first
+    // (run2 wins over run1 on x_shared_sec), then the driver artifact
+    // overriding the headline key — regardless of listFiles() order.
+    put("BENCH_LOCAL_r11_run2.json", """{"queries":{"x_shared_sec":2.0}}""")
+    put("BENCH_LOCAL_r11.json", """{"queries":{"x_shared_sec":1.0,"x_detail_sec":4.0}}""")
+    put("BENCH_r11.json", """{"queries":{"x_head_sec":8.0}}""")
+    put("BENCH_r10.json", """{"queries":{"x_head_sec":99.0}}""") // older round ignored
+    val cur = Map("x_shared_sec" -> 2.0, "x_detail_sec" -> 4.0, "x_head_sec" -> 8.0)
+    val (ratios, _, prev) = Bench.ratiosVsPrev(cur, None, dir)
+    assert(prev == "BENCH_LOCAL_r11.json+BENCH_LOCAL_r11_run2.json+BENCH_r11.json")
+    assert(math.abs(ratios("x_shared_sec") - 1.0) < 1e-9) // vs run2's 2.0, not run1's 1.0
+    assert(math.abs(ratios("x_detail_sec") - 1.0) < 1e-9)
+    assert(math.abs(ratios("x_head_sec") - 1.0) < 1e-9)
+  }
+
   // Artifact self-checks (round 11): rounds 9/10 each lost one hard
   // driver signal to silent emit-time failures (empty CORRECTNESS,
   // parsed:null BENCH) — these pin that the emitters' post-write checks

@@ -89,6 +89,38 @@ class QueryEngineSpec extends SparkSpec {
     eng.close()
   }
 
+  test("resident-hot probe runs ZERO Spark jobs even with the driver stats map refused") {
+    // round 12 (ADVICE): the band-prefix trim used to run BEFORE the
+    // residency snapshot, so when driver stats were unavailable (the 16M+
+    // serving configuration) every probe — including fully resident hot
+    // ones — paid the bucketSizes filter+collect job, silently turning
+    // the zero-job hot tier into job-floor latency. Residency now comes
+    // first; the trim (and its stats lookup) only runs for probes that
+    // actually miss. An un-warmed engine reproduces the refused-stats
+    // state exactly (driverStats is None until warmUp collects it).
+    val docs = spark.read.parquet(s"$testDataDir/documents.parquet")
+    val eng = QueryEngine.build(docs,
+      mp = graft.core.MinHashPipeline.Params(kShingle = 3))
+    val qSig = eng.sigs.filter(col("doc_id") === 413L).head().getSeq[Long](1).toArray
+    val cold = eng.query(qSig, 5) // populates bucket + signature caches
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val hot = eng.query(qSig, 5)
+      assert(hot == cold)
+      // the listener bus delivers asynchronously; any job the probe ran
+      // was submitted (and waited on) synchronously, so a bounded drain
+      // is enough for its start event to reach the listener
+      Thread.sleep(1000)
+      assert(jobs.get() == 0, s"hot probe fired ${jobs.get()} Spark job(s); expected 0")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    eng.close()
+  }
+
   test("prefix-trimmed probe-cache fetch + bucketed cold serving stay bit-identical") {
     // round 11: with the driver stats map warm, a probe-cache miss fetches
     // ONLY the cap's band prefix (the fold never consumes more), and with
