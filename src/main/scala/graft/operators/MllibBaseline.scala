@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.ml.feature.MinHashLSH
+import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, MinHashLSH}
 import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -77,6 +77,60 @@ object MllibBaseline {
       .setInputCol("features").setOutputCol("hashes")
       .fit(corpus)
     val joined = model.approxSimilarityJoin(corpus, queries, 1.0, "dist")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("dist").asc, col("id").asc)
+    joined
+      .select(col("datasetB.query_id").as("query_id"),
+        col("datasetA.id").as("id"), col("dist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "id")
+  }
+
+  /** Replicates BucketedRandomProjectionLSH.fit's random unit vectors
+    * exactly: `val rand = new scala.util.Random(seed)`, then per hash
+    * table a dim-long array of `rand.nextGaussian()` draws, L2-normalized
+    * (breeze `normalize` — elementwise division by the sqrt-of-sum-of-
+    * squares norm). MllibBaselineSpec pins this against a REAL fitted
+    * model's transform output at a bucket length fine enough that any
+    * draw/normalize drift would flip floors — if a Spark upgrade changes
+    * the contract, the spec trips before the a19 oracle gate does. */
+  def replicateUnitVectors(seed: Long, numTables: Int, dim: Int): Array[Array[Double]] = {
+    val rand = new scala.util.Random(seed)
+    Array.fill(numTables) {
+      val a = Array.fill(dim)(rand.nextGaussian())
+      var s = 0.0
+      var i = 0
+      while (i < dim) { s += a(i) * a(i); i += 1 }
+      val n = math.sqrt(s)
+      a.map(_ / n)
+    }
+  }
+
+  /** Top-k ids per query through the LIBRARY's Euclidean-LSH path
+    * (the vector-side twin of [[mllibTopK]], round 12 / SURVEY §7.2):
+    * dense vectors from the float embeddings,
+    * `BucketedRandomProjectionLSH.fit` (hash per table =
+    * floor(dot(x, unitVec)/bucketLength)), `approxSimilarityJoin` at a
+    * keep-all threshold (unit-normalized corpus ⇒ distances ≤ 2, so 2.1
+    * mirrors a18's Jaccard-distance 1.0: every bucket-colliding pair
+    * survives and ranking is by the library's exact key distance), then
+    * a deterministic (distance asc, id asc) top-k per query. The UDF is
+    * the mandatory `ml.linalg.Vector` boundary. Output:
+    * (query_id, rank, id). */
+  def mllibBrpTopK(embs: DataFrame, queries: DataFrame, k: Int,
+                   numTables: Int = 16, bucketLength: Double = 0.02,
+                   threshold: Double = 2.1, seed: Long = 42L): DataFrame = {
+    val toVec = udf((v: Seq[Float]) => Vectors.dense(v.map(_.toDouble).toArray))
+    val corpus = embs
+      .select(col("vec_id").cast("long").as("id"), toVec(col("embedding")).as("features"))
+    val qs = queries
+      .select(col("vec_id").cast("long").as("query_id"), toVec(col("embedding")).as("features"))
+    val model = new BucketedRandomProjectionLSH()
+      .setNumHashTables(numTables).setSeed(seed).setBucketLength(bucketLength)
+      .setInputCol("features").setOutputCol("hashes")
+      .fit(corpus)
+    val joined = model.approxSimilarityJoin(corpus, qs, threshold, "dist")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("dist").asc, col("id").asc)
     joined
