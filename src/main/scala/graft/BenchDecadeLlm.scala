@@ -1,0 +1,208 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-decade evidence main for the LLM-pipeline operator family
+  * (round 12 — the last 100 TB claims that rested on plan shape + sf1.0
+  * alone): exact dedup (d01), SimHash pigeonhole pairs (d03), connected
+  * components (d05), token-budget selection (u06), temperature mixing
+  * (u07) and the six-stage corpus-prep composition (p01), measured at
+  * `SPARK_GRAFT_DECADE_DOCS` documents (run at 1M / 4M / 16M for the
+  * decade). Kept OUT of graft.Bench for the same reason as BenchDecade:
+  * the driver's per-round run keeps its ~15-minute budget; run this
+  * manually on a quiet box.
+  *
+  * The corpus is [[graft.sources.SyntheticCorpus.docsLlm]] — planted
+  * exact-duplicate and near-duplicate families plus a Zipf-ish
+  * 8-language split — WRITTEN TO PARQUET first and read back, so every
+  * row times a real scan-to-result pipeline (the 100 TB shape), not an
+  * in-memory generator.
+  *
+  * Claims this main substantiates with numbers (SURVEY §2.2 / §6.1):
+  *  - d05 pointer-jumping converges in O(log diameter) rounds: the chain
+  *    fixture (fixed diameter 16384 at every corpus size) must keep its
+  *    ROUND COUNT flat while per-round time scales with rows; round
+  *    timings ride the samples map.
+  *  - u06/u07 never form a whole-group window: the row_number window
+  *    spec under THIS fixture must carry the `_bucket` key (the same pin
+  *    PlanSpec enforces at test scale) — recorded as plan_pin_failures
+  *    (must be empty).
+  *  - p01 wall time tracks survivors ~linearly across the decade; the
+  *    survivor counts ride the line for the cross-scale comparison.
+  *
+  * SimHash block width is the documented scale lever: hamming budget 3
+  * (4 x ~16-bit blocks) keeps 2^16 block keys — at 16M docs that is
+  * ~244 docs/key of FALSE candidates (an inherent n^2/2^16 term
+  * regardless of content), so above `SimhashBudget3MaxDocs` this main
+  * runs the production sizing, budget 1 (2 x ~31-bit blocks, n^2/2^31
+  * false-candidate term) — exact-duplicate pairs (hamming 0) are still
+  * all found.
+  */
+object BenchDecadeLlm {
+
+  final val SimhashBudget3MaxDocs = 2000000L
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_DECADE_DOCS", "16000000").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val tag = if (nDocs % 1000000 == 0) s"${nDocs / 1000000}mdocs" else s"${nDocs}docs"
+    val samples = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    val degraded = scala.collection.mutable.LinkedHashSet.empty[String]
+    val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val planPinFailures = scala.collection.mutable.ListBuffer.empty[String]
+    def medianOf(key: String, minSamples: Int = 3)(run: () => Unit): Double = {
+      run() // warmup
+      def sample(): Double = {
+        val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+      }
+      val (med, all, isDegraded) =
+        Bench.certifiedMedian(minSamples, betweenBatches = () => System.gc())(sample)
+      if (isDegraded) degraded += key
+      samples(key) = all
+      med
+    }
+    // single-sample rows for the multi-minute composites (build-class:
+    // honest single numbers, excluded from any regression flagging by
+    // the <3-samples rule)
+    def once(key: String)(run: () => Unit): Double = {
+      val t0 = System.nanoTime(); run()
+      val s = (System.nanoTime() - t0) / 1e9
+      samples(key) = Seq(s)
+      s
+    }
+    import graft.operators.{Dedup, Pipeline, Sampling}
+    import graft.sources.SyntheticCorpus
+
+    // ---- fixture: generate once, WRITE to parquet, read back ----
+    val fixtureDir = new java.io.File(s"target/decade_llm_$tag")
+    val tW = System.nanoTime()
+    if (!new java.io.File(fixtureDir, "_SUCCESS").exists()) {
+      SyntheticCorpus.docsLlm(spark, nDocs)
+        .write.mode("overwrite").parquet(fixtureDir.getPath)
+    }
+    val fixtureSec = (System.nanoTime() - tW) / 1e9
+    val docs = spark.read.parquet(fixtureDir.getPath)
+    System.err.println(s"[decade-llm] fixture ready in $fixtureSec s")
+    val budget = if (nDocs > SimhashBudget3MaxDocs) 1 else 3
+
+    // d01: exact dedup — one md5-keyed hash aggregate over the scan
+    val exactSec = medianOf(s"x_llm_dedup_exact_sec_$tag")(() =>
+      counts("n_exact_groups") = Dedup.exact(docs).count())
+    // d03: pigeonhole candidate pairs at the scale-appropriate budget
+    val simhashSec = medianOf(s"x_llm_simhash_pairs_sec_$tag")(() =>
+      counts("n_simhash_pairs") = Dedup.nearSimHash(docs, budget).count())
+    System.err.println(s"[decade-llm] exact=$exactSec simhash=$simhashSec " +
+      s"pairs=${counts("n_simhash_pairs")}")
+
+    // d05 over the text-derived pairs: pairs materialized FIRST (their
+    // cost is the simhash row above), so this times propagation alone
+    val pairs = Dedup.nearSimHash(docs, budget).localCheckpoint(true)
+    val ccRounds = scala.collection.mutable.ListBuffer.empty[(Int, Double)]
+    val ccSec = once(s"x_llm_cc_sec_$tag") { () =>
+      ccRounds.clear()
+      counts("n_cc_labeled") = Dedup.connectedComponents(pairs,
+        onRound = (r, s) => ccRounds += ((r, s))).count()
+    }
+    counts(s"x_llm_cc_rounds_$tag") = ccRounds.lastOption.map(_._1.toLong).getOrElse(0L)
+    samples(s"x_llm_cc_round_secs_$tag") = ccRounds.map(_._2).toSeq
+    System.err.println(s"[decade-llm] cc=$ccSec rounds=${ccRounds.toList}")
+
+    // d05 on the fixed-diameter chain graph: nDocs nodes in chains of
+    // diameter 16384 — the round count must stay ~log2(16384) at every
+    // corpus size while per-round time carries the row term
+    val chainEdges = spark.range(nDocs - 1)
+      .filter(pmod(col("id") + 1, lit(16384L)) =!= 0)
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+      .localCheckpoint(true)
+    val chainRounds = scala.collection.mutable.ListBuffer.empty[(Int, Double)]
+    val chainSec = once(s"x_llm_cc_chain_sec_$tag") { () =>
+      chainRounds.clear()
+      counts("n_cc_chain_labeled") = Dedup.connectedComponents(chainEdges,
+        onRound = (r, s) => chainRounds += ((r, s))).count()
+    }
+    counts(s"x_llm_cc_chain_rounds_$tag") =
+      chainRounds.lastOption.map(_._1.toLong).getOrElse(0L)
+    samples(s"x_llm_cc_chain_round_secs_$tag") = chainRounds.map(_._2).toSeq
+    System.err.println(s"[decade-llm] chain cc=$chainSec rounds=${chainRounds.toList}")
+
+    // u06: token-budget selection per language (budget = ~10% of tokens)
+    val score = pmod(xxhash64(col("doc_id"), lit(-7)), lit(1L << 40)).cast("double") /
+      lit((1L << 40).toDouble)
+    val docsTok = docs.withColumn("n_toks", size(split(col("text"), " ")))
+    val u06Df = Sampling.budgetSample(docsTok, "lang", score,
+      col("n_toks"), budget = nDocs * 4L)
+    val u06Sec = medianOf(s"x_llm_budget_sample_sec_$tag")(() =>
+      counts("n_budget_selected") = u06Df.filter(col("selected")).count())
+    // u07: temperature mixing (quota ∝ sqrt(n_g), ~10% overall)
+    val dpsd = 0.0446 * math.sqrt(nDocs.toDouble)
+    val u07Df = Sampling.temperatureMix(docs.select("doc_id", "lang"), "lang", dpsd)
+    val u07Sec = medianOf(s"x_llm_temperature_mix_sec_$tag")(() =>
+      counts("n_mix_selected") = u07Df.filter(col("selected")).count())
+    System.err.println(s"[decade-llm] u06=$u06Sec u07=$u07Sec")
+
+    // the u06/u07 plan pins UNDER THIS FIXTURE: every per-doc row_number
+    // window must carry the `_bucket` key — a whole-language single-task
+    // sort must never form at any scale (PlanSpec's rule, re-checked on
+    // the decade plan because fixture stats/AQE could have replanned it)
+    for ((name, df) <- Seq("u06" -> u06Df, "u07" -> u07Df)) {
+      val p = df.queryExecution.executedPlan.toString
+      val rn = p.indexOf("row_number()")
+      val ok = rn >= 0 && p.substring(rn, math.min(p.length, rn + 300)).contains("_bucket")
+      if (!ok) planPinFailures += s"$name:row_number_window_missing_bucket"
+    }
+
+    // p01: the six-stage composition end-to-end (single sample — a
+    // multi-minute composite at 16M), with survivor counts for the
+    // linear-in-survivors cross-scale claim
+    val p01Sec = once(s"x_llm_p01_sec_$tag") { () =>
+      val out = Pipeline.prepareCorpus(docs, hammingBudget = budget)
+        .localCheckpoint(true)
+      counts("n_p01_rows") = out.count()
+      counts("n_p01_selected") = out.filter(col("selected")).count()
+    }
+    System.err.println(s"[decade-llm] p01=$p01Sec " +
+      s"rows=${counts("n_p01_rows")} selected=${counts("n_p01_selected")}")
+
+    def f6(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.6f", Double.box(v))
+    def jmap(m: Iterable[(String, String)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val metrics = Map(
+      s"x_llm_fixture_write_sec_$tag" -> fixtureSec,
+      s"x_llm_dedup_exact_sec_$tag" -> exactSec,
+      s"x_llm_simhash_pairs_sec_$tag" -> simhashSec,
+      s"x_llm_cc_sec_$tag" -> ccSec,
+      s"x_llm_cc_chain_sec_$tag" -> chainSec,
+      s"x_llm_budget_sample_sec_$tag" -> u06Sec,
+      s"x_llm_temperature_mix_sec_$tag" -> u07Sec,
+      s"x_llm_p01_sec_$tag" -> p01Sec)
+    val line = jmap(Seq(
+      "metric" -> "\"decade_llm\"", "n_docs" -> nDocs.toString,
+      "simhash_budget" -> budget.toString,
+      "queries" -> jmap(metrics.toSeq.sortBy(_._1).map { case (k, v) => k -> f6(v) }),
+      "counts" -> jmap(counts.toSeq.map { case (k, v) => k -> v.toString }),
+      "plan_pin_failures" -> planPinFailures.map("\"" + _ + "\"").mkString("[", ",", "]"),
+      "degraded" -> (if (degraded.nonEmpty) "true" else "false"),
+      "degraded_probes" -> degraded.map("\"" + _ + "\"").mkString("[", ",", "]"),
+      "samples" -> jmap(samples.map { case (k, vs) =>
+        k -> vs.map(f6).mkString("[", ",", "]")
+      })))
+    println(line)
+    System.out.flush()
+    spark.stop()
+    if (planPinFailures.nonEmpty) {
+      System.err.println(s"[decade-llm] PLAN PIN FAILURES: $planPinFailures")
+      sys.exit(2)
+    }
+  }
+}

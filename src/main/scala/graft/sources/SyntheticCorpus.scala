@@ -53,4 +53,49 @@ object SyntheticCorpus {
       col("id").as("vec_id"),
       transform(sequence(lit(0), lit(dims - 1)),
         d => (u(col("id"), d, seed) * 2.0 - 1.0).cast("float")).as("embedding"))
+
+  /** docsLlm(doc_id, text, lang): the LLM-pipeline decade fixture —
+    * [[docs]]' distributional shape plus the structure the dedup/sampling
+    * operators exist for, still derived purely from ids (partition- and
+    * scale-invariant):
+    *
+    *  - `dupFrac` of documents join a duplicate FAMILY (family id hashed
+    *    from the doc id, ~`famMean` expected members): family members draw
+    *    their text from the family id, so half are EXACT duplicates
+    *    (d01's workload) and the other half append one per-doc mutation
+    *    word (near-duplicates — high-Jaccard pairs for the banded/block
+    *    candidate generators, d03/d06's workload);
+    *  - `lang` follows a Zipf-ish 8-language split (en 60% … sw 0.3%),
+    *    giving the mixing/budget samplers (u06/u07, p01 stage 6) real
+    *    skewed group structure;
+    *  - vocabulary is `vocabSize`-wide (default 5000 vs docs' 20) so
+    *    shingle diversity at multi-million-doc scale resembles text, not
+    *    a 20-word toy alphabet. */
+  def docsLlm(spark: SparkSession, nDocs: Long, vocabSize: Int = 5000,
+              avgWords: Int = 40, sigmaWords: Double = 10.0,
+              dupFrac: Double = 0.25, famMean: Int = 8,
+              seed: Int = 42): DataFrame = {
+    val id = col("doc_id")
+    val famCount = math.max(1L, (nDocs * dupFrac).toLong / famMean)
+    val isDup = u(id, lit(-100), seed) < dupFrac
+    val fam = pmod(xxhash64(id, lit(-101), lit(seed)), lit(famCount))
+    // text identity: family id for dup members (negated into a disjoint
+    // id space so a family never aliases a singleton doc), own id otherwise
+    val tid = when(isDup, -fam - 1).otherwise(id)
+    val gauss = (1 to 12).map(j => u(tid, lit(-j), seed)).reduce(_ + _) - lit(6.0)
+    val nWords = greatest(lit(1), (lit(avgWords) + lit(sigmaWords) * gauss).cast("int"))
+    val baseText = concat_ws(" ",
+      transform(sequence(lit(1), nWords),
+        i => concat(lit("w"), pmod(xxhash64(tid, i, lit(seed)), lit(vocabSize)))))
+    val mutated = isDup && u(id, lit(-102), seed) < 0.5
+    val text = when(mutated,
+      concat(baseText, lit(" m"), pmod(xxhash64(id, lit(-104), lit(seed)), lit(16))))
+      .otherwise(baseText)
+    val lu = u(id, lit(-103), seed)
+    val lang = when(lu < 0.60, "en").when(lu < 0.75, "fr").when(lu < 0.85, "de")
+      .when(lu < 0.93, "zh").when(lu < 0.97, "ru").when(lu < 0.99, "hi")
+      .when(lu < 0.997, "fi").otherwise("sw")
+    spark.range(nDocs).select(col("id").as("doc_id"))
+      .select(col("doc_id"), text.as("text"), lang.as("lang"))
+  }
 }
