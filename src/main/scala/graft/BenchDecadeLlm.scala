@@ -150,15 +150,18 @@ object BenchDecadeLlm {
       counts("n_mix_selected") = u07Df.filter(col("selected")).count())
     System.err.println(s"[decade-llm] u06=$u06Sec u07=$u07Sec")
 
-    // the u06/u07 plan pins UNDER THIS FIXTURE: every per-doc row_number
-    // window must carry the `_bucket` key — a whole-language single-task
-    // sort must never form at any scale (PlanSpec's rule, re-checked on
-    // the decade plan because fixture stats/AQE could have replanned it)
+    // the u06/u07 plan pins UNDER THIS FIXTURE: EVERY window in both
+    // plans (u06's running token sum, u07's bucket-prefix and per-doc
+    // rank windows) must carry the `_bucket` key in its spec — a
+    // whole-language single-task window must never form at any scale
+    // (PlanSpec's rule, re-checked on the decade plan because fixture
+    // stats/AQE could have replanned it)
     for ((name, df) <- Seq("u06" -> u06Df, "u07" -> u07Df)) {
       val p = df.queryExecution.executedPlan.toString
-      val rn = p.indexOf("row_number()")
-      val ok = rn >= 0 && p.substring(rn, math.min(p.length, rn + 300)).contains("_bucket")
-      if (!ok) planPinFailures += s"$name:row_number_window_missing_bucket"
+      val specs = "windowspecdefinition\\(".r.findAllMatchIn(p).map(_.start).toSeq
+      val allBucketed = specs.nonEmpty && specs.forall(i =>
+        p.substring(i, math.min(p.length, i + 300)).contains("_bucket"))
+      if (!allBucketed) planPinFailures += s"$name:window_spec_missing_bucket"
     }
 
     // p01: the six-stage composition end-to-end (single sample — a

@@ -112,13 +112,20 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
                           maxIter: Int = 30,
                           onRound: (Int, Double) => Unit = null): DataFrame = {
-    val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    // every per-round checkpoint is stats-stripped: localCheckpoint
+    // copies the child plan's ESTIMATED statistics onto its LogicalRDD,
+    // and in an iterative join algorithm that estimate compounds ~20x
+    // per round until JoinSelection's BigInteger size math dominates
+    // wall-clock (planning hung for MINUTES by round ~8 on a
+    // diameter-16k graph while the data stayed trivial). See
+    // org.apache.spark.sql.graftbridge.CheckpointStats.
+    def ckpt(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graftbridge.CheckpointStats.strip(df.localCheckpoint(true))
+    val edges = ckpt(pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .unionByName(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("doc")).distinct()
-      .withColumn("label", col("doc"))
-      .localCheckpoint(true)
+      .distinct())
+    var labels = ckpt(edges.select(col("src").as("doc")).distinct()
+      .withColumn("label", col("doc")))
     // one min-label propagation + pointer-jump round, as a PLAN (no action)
     def step(l: DataFrame): DataFrame = {
       // min label among neighbors of each node
@@ -154,10 +161,9 @@ object Dedup {
       val rounds = math.min(2, maxIter - done)
       val t0 = System.nanoTime()
       val prevState = if (rounds == 2) step(labels) else labels
-      val next = step(prevState)
+      val next = ckpt(step(prevState)
         .join(prevState.select(col("doc"), col("label").as("mid_label")), "doc")
-        .select(col("doc"), col("label"), (col("label") =!= col("mid_label")).as("chg"))
-        .localCheckpoint(true)
+        .select(col("doc"), col("label"), (col("label") =!= col("mid_label")).as("chg")))
       labels = next.select("doc", "label")
       converged = next.filter(col("chg")).limit(1).count() == 0L
       done += rounds

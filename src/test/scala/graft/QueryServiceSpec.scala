@@ -71,4 +71,55 @@ class QueryServiceSpec extends SparkSpec {
       eng.close()
     }
   }
+
+  test("concurrent mixed hot/cold load returns bit-identical responses (round 12)") {
+    // the BenchHttp scenario at spec scale: an engine ABOVE warm-up's
+    // replica path is not forced — use an un-warmed engine so probes
+    // route through the shared LRU ProbeCache, where racing fetches and
+    // evictions are possible. 8 client threads hammer overlapping hot
+    // keys and thread-disjoint cold keys over real HTTP; every response
+    // must byte-equal the single-threaded answer captured AFTER the run
+    // (the cache's contract: hot/cold/racing all bit-identical).
+    val docs = spark.read.parquet(s"$testDataDir/documents.parquet")
+    val eng = QueryEngine.build(docs,
+      mp = graft.core.MinHashPipeline.Params(kShingle = 3))
+    val server = QueryService.serve(eng, port = 0)
+    try {
+      val port = server.getAddress.getPort
+      val sigOf = eng.sigs.filter(org.apache.spark.sql.functions.col("doc_id") < 500)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+      val hot = Seq(3L, 9L, 21L, 413L)
+      val results = new java.util.concurrent.ConcurrentHashMap[(Long, Int), String]()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      val futures = (0 until 8).map { t =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            val client = HttpClient.newHttpClient()
+            // per-thread cold key (disjoint) + the shared hot set, x5
+            val keys = (hot :+ (50L + t)) ++ hot ++ hot ++ hot ++ hot
+            keys.zipWithIndex.foreach { case (id, j) =>
+              val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/query"))
+                .POST(HttpRequest.BodyPublishers.ofString(
+                  s"""{"vector":[${sigOf(id).mkString(",")}],"k":5}""")).build()
+              results.put((id, t * 1000 + j),
+                client.send(req, HttpResponse.BodyHandlers.ofString()).body())
+            }
+          }
+        })
+      }
+      futures.foreach(_.get())
+      pool.shutdown()
+      // expected answers, single-threaded, after the dust settles
+      val expectedById = (hot ++ (0 until 8).map(50L + _)).map { id =>
+        id -> eng.queryJson(sigOf(id), k = 5)
+      }.toMap
+      results.forEach { (key, body) =>
+        assert(body == expectedById(key._1), s"id=${key._1} diverged under load")
+      }
+      assert(results.size() == 8 * 21)
+    } finally {
+      server.stop(0)
+      eng.close()
+    }
+  }
 }
