@@ -249,6 +249,38 @@ final class QueryEngine private (
     bucketedServing = Some(spark.table(table))
     this
   }
+
+  /** Persist the complete LEAN SERVING layout (round 12, the 16M+
+    * serving-shard answer): postings bucketed by key64 (as
+    * [[saveBucketed]]), signatures bucketed by doc_id (so a probe's
+    * cold signature fetch is bucket-pruned too), and the build params —
+    * all as EXTERNAL tables under `dir`, so the table data outlives any
+    * one session/catalog and [[QueryEngine.openServing]] can re-register
+    * it from a fresh JVM. A serving process opened this way holds NO
+    * corpus-sized cache: its heap is bounded by the LRU probe/signature
+    * caches, which is what keeps 16M-doc hot-single serving off the
+    * 96 GiB-heap GC regime the cached-index configuration measured. */
+  def saveServing(dir: String, prefix: String, buckets: Int = 64): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS ${prefix}_postings")
+    spark.sql(s"DROP TABLE IF EXISTS ${prefix}_sigs")
+    index.repartition(buckets, col("key64"))
+      .write.mode("overwrite")
+      .option("path", s"$dir/postings")
+      .bucketBy(buckets, "key64")
+      .sortBy("key64", "band")
+      .saveAsTable(s"${prefix}_postings")
+    sigs.repartition(buckets, col("doc_id"))
+      .write.mode("overwrite")
+      .option("path", s"$dir/sigs")
+      .bucketBy(buckets, "doc_id")
+      .sortBy("doc_id")
+      .saveAsTable(s"${prefix}_sigs")
+    import spark.implicits._
+    Seq((params.bands, params.numPerm, params.maxBucketSize,
+      mpParams.kShingle, mpParams.byWord, buckets))
+      .toDF("bands", "num_perm", "max_bucket_size", "k_shingle", "by_word", "buckets")
+      .coalesce(1).write.mode("overwrite").json(s"$dir/params")
+  }
 }
 
 object QueryEngine {
@@ -343,6 +375,49 @@ object QueryEngine {
       .map(p => lp.copy(numPerm = p.asInstanceOf[Long].toInt)).getOrElse(lp)
     val (postings, release) = Lsh.postingsWithScratch(sigs, "doc_id", "sig", fullLp)
     new QueryEngine(spark, sigs, postings.cache(), fullLp, mp, release)
+  }
+
+  /** Open a LEAN SERVING engine over a [[QueryEngine.saveServing]]
+    * layout — the 16M+ serving-shard configuration. The returned engine
+    * caches NOTHING corpus-sized: `sigs`/`index` point at the bucketed
+    * EXTERNAL tables (re-registered into this session's catalog from
+    * the layout's own files when absent — a fresh JVM serves with no
+    * rebuild), and single probes route through the LRU probe cache with
+    * every miss-path job bucket-pruned: the bucket fetch, the
+    * band-prefix sizes lookup, and the signature fetch. Hot repeats run
+    * zero Spark jobs. Heap is bounded by the probe/signature caches
+    * (~hundreds of MB), not the corpus — the configuration that keeps
+    * 16M-doc hot singles out of the corpus-heap GC regime. Batch/
+    * uncapped probes on a lean engine still work (distributed plans over
+    * the disk tables) but pay scan cost; the cached-index engine remains
+    * the batch tier. */
+  def openServing(spark: SparkSession, dir: String, prefix: String): QueryEngine = {
+    val r = spark.read.json(s"$dir/params").head()
+    val lp = Lsh.Params(
+      bands = r.getAs[Long]("bands").toInt,
+      numPerm = r.getAs[Long]("num_perm").toInt,
+      maxBucketSize = r.getAs[Long]("max_bucket_size").toInt)
+    val mp = MinHashPipeline.Params(
+      kShingle = r.getAs[Long]("k_shingle").toInt,
+      byWord = r.getAs[Boolean]("by_word"))
+    val buckets = r.getAs[Long]("buckets").toInt
+    // re-register the external tables when this session's catalog lacks
+    // them (fresh JVM): schema from the parquet footers, bucket spec from
+    // the params record — the files already carry bucket-id names, so the
+    // DDL only restores metadata
+    def ensure(table: String, path: String, bucketCol: String, sortCols: String): Unit =
+      if (!spark.catalog.tableExists(table)) {
+        val schema = spark.read.parquet(path).schema.toDDL
+        spark.sql(
+          s"""CREATE TABLE $table ($schema) USING parquet
+             |CLUSTERED BY ($bucketCol) SORTED BY ($sortCols) INTO $buckets BUCKETS
+             |LOCATION '$path'""".stripMargin)
+      }
+    ensure(s"${prefix}_postings", s"$dir/postings", "key64", "key64, band")
+    ensure(s"${prefix}_sigs", s"$dir/sigs", "doc_id", "doc_id")
+    val eng = new QueryEngine(spark,
+      spark.table(s"${prefix}_sigs"), spark.table(s"${prefix}_postings"), lp, mp)
+    eng.serveFromBucketed(s"${prefix}_postings")
   }
 
   /** Restore a saved index (restart-safe, unlike the reference's

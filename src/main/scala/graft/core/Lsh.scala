@@ -474,9 +474,21 @@ object Lsh {
         val sizesOf: ((Int, Long, Long)) => Long = driverStats(index) match {
           case Some(m) => m.getOrElse(_, 0L)
           case None =>
-            val m = bucketSizes(index)
-              .filter(col("key64").isin(qpRows.map(_._2).distinct.toSeq: _*))
-              .select("band", "key64", "key64b", "n").collect()
+            // stats refused AND this probe misses: recover its <=32 sizes
+            // with one small job. With a bucketed serving table wired
+            // (the lean/disk tier) the counts come from a BUCKET-PRUNED
+            // scan of that table — no whole-index stats DF ever needs to
+            // exist or be cached, which is what keeps the lean-serving
+            // heap flat at 16M+ docs; otherwise from the cached stats
+            // table (one-time groupBy over the cached index).
+            val m = (fetchFrom match {
+              case Some(src) =>
+                src.filter(col("key64").isin(qpRows.map(_._2).distinct.toSeq: _*))
+                  .groupBy("band", "key64", "key64b").agg(count(lit(1)).as("n"))
+              case None =>
+                bucketSizes(index)
+                  .filter(col("key64").isin(qpRows.map(_._2).distinct.toSeq: _*))
+            }).select("band", "key64", "key64b", "n").collect()
               .map(r => ((r.getInt(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
               .toMap
             m.getOrElse(_, 0L)

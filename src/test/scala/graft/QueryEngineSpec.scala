@@ -155,6 +155,58 @@ class QueryEngineSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS qeng_spec_bucketed_serving")
   }
 
+  test("lean serving: openServing re-registers external tables and probes bit-identically, hot = zero jobs") {
+    // round 12 (the 16M serving-shard sketch): saveServing writes the
+    // postings/sigs as bucketed EXTERNAL tables + params; a fresh
+    // catalog (here: tables dropped — files survive because the tables
+    // are external) re-registers them from their own files via
+    // openServing. The lean engine caches nothing corpus-sized; every
+    // miss-path job is bucket-pruned; hot repeats run zero Spark jobs.
+    val docs = spark.read.parquet(s"$testDataDir/documents.parquet")
+    val built = QueryEngine.build(docs,
+      mp = graft.core.MinHashPipeline.Params(kShingle = 3))
+    val dir = java.nio.file.Files.createTempDirectory("graft-lean").toString
+    built.saveServing(dir, "qeng_spec_lean", buckets = 8)
+    // expected answers from the distributed plan BEFORE closing
+    val expect = Seq(0L, 7L, 42L, 413L).map { qid =>
+      val qSig = built.sigs.filter(col("doc_id") === qid).head().getSeq[Long](1).toArray
+      val dist = graft.core.Lsh.querySignature(
+        built.sigs, built.index, qSig, 5, built.params, maxCandidates = 2000)
+        .collect()
+        .map(r => QueryEngine.Candidate(r.getLong(0), r.getDouble(1), r.getSeq[Long](2)))
+        .toSeq
+      (qid, qSig, (if (dist.isEmpty) Seq(QueryEngine.Candidate(-1L, 0.0, Nil)) else dist)
+        .padTo(5, QueryEngine.Candidate(-1L, 0.0, Nil)).take(5))
+    }
+    built.close()
+    // drop the catalog entries (external tables -> data files survive):
+    // openServing must rebuild the bucketed metadata from the layout alone
+    spark.sql("DROP TABLE IF EXISTS qeng_spec_lean_postings")
+    spark.sql("DROP TABLE IF EXISTS qeng_spec_lean_sigs")
+    val lean = QueryEngine.openServing(spark, dir, "qeng_spec_lean")
+    expect.foreach { case (qid, qSig, exp) =>
+      assert(lean.query(qSig, 5) == exp, s"qid=$qid lean cold")
+    }
+    // hot repeats: fully resident -> zero Spark jobs even though the
+    // driver stats map was never warmed (the lean tier's contract)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      expect.foreach { case (qid, qSig, exp) =>
+        assert(lean.query(qSig, 5) == exp, s"qid=$qid lean hot")
+      }
+      Thread.sleep(1000)
+      assert(jobs.get() == 0, s"lean hot probes fired ${jobs.get()} Spark job(s); expected 0")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    lean.close()
+    spark.sql("DROP TABLE IF EXISTS qeng_spec_lean_postings")
+    spark.sql("DROP TABLE IF EXISTS qeng_spec_lean_sigs")
+  }
+
   test("concurrent cold probe-cache probes stay bit-identical (no lock across jobs)") {
     // two threads share one un-warmed engine (probes route through the
     // per-index ProbeCache): both start cold on overlapping keys, so a
