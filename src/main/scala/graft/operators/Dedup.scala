@@ -146,6 +146,12 @@ object Dedup {
     }
     var done = 0
     var converged = false
+    // superseded round checkpoints are RELEASED as soon as the next
+    // round materializes: localCheckpoint blocks are RDD-level (plain
+    // unpersist no-ops on them — the releaseFrame contract), and leaving
+    // 16+ corpus-sized round states in storage memory turned per-round
+    // cost GC-spiky at 4M nodes (10-54 s swings on a quiet box)
+    var prevCkpt: DataFrame = labels
     while (!converged && done < maxIter) {
       // Up to TWO propagation rounds compose into one materialization
       // (lineage depth stays bounded at 2 rounds; exactly maxIter rounds
@@ -166,6 +172,8 @@ object Dedup {
         .select(col("doc"), col("label"), (col("label") =!= col("mid_label")).as("chg")))
       labels = next.select("doc", "label")
       converged = next.filter(col("chg")).limit(1).count() == 0L
+      graft.api.QueryEngine.releaseFrame(prevCkpt)
+      prevCkpt = next
       done += rounds
       // round observer (round 12): the O(log diameter) convergence claim
       // is measurable, not just asserted — BenchDecadeLlm records
