@@ -25,6 +25,15 @@ import java.nio.charset.StandardCharsets
   * Errors mirror the reference's envelope: a malformed body or missing
   * vector returns `{"error": ...}` (query_service.py:162-163). */
 object QueryService {
+  // TCP_NODELAY on exchange sockets: without it, small request/response
+  // pairs stall on the Nagle + delayed-ACK interaction — measured as a
+  // flat ~50 ms per POST against a sub-ms in-process probe (BenchHttp's
+  // first run: p50 48-56 ms at EVERY concurrency). The JDK server reads
+  // this property once, in ServerConfig's static init, so it must be set
+  // before the first HttpServer is created — this object owns every
+  // create call, so its own initializer is early enough.
+  System.setProperty("sun.net.httpserver.nodelay", "true")
+
   private val mapper = new ObjectMapper()
 
   /** Standalone entry: `runMain graft.api.QueryService <corpus> [port]`
@@ -57,6 +66,13 @@ object QueryService {
   def serve(engine: QueryEngine, port: Int): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/query", (exchange: HttpExchange) => handle(engine, exchange))
+    // a real handler pool: the JDK default runs EVERY handler on the
+    // single dispatcher thread, serializing all requests — measured as a
+    // hard ~220 qps ceiling at any client concurrency (BenchHttp). The
+    // probe paths are thread-safe by design (monitor-disciplined caches,
+    // spec-pinned under concurrent load), so handlers parallelize freely;
+    // cached pool = zero threads when idle.
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
     server.start()
     server
   }
