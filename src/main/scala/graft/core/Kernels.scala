@@ -580,4 +580,66 @@ object Kernels {
     }
     new GenericArrayData(out)
   }
+
+  /** Total BPE token count of a word-token array under an ordered merge
+    * list, each merge applied up to `repl` times — semantically EXACT to
+    * the original Column-fold construction (spacedSymbols -> repl x
+    * `replace` per merge -> count non-empty splits), which it replaces
+    * because that fold nests 12 x |merges| `replace` nodes into ONE
+    * expression tree: Column->Expression conversion recurses per node
+    * and overflows the driver stack at ~30 merges (found by the round-12
+    * real-corpus smoke) — a production merge list is thousands. Here the
+    * merge loop runs at EVAL time over a driver-held array, so plan
+    * depth is O(1) in the merge count.
+    *
+    * Semantics notes (each replicates the SQL chain exactly):
+    *  - spaced symbols iterate CODE POINTS (java regex "(.)" matches one
+    *    code point; tokens are whitespace-split so line terminators,
+    *    which "." skips, never occur);
+    *  - String.replace == Spark's StringReplace: literal, left-to-right,
+    *    non-overlapping, all occurrences — the early `contains` exit
+    *    only skips replaces that would no-op;
+    *  - the count equals size(filter(split(s, " "), _ != "")). */
+  def bpeCountTokens(tokens: ArrayData, merges: Array[String], repl: Int): Int = {
+    var total = 0
+    var i = 0
+    val nTok = tokens.numElements()
+    while (i < nTok) {
+      val word = tokens.getUTF8String(i).toString
+      val sb = new java.lang.StringBuilder(word.length * 2 + 2)
+      sb.append(' ')
+      var ci = 0
+      while (ci < word.length) {
+        val cp = word.codePointAt(ci)
+        sb.appendCodePoint(cp)
+        sb.append(' ')
+        ci += Character.charCount(cp)
+      }
+      var s = sb.toString
+      var mi = 0
+      while (mi < merges.length) {
+        val pair = merges(mi)
+        val target = " " + pair + " "
+        val merged = " " + pair.replace(" ", "") + " "
+        var r = 0
+        while (r < repl && s.contains(target)) {
+          s = s.replace(target, merged)
+          r += 1
+        }
+        mi += 1
+      }
+      var cnt = 0
+      var p = 0
+      val n = s.length
+      while (p < n) {
+        if (s.charAt(p) != ' ') {
+          cnt += 1
+          while (p < n && s.charAt(p) != ' ') p += 1
+        } else p += 1
+      }
+      total += cnt
+      i += 1
+    }
+    total
+  }
 }

@@ -352,6 +352,27 @@ case class NegL2Quant(first: Expression, second: Expression, third: Expression)
   override def prettyName: String = "neg_l2_quant"
 }
 
+/** array<string> word tokens -> int: total BPE token count under an
+  * ordered merge list (each applied `repl` times) — the merge loop runs
+  * at eval time over a driver-held array, so plan depth is O(1) in the
+  * merge count (the Column-fold form overflowed the conversion stack at
+  * ~30 merges; Kernels.bpeCountTokens documents the exact semantics). */
+case class BpeCountTokens(child: Expression, merges: Seq[String], repl: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  private lazy val mergeArr: Array[String] = merges.toArray
+  override protected def nullSafeEval(v: Any): Any =
+    graft.core.Kernels.bpeCountTokens(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], mergeArr, repl)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("bpeMerges", mergeArr, "java.lang.String[]")
+    defineCodeGen(ctx, ev, c => s"graft.core.Kernels.bpeCountTokens($c, $mRef, $repl)")
+  }
+  override protected def withNewChildInternal(c: Expression): BpeCountTokens = copy(child = c)
+  override def prettyName: String = "bpe_count_tokens"
+}
+
 /** Column-level entry points (the public function surface of the engine). */
 object GraftFunctions {
   private def col(e: Expression): Column = org.apache.spark.sql.graftbridge.Bridge.column(e)
@@ -380,6 +401,8 @@ object GraftFunctions {
   def quantize_i8(v: Column, s: Column): Column = col(QuantizeI8(ex(v), ex(s)))
   def neg_l2_quant(x: Column, y: Column, s: Column): Column =
     col(NegL2Quant(ex(x), ex(y), ex(s)))
+  def bpe_count_tokens(c: Column, merges: Seq[String], repl: Int): Column =
+    col(BpeCountTokens(ex(c), merges, repl))
 
   /** Register all engine functions for SQL use. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -110,13 +110,15 @@ object Bpe {
     * expression. */
   def countBpeTokens(docs: DataFrame, mergePairs: Seq[String],
                      textCol: String = "text", repl: Int = 12): DataFrame = {
+    // ONE codegen kernel holding the merge list as a driver-side array
+    // (Kernels.bpeCountTokens) instead of a Column fold nesting
+    // 12 x |merges| replace nodes: the fold's plan depth overflowed the
+    // Column->Expression conversion stack at ~30 merges (round-12
+    // real-corpus smoke) — a production merge list is thousands.
+    // Semantically exact to the fold (spec-pinned against it).
     val toks = graft.core.Shingling.tokens(lower(col(textCol)))
-    val perWord = transform(toks, w => {
-      val merged = mergePairs.foldLeft(spacedSymbols(w))(
-        (acc, p) => applyMerge(acc, p, repl))
-      size(filter(split(merged, " "), x => x =!= ""))
-    })
     docs.withColumn("n_bpe_tokens",
-      coalesce(aggregate(perWord, lit(0), (a, x) => a + x), lit(0)))
+      coalesce(graft.functions.GraftFunctions.bpe_count_tokens(toks, mergePairs, repl),
+        lit(0)))
   }
 }

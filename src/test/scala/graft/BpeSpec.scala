@@ -121,4 +121,40 @@ class BpeSpec extends SparkSpec {
     val plan = Bpe.countBpeTokens(docs, pairs).queryExecution.executedPlan.toString()
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("bpe_count_tokens kernel == the Column-fold construction, and survives big merge lists") {
+    // the kernel replaced a fold that nested 12 x |merges| replace nodes
+    // into one expression (stack overflow at ~30 merges, found by the
+    // round-12 real-corpus smoke). Pin semantic equality against the
+    // ORIGINAL construction on adversarial inputs — unicode incl. an
+    // astral (surrogate-pair) code point, overlap chains, punctuation,
+    // repeated merges — then pin that a production-sized list runs.
+    val docs = Seq(
+      "aaaa aaaaa aaaaaa",
+      "low lower lowest",
+      "café naïve 😀x😀",
+      "a,b.c!!! ... (parens) [brackets]",
+      "mixed CASE Mixed case",
+      "").toDF("text")
+    val pairs = Seq("a a", "aa aa", "l o", "lo w", ". .", "( p")
+    def oldForm(textCol: String): org.apache.spark.sql.Column = {
+      val toks = graft.core.Shingling.tokens(lower(col(textCol)))
+      val perWord = transform(toks, w => {
+        val merged = pairs.foldLeft(Bpe.spacedSymbols(w))(
+          (acc, p) => Bpe.applyMerge(acc, p, 12))
+        size(filter(split(merged, " "), x => x =!= ""))
+      })
+      coalesce(aggregate(perWord, lit(0), (a, x) => a + x), lit(0))
+    }
+    val both = docs
+      .withColumn("old", oldForm("text"))
+      .join(Bpe.countBpeTokens(docs, pairs), Seq("text"))
+      .select("text", "old", "n_bpe_tokens").collect()
+    both.foreach(r => assert(r.getInt(1) == r.getInt(2), r.getString(0)))
+    // a big learned-style merge list: the old fold overflowed the
+    // Column->Expression conversion stack here; the kernel must not
+    val big = (0 until 500).map(i => s"x$i y$i")
+    val n = Bpe.countBpeTokens(docs, big).agg(sum("n_bpe_tokens")).head().getLong(0)
+    assert(n > 0)
+  }
 }
