@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Two-phase VECTOR lean-serving decade evidence (round 12 — the vector
+  * twin of [[BenchServeLean]]): the vector family's scale rows stop at
+  * 4M vectors with the serving tiers held by a corpus-cached engine;
+  * this main measures the 16M+ configuration the 100 TB story actually
+  * prescribes — a serving process holding ONLY the trained models and a
+  * bounded LRU list cache, fetching cold inverted lists bucket-pruned
+  * from disk:
+  *
+  *  - phase 1 (build box, big heap): train on a deterministic 1M-row
+  *    sample (the FAISS discipline — Lloyd's must not pay a full-corpus
+  *    pass per iteration at this scale), encode the FULL corpus, write
+  *    the [[graft.api.VectorEngine.saveServing]] layout, exit.
+  *  - phase 2 (SERVING process, MODEST heap — run with
+  *    SPARK_DRIVER_MEM=16g in a FRESH JVM): `openServing` + `warmServing`,
+  *    then measure hot singles (resident lists, zero Spark jobs), cold
+  *    singles (bucket-pruned fetches), and a batch-100 ivfpq probe whose
+  *    scan is statically pruned to the probed buckets.
+  *
+  * Phase auto-detected from the layout on disk. `SPARK_GRAFT_DECADE_VECS`
+  * sizes the corpus (default 16M); `SPARK_GRAFT_VEC_CENTS` the coarse
+  * quantizer (default 256 — ~62.5k-row lists at 16M, so a 12-key ×
+  * nprobe-3 hot set stays inside the 2^22-row residency bound). */
+object BenchServeLeanVec {
+  def main(args: Array[String]): Unit = {
+    val nVecs = sys.env.getOrElse("SPARK_GRAFT_DECADE_VECS", "16000000").toLong
+    val nCents = sys.env.getOrElse("SPARK_GRAFT_VEC_CENTS", "256").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.api.VectorEngine
+    import graft.sources.SyntheticCorpus
+    val tag = if (nVecs % 1000000 == 0) s"${nVecs / 1000000}mvecs" else s"${nVecs}vecs"
+    val dir = new java.io.File(s"target/serve_lean_vec_$tag").getAbsolutePath
+    val prefix = s"graft_leanvec_$tag"
+    val complete = new java.io.File(s"$dir/params").exists() &&
+      new java.io.File(s"$dir/fused").exists() &&
+      new java.io.File(s"$dir/cents").exists()
+    def vecsOf(ids: Seq[Long]): Map[Long, Array[Float]] =
+      SyntheticCorpus.vectors(spark, nVecs)
+        .filter(col("vec_id").isin(ids.map(Long.box): _*))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+
+    if (!complete) {
+      // ---- phase 1: sampled training + full encode + layout, then exit ----
+      val tB = System.nanoTime()
+      val eng = VectorEngine.build(SyntheticCorpus.vectors(spark, nVecs),
+        nCents = nCents, m = 8, subDim = 8, pqK = 16,
+        trainSampleRows = 1000000L)
+      eng.saveServing(dir, prefix, buckets = 64)
+      val sec = (System.nanoTime() - tB) / 1e9
+      eng.close()
+      println(s"""{"metric":"serve_lean_vec_build","n_vecs":$nVecs,"n_cents":$nCents,"build_save_sec":$sec,"dir":"$dir"}""")
+      System.out.flush()
+      spark.stop()
+      return
+    }
+
+    // ---- phase 2: lean serving in THIS (modest-heap) JVM ----
+    val samples = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    val degraded = scala.collection.mutable.LinkedHashSet.empty[String]
+    val eng = VectorEngine.openServing(spark, dir, prefix).warmServing()
+    def medianOf(key: String)(run: () => Unit): Double = {
+      run()
+      def sample(): Double = {
+        val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+      }
+      val (med, all, isDegraded) =
+        Bench.certifiedMedian(3, betweenBatches = () => System.gc())(sample)
+      if (isDegraded) degraded += key
+      samples(key) = all
+      med
+    }
+    // hot singles: 12 keys x nprobe 3 <= 36 resident lists — inside the
+    // 2^22-row bound at c256/16M, so repeats run zero Spark jobs
+    val hotVecs = vecsOf(5L until 17L)
+    val hotKey = s"x_vec_single_query_avg_sec_${tag}_lean"
+    val hot = medianOf(hotKey)(() =>
+      hotVecs.keys.toSeq.sorted.foreach(i =>
+        eng.query(hotVecs(i), 5, mode = "ivfpq"))) / hotVecs.size
+    samples(hotKey) = samples(hotKey).map(_ / hotVecs.size)
+    // cold singles: never-probed query vectors arriving once each (some
+    // probed centroids may coincide with the hot set's — an honest mixed
+    // cold row, same caveat as the LSH twin)
+    val coldVecs = vecsOf(1000L until 1020L)
+    val tCold = System.nanoTime()
+    coldVecs.keys.toSeq.sorted.foreach(i => eng.query(coldVecs(i), 5, mode = "ivfpq"))
+    val cold = (System.nanoTime() - tCold) / 1e9 / coldVecs.size
+    samples(s"x_vec_single_query_cold_avg_sec_${tag}_lean") = Seq(cold)
+    // batch-100 over the DISK layout: the scan statically pruned to the
+    // probed buckets — the shape a 100 TB batch probe takes when the
+    // code table lives on disk, not in executor memory
+    val batchQ = SyntheticCorpus.vectors(spark, nVecs)
+      .filter(col("vec_id") >= 2000 && col("vec_id") < 2100).cache()
+    batchQ.count()
+    val batchKey = s"x_vec_ivfpq_batch100_sec_${tag}_lean"
+    val batch = medianOf(batchKey)(() => {
+      eng.topK(batchQ, k = 10, mode = "ivfpq").write
+        .mode("overwrite").format("noop").save()
+    })
+    val heapMb = (Runtime.getRuntime.totalMemory() / (1 << 20))
+    def f6(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.6f", Double.box(v))
+    def jmap(m: Iterable[(String, String)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(jmap(Seq(
+      "metric" -> "\"serve_lean_vec\"", "n_vecs" -> nVecs.toString,
+      "n_cents" -> nCents.toString,
+      "jvm_heap_mb" -> heapMb.toString,
+      "queries" -> jmap(Seq(
+        hotKey -> f6(hot),
+        s"x_vec_single_query_cold_avg_sec_${tag}_lean" -> f6(cold),
+        batchKey -> f6(batch))),
+      "degraded" -> (if (degraded.nonEmpty) "true" else "false"),
+      "degraded_probes" -> degraded.map("\"" + _ + "\"").mkString("[", ",", "]"),
+      "samples" -> jmap(samples.map { case (k, vs) =>
+        k -> vs.map(f6).mkString("[", ",", "]")
+      }))))
+    System.out.flush()
+    spark.stop()
+  }
+}

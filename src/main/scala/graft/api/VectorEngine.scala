@@ -48,7 +48,13 @@ final class VectorEngine private (
     val residFused: Option[DataFrame] = None,
     // backing caches that assigned/codes may be mere projections of
     // (the fused assign+encode table) — released by close()
-    private val extraCaches: Seq[DataFrame] = Nil) {
+    private val extraCaches: Seq[DataFrame] = Nil,
+    // LEAN SERVING engine (openServing): fused points at a bucketed
+    // EXTERNAL table and nothing corpus-sized is cached — the float
+    // corpus is not in the layout, so modes that re-score floats
+    // (exact / ivf / ivfpq_rerank) refuse, and the ivfpq batch scan is
+    // bucket-pruned to the probed centroids
+    private val lean: Boolean = false) {
 
   def warmUp(): VectorEngine = {
     embs.count(); cents.count(); assigned.count()
@@ -66,12 +72,26 @@ final class VectorEngine private (
     * compressed shortlist (4k deep) exactly — the FAISS refine stage. */
   def topK(queries: DataFrame, k: Int = 10, mode: String = "ivfpq",
            nprobe: Int = 3): DataFrame = mode match {
+    case "exact" | "ivf" | "ivfpq_rerank" if lean =>
+      throw new IllegalStateException(
+        s"mode '$mode' re-scores the float corpus, which a lean serving " +
+          "engine does not hold (openServing layouts carry only the code " +
+          "table + trained models); use ivfpq/pq, or load() a full index")
     case "exact" =>
       Ann.bruteForceTopK(asEmbs(embs), queries, k, cosine_sim)
     case "ivf" =>
       Ann.ivfTopK(asEmbs(embs), cents, queries, k, nprobe)
     case "pq" =>
       Pq.adcTopK(codes, codebooks, queries, k, m, subDim, pqK)
+    case "ivfpq" if lean =>
+      // disk-served batch: the probed-centroid set becomes a STATIC IN
+      // predicate so the parquet scan reads only the probed buckets
+      // (bucket pruning; the broadcast join alone would still scan every
+      // file). Bit-identical: the filter is exactly the join's key set.
+      val probed = Pq.probedCentroidIds(cents, queries, nprobe)
+      Pq.ivfAdcTopKFused(
+        fused.filter(col("centroid_id").isin(probed.map(Long.box).toSeq: _*)),
+        codebooks, cents, queries, k, nprobe, m, subDim, pqK)
     case "ivfpq" =>
       Pq.ivfAdcTopKFused(fused, codebooks, cents, queries, k, nprobe,
         m, subDim, pqK)
@@ -229,6 +249,36 @@ final class VectorEngine private (
     import spark.implicits._
     Seq((m, subDim, pqK, residBooks.isDefined))
       .toDF("m", "sub_dim", "pq_k", "residual")
+      .coalesce(1).write.mode("overwrite").json(s"$dir/params")
+  }
+
+  /** Persist the LEAN SERVING layout (the vector twin of
+    * [[QueryEngine.saveServing]], round 12): the fused code table
+    * bucketed by centroid_id as an EXTERNAL table — so a serving probe's
+    * cold inverted-list fetch and a batch probe's scan are both
+    * bucket-pruned to the probed centroids — plus the trained models
+    * (centroids, codebooks — KBs) and build params as plain parquet/json.
+    * [[VectorEngine.openServing]] re-registers the table from its own
+    * files in a FRESH JVM whose heap is bounded by the LRU list cache,
+    * never the corpus: the 16M+ vector serving-shard configuration. The
+    * float corpus is deliberately NOT in the layout (lean is the point);
+    * modes that re-score floats need [[save]]/[[VectorEngine.load]]. */
+  def saveServing(dir: String, prefix: String, buckets: Int = 64): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS ${prefix}_fused")
+    fused
+      .select(col("id").cast("long").as("id"),
+        col("centroid_id").cast("long").as("centroid_id"), col("codes"))
+      .repartition(buckets, col("centroid_id"))
+      .write.mode("overwrite")
+      .option("path", s"$dir/fused")
+      .bucketBy(buckets, "centroid_id")
+      .sortBy("centroid_id", "id")
+      .saveAsTable(s"${prefix}_fused")
+    cents.write.mode("overwrite").parquet(s"$dir/cents")
+    codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
+    import spark.implicits._
+    Seq((m, subDim, pqK, nCents, buckets))
+      .toDF("m", "sub_dim", "pq_k", "n_cents", "buckets")
       .coalesce(1).write.mode("overwrite").json(s"$dir/params")
   }
 
@@ -479,19 +529,36 @@ object VectorEngine {
   def build(embs: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
             nCents: Int = 8, centIters: Int = 4,
             m: Int = 8, subDim: Int = 8, pqK: Int = 16, pqIters: Int = 2,
-            residual: Boolean = false): VectorEngine = {
+            residual: Boolean = false,
+            // > 0: train the quantizers on a deterministic id-hash sample
+            // of ~this many rows instead of the full corpus (the FAISS
+            // training discipline — at 100 TB the Lloyd's/PQ iterations
+            // must not pay a full corpus pass each; the ENCODE pass below
+            // still covers every row). 0 trains on everything. Sampling
+            // is partition-invariant (pure function of id), so a build is
+            // reproducible for any executor count.
+            trainSampleRows: Long = 0L): VectorEngine = {
     val spark = embs.sparkSession
     val base = embs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")).cache()
-    base.count() // materialize ONCE: training iterates over this table,
+    val nRows = base.count()
+                 // materialize ONCE: training iterates over this table,
                  // and an uncached source (e.g. a generator) would be
                  // recomputed every Lloyd's round
-    val cents = Ann.kmeansTrain(base, nCents, centIters, "id", "v")
-    val books = Pq.train(base, m, subDim, pqK, pqIters, "id", "v").cache()
+    val everyK = if (trainSampleRows > 0) nRows / trainSampleRows else 0L
+    val trainBase =
+      if (everyK > 1) {
+        val t = base.filter(
+          pmod(xxhash64(col("id"), lit(0x7a11e5)), lit(everyK)) === 0).cache()
+        t.count(); t
+      } else base
+    val cents = Ann.kmeansTrain(trainBase, nCents, centIters, "id", "v")
+    val books = Pq.train(trainBase, m, subDim, pqK, pqIters, "id", "v").cache()
     // the ACTUAL trained counts (tiny corpora yield fewer than requested);
     // the engine's pqK is the LUT/codebook stride, so it must match what
     // was trained or every encode/ADC shape check downstream throws
     val nc = cents.count().toInt
     val pqKEff = (books.count() / m).toInt
+    if (trainBase ne base) trainBase.unpersist(blocking = false)
     val combined = fusedAssignEncode(base, cents, books, nc, m, pqKEff).cache()
     // opt-in residual index (FAISS IndexIVFPQ semantics): a SECOND
     // codebook set trained on x − c(x) plus its fused code table —
@@ -502,7 +569,14 @@ object VectorEngine {
         .join(broadcast(cents), "centroid_id")
         .select(col("id"), col("centroid_id"),
           zip_with(col("v"), col("cv"), (x, y) => x - y).as("v"))
-      val rb = Pq.train(resid, m, subDim, pqK, pqIters, "id", "v").cache()
+      // residual codebooks train under the same sampling discipline —
+      // the residual table derives from the FULL corpus either way, so
+      // encoding still covers every row
+      val residTrain =
+        if (everyK > 1)
+          resid.filter(pmod(xxhash64(col("id"), lit(0x7a11e5)), lit(everyK)) === 0)
+        else resid
+      val rb = Pq.train(residTrain, m, subDim, pqK, pqIters, "id", "v").cache()
       (Some(rb), Some(residualEncode(resid, rb, m, (rb.count() / m).toInt).cache()))
     } else (None, None)
     new VectorEngine(spark, base, cents,
@@ -540,5 +614,45 @@ object VectorEngine {
       p.getAs[Long]("m").toInt, p.getAs[Long]("sub_dim").toInt,
       p.getAs[Long]("pq_k").toInt, cents.count().toInt,
       rBooks, rFused)
+  }
+
+  /** Open a LEAN SERVING engine over a [[saveServing]] layout (the
+    * vector twin of [[QueryEngine.openServing]], round 12). The returned
+    * engine caches NOTHING corpus-sized: `fused` (and its
+    * assigned/codes projections) point at the bucketed EXTERNAL table —
+    * re-registered into this session's catalog from the layout's own
+    * files when absent, so a fresh JVM serves with no rebuild — while
+    * the trained models (KBs) load cached. After [[warmServing]], hot
+    * single `ivfpq` probes run zero Spark jobs and a cold centroid pays
+    * ONE bucket-pruned fetch; batch `ivfpq` probes run the distributed
+    * plan over a scan statically pruned to the probed buckets. Heap is
+    * bounded by the LRU list cache (~170 MB), not the corpus — the
+    * configuration that keeps 16M+-vector hot singles out of the
+    * corpus-heap GC regime. Float-rescoring modes refuse (the layout
+    * deliberately omits the embeddings). */
+  def openServing(spark: SparkSession, dir: String, prefix: String): VectorEngine = {
+    val p = spark.read.json(s"$dir/params").head()
+    val buckets = p.getAs[Long]("buckets").toInt
+    val table = s"${prefix}_fused"
+    if (!spark.catalog.tableExists(table)) {
+      val schema = spark.read.parquet(s"$dir/fused").schema.toDDL
+      spark.sql(
+        s"""CREATE TABLE $table ($schema) USING parquet
+           |CLUSTERED BY (centroid_id) SORTED BY (centroid_id, id) INTO $buckets BUCKETS
+           |LOCATION '$dir/fused'""".stripMargin)
+    }
+    val fused = spark.table(table)
+    val cents = spark.read.parquet(s"$dir/cents").cache()
+    val books = spark.read.parquet(s"$dir/codebooks").cache()
+    // the embeddings are not in the layout; the lean topK guard refuses
+    // float-rescoring modes before this placeholder is ever touched
+    val noEmbs = spark.range(0)
+      .select(col("id"), lit(null).cast("array<float>").as("v"))
+    new VectorEngine(spark, noEmbs, cents,
+      fused.select("id", "centroid_id"), books,
+      fused.select("id", "codes"), fused,
+      p.getAs[Long]("m").toInt, p.getAs[Long]("sub_dim").toInt,
+      p.getAs[Long]("pq_k").toInt, p.getAs[Long]("n_cents").toInt,
+      None, None, lean = true)
   }
 }

@@ -163,6 +163,21 @@ object Pq {
       .select(col("query_id"), col("id").as("centroid_id"))
   }
 
+  /** The DISTINCT centroid ids a batch will probe, collected to the
+    * driver — bounded by min(|queries| × nprobe, nCents), and nCents is
+    * model-sized (the coarse quantizer broadcasts by contract), so the
+    * collect is KBs at any corpus scale. A disk-served engine turns this
+    * set into a STATIC `IN` predicate on its bucketed code table, so the
+    * batch scan reads only the probed buckets (and, within them, only
+    * the sorted row groups) instead of the whole fused table — the
+    * pruning the broadcast join alone cannot give a parquet scan. */
+  private[graft] def probedCentroidIds(cents: DataFrame, queries: DataFrame,
+                                       nprobe: Int, idCol: String = "vec_id",
+                                       vecCol: String = "embedding"): Array[Long] =
+    ivfProbeSet(cents, queries, nprobe, idCol, vecCol)
+      .select(col("centroid_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+
   /** IVF-PQ (the construction FAISS calls IVFPQ — coarse quantizer +
     * product codes): each query probes its `nprobe` nearest coarse
     * centroids, and ONLY the probed clusters' members are scored, by the

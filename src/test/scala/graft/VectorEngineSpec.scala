@@ -246,4 +246,98 @@ class VectorEngineSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(1000))
     back.close(); removed.close(); grown.close(); reng.close()
   }
+
+  test("lean serving: saveServing/openServing — pruned batch, zero-job hot singles, float modes refuse") {
+    import spark.implicits._
+    // round 12 (vector twin of the LSH serving shard): the layout holds
+    // the fused code table bucketed by centroid_id as an EXTERNAL table
+    // plus the KB-sized trained models; a fresh catalog re-registers it
+    // from the files alone. Every answer must equal the full engine's.
+    val dir = java.nio.file.Files.createTempDirectory("graft-vec-lean").toString
+    eng.saveServing(s"$dir/srv", "veng_spec_lean", buckets = 8)
+    val queries = embs.filter(col("vec_id") < 10)
+    val want = eng.topK(queries, k = 5, mode = "ivfpq", nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    // drop the catalog entry (external -> files survive): openServing
+    // must rebuild the bucketed metadata from the layout itself
+    spark.sql("DROP TABLE IF EXISTS veng_spec_lean_fused")
+    val lean = VectorEngine.openServing(spark, s"$dir/srv", "veng_spec_lean")
+    val got = lean.topK(queries, k = 5, mode = "ivfpq", nprobe = 3)
+    assert(got.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sorted.toSeq == want)
+    // the batch scan is STATICALLY bucket-pruned to the probed centroids:
+    // one query with nprobe=2 probes at most 2 buckets of the 8
+    val one = lean.topK(embs.filter(col("vec_id") === 0L), k = 5,
+      mode = "ivfpq", nprobe = 2)
+    val plan = one.queryExecution.executedPlan.toString()
+    val sel = "SelectedBucketsCount: (\\d+) out of 8".r
+      .findFirstMatchIn(plan).map(_.group(1).toInt)
+    assert(sel.nonEmpty, s"no bucket pruning in lean batch scan:\n${plan.take(3000)}")
+    assert(sel.get <= 2, s"expected <= 2 probed buckets, scan reads ${sel.get}")
+    // single probes: cold equals the distributed answer, hot repeat runs
+    // ZERO Spark jobs (serving model + resident LRU lists)
+    lean.warmServing()
+    val vecs = embs.filter(col("vec_id").isin(0L, 7L, 63L))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    for ((vid, v) <- vecs) {
+      val q = Seq((0L, v.toSeq)).toDF("vec_id", "embedding")
+      val w = eng.topK(q, k = 5, mode = "ivfpq", nprobe = 3).orderBy("rank")
+        .collect().map(r => (r.getLong(2), r.getInt(1))).toSeq
+      assert(lean.query(v, k = 5, mode = "ivfpq", nprobe = 3) == w, s"vid=$vid cold")
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        assert(lean.query(v, k = 5, mode = "ivfpq", nprobe = 3) == w, s"vid=$vid hot")
+        Thread.sleep(300)
+        assert(jobs.get() == 0, s"vid=$vid: lean hot probe ran ${jobs.get()} job(s)")
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    // float-rescoring modes refuse with a actionable error (the layout
+    // deliberately has no embeddings)
+    for (mode <- Seq("exact", "ivf", "ivfpq_rerank")) {
+      val ex = intercept[IllegalStateException] {
+        lean.topK(queries, k = 5, mode = mode)
+      }
+      assert(ex.getMessage.contains("lean"), mode)
+    }
+    // pq mode (compressed full scan) still works lean — codes are a
+    // projection of the layout's fused table
+    val pqWant = eng.topK(queries, k = 5, mode = "pq")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(lean.topK(queries, k = 5, mode = "pq")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sorted.toSeq == pqWant)
+    lean.close()
+    spark.sql("DROP TABLE IF EXISTS veng_spec_lean_fused")
+  }
+
+  test("trainSampleRows: sampled training is deterministic; oversized sample = full training") {
+    // a sample covering the corpus must be a bit-exact no-op vs build()
+    val full = VectorEngine.build(embs, trainSampleRows = 1000000L)
+    def centsOf(e: VectorEngine) = e.cents.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).sortBy(_._1).toSeq
+    def codesOf(e: VectorEngine) = e.codes.collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toSeq)).sortBy(_._1).toSeq
+    assert(centsOf(full) == centsOf(eng))
+    assert(codesOf(full) == codesOf(eng))
+    full.close()
+    // a real subsample trains different (fewer-informed) quantizers but
+    // still encodes EVERY row, deterministically across rebuilds
+    val n = embs.count()
+    val s1 = VectorEngine.build(embs, trainSampleRows = n / 3)
+    val s2 = VectorEngine.build(embs, trainSampleRows = n / 3)
+    assert(centsOf(s1) == centsOf(s2))
+    assert(codesOf(s1) == codesOf(s2))
+    assert(s1.codes.count() == n, "encode pass must cover the full corpus")
+    val hits = s1.query(
+      embs.filter(col("vec_id") === 7L).head().getSeq[Float](1).toArray,
+      k = 3, mode = "ivfpq", nprobe = 8)
+    assert(hits.nonEmpty && hits.head._1 == 7L,
+      "sampled-training index must still retrieve the query's own vector")
+    s1.close(); s2.close()
+  }
 }
