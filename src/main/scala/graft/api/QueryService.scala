@@ -63,9 +63,25 @@ object QueryService {
   /** Start serving `engine` on `port` (0 = ephemeral; read the bound
     * port from the returned server). Caller owns the server lifecycle
     * (`stop`) and the engine's (`close`). */
-  def serve(engine: QueryEngine, port: Int): HttpServer = {
+  def serve(engine: QueryEngine, port: Int): HttpServer =
+    serve(engine, None, port)
+
+  /** As [[serve]], optionally also exposing a [[VectorEngine]] at
+    * `POST /vquery` — the embedding-side probe over the same server
+    * (the reference serves only signature probes; a user replacing it
+    * for vector workloads needs the same HTTP boundary). Request:
+    * `{"vector": [<float>...], "k": 10, "nprobe": 3, "mode": "ivfpq"}`
+    * (all but vector optional); response
+    * `{"candidates": [{"id":..,"rank":..}]}`, rank 1 best. With the
+    * vector engine's serving model warm ([[VectorEngine.warmServing]])
+    * a hot ivfpq probe is the zero-Spark-job in-process path, so the
+    * handler cost mirrors `/query`'s. */
+  def serve(engine: QueryEngine, vec: Option[VectorEngine], port: Int): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/query", (exchange: HttpExchange) => handle(engine, exchange))
+    vec.foreach { v =>
+      server.createContext("/vquery", (exchange: HttpExchange) => handleVec(v, exchange))
+    }
     // a real handler pool: the JDK default runs EVERY handler on the
     // single dispatcher thread, serializing all requests — measured as a
     // hard ~220 qps ceiling at any client concurrency (BenchHttp). The
@@ -96,6 +112,55 @@ object QueryService {
       ex.getResponseBody.write(bytes)
     } finally ex.close()
   }
+
+  private def handleVec(engine: VectorEngine, ex: HttpExchange): Unit = {
+    try {
+      val (status, body) =
+        if (ex.getRequestMethod != "POST")
+          (405, """{"error":"POST required"}""")
+        else {
+          val raw = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          parseVec(raw) match {
+            case Left(err) => (400, s"""{"error":"$err"}""")
+            case Right((vector, k, nprobe, mode)) =>
+              try {
+                val hits = engine.query(vector, k, mode, nprobe)
+                (200, hits.map { case (id, rank) => s"""{"id":$id,"rank":$rank}""" }
+                  .mkString("""{"candidates":[""", ",", "]}"))
+              } catch {
+                // a lean engine refusing a float-rescoring mode, or an
+                // unknown mode: the caller's error, reference envelope
+                case e @ (_: IllegalStateException | _: IllegalArgumentException) =>
+                  (400, s"""{"error":"${e.getMessage.replace('"', '\'')}"}""")
+              }
+          }
+        }
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(status, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
+    } finally ex.close()
+  }
+
+  /** Parse `{"vector":[<float>...], "k":n, "nprobe":n, "mode":s}`. */
+  private def parseVec(raw: String): Either[String, (Array[Float], Int, Int, String)] =
+    try {
+      val root = mapper.readTree(raw)
+      val vec = root.get("vector")
+      if (vec == null || !vec.isArray || vec.isEmpty)
+        Left("missing or empty vector")
+      else {
+        val arr = new Array[Float](vec.size())
+        var i = 0
+        while (i < arr.length) { arr(i) = vec.get(i).asDouble().toFloat; i += 1 }
+        val k = if (root.hasNonNull("k")) root.get("k").asInt(10) else 10
+        val np = if (root.hasNonNull("nprobe")) root.get("nprobe").asInt(3) else 3
+        val mode = if (root.hasNonNull("mode")) root.get("mode").asText("ivfpq") else "ivfpq"
+        if (k <= 0) Left("k must be positive")
+        else if (np <= 0) Left("nprobe must be positive")
+        else Right((arr, k, np, mode))
+      }
+    } catch { case e: Exception => Left(s"malformed JSON: ${e.getMessage}") }
 
   private def toJson(cands: Seq[QueryEngine.Candidate]): String =
     cands.map { c =>

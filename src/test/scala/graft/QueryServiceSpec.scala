@@ -122,4 +122,57 @@ class QueryServiceSpec extends SparkSpec {
       eng.close()
     }
   }
+
+  test("POST /vquery serves vector probes: served tier answers, errors enveloped") {
+    import org.apache.spark.sql.functions.col
+    // round 12: the embedding-side probe over the same HTTP server — a
+    // warmed VectorEngine answers /vquery from the in-process serving
+    // tier; responses must equal the engine API bit-for-bit.
+    val embs = spark.read.parquet(s"$testDataDir/embeddings.parquet")
+    val lshEng = QueryEngine.build(
+      spark.read.parquet(s"$testDataDir/documents.parquet")).warmUp()
+    val vecEng = graft.api.VectorEngine.build(embs).warmUp().warmServing()
+    val server = QueryService.serve(lshEng, Some(vecEng), port = 0)
+    try {
+      val port = server.getAddress.getPort
+      def vpost(body: String): (Int, String) = {
+        val client = HttpClient.newHttpClient()
+        val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/vquery"))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+        val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+        (resp.statusCode(), resp.body())
+      }
+      for (vid <- Seq(0L, 7L, 63L)) {
+        val v = embs.filter(col("vec_id") === vid).head().getSeq[Float](1).toArray
+        val want = vecEng.query(v, k = 5, mode = "ivfpq", nprobe = 3)
+          .map { case (id, rank) => s"""{"id":$id,"rank":$rank}""" }
+          .mkString("""{"candidates":[""", ",", "]}")
+        val (code, body) = vpost(
+          s"""{"vector":[${v.mkString(",")}],"k":5,"nprobe":3,"mode":"ivfpq"}""")
+        assert(code == 200, body)
+        assert(body == want, s"vid=$vid")
+      }
+      // defaults: k=10, nprobe=3, mode=ivfpq
+      val v0 = embs.filter(col("vec_id") === 0L).head().getSeq[Float](1).toArray
+      val (cDef, bDef) = vpost(s"""{"vector":[${v0.mkString(",")}]}""")
+      assert(cDef == 200)
+      assert(bDef == vecEng.query(v0, k = 10, mode = "ivfpq", nprobe = 3)
+        .map { case (id, rank) => s"""{"id":$id,"rank":$rank}""" }
+        .mkString("""{"candidates":[""", ",", "]}"))
+      // the /query context is untouched by the second endpoint
+      val someSig = lshEng.sigs.limit(1).head().getSeq[Long](1).toArray
+      val (cq, bq) = post(port, s"""{"vector":[${someSig.mkString(",")}],"k":3}""")
+      assert(cq == 200 && bq.startsWith("""{"candidates":["""))
+      // error envelope: bad body, empty vector, unknown mode
+      assert(vpost("""{"k":5}""")._1 == 400)
+      assert(vpost("""{"vector":[]}""")._1 == 400)
+      val (cBad, bBad) = vpost(s"""{"vector":[${v0.mkString(",")}],"mode":"nope"}""")
+      assert(cBad == 400 && bBad.contains("unknown mode"), bBad)
+    } finally {
+      server.stop(0)
+      vecEng.close()
+      lshEng.close()
+    }
+  }
 }
