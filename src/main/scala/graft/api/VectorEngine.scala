@@ -342,8 +342,17 @@ object VectorEngine {
     * sigs. */
   final val ServingMaxResidentCodeRows: Long = 1L << 22
 
+  /** One cached inverted list in FLAT primitive form: row i is
+    * (ids(i), codes(i*m .. i*m+m)). The earlier row-of-tuples layout
+    * (Array[(Long, Array[Int])]) made the hot scoring fold
+    * pointer-chase two boxed objects per candidate — measured ~14 ms
+    * to score 3×62.5k rows at 16M/c256, ~5× the arithmetic cost. */
+  private final class InvList(val ids: Array[Long], val codes: Array[Int]) {
+    def rows: Int = ids.length
+  }
+
   private final class ListCache {
-    val lists = new java.util.LinkedHashMap[Long, Array[(Long, Array[Int])]](32, 0.75f, true)
+    val lists = new java.util.LinkedHashMap[Long, InvList](32, 0.75f, true)
     var resident: Long = 0L
   }
 
@@ -411,14 +420,14 @@ object VectorEngine {
     // inverted lists: snapshot resident, fetch misses OUTSIDE the lock
     // (the Lsh.queryProbeCached monitor discipline), publish, evict LRU
     val pc = listCacheFor(fused)
-    val resident = new java.util.HashMap[Long, Array[(Long, Array[Int])]]()
+    val resident = new java.util.HashMap[Long, InvList]()
     val missing = pc.synchronized {
       probed.filter { cid =>
         val l = pc.lists.get(cid)
         if (l != null) { resident.put(cid, l); false } else true
       }
     }
-    val fetched = new java.util.HashMap[Long, Array[(Long, Array[Int])]]()
+    val fetched = new java.util.HashMap[Long, InvList]()
     if (missing.nonEmpty) {
       val rows = fused
         .filter(col("centroid_id").isin(missing.map(Long.box).toSeq: _*))
@@ -427,19 +436,28 @@ object VectorEngine {
         .map(r => (r.getLong(0), (r.getLong(1), r.getSeq[Int](2).toArray)))
         .groupBy(_._1)
       missing.foreach { cid =>
-        fetched.put(cid, rows.get(cid).map(_.map(_._2).sortBy(_._1)).getOrElse(Array.empty))
+        val sorted = rows.get(cid).map(_.map(_._2).sortBy(_._1)).getOrElse(Array.empty)
+        val ids = new Array[Long](sorted.length)
+        val codes = new Array[Int](sorted.length * sm.m)
+        var j = 0
+        while (j < sorted.length) {
+          ids(j) = sorted(j)._1
+          System.arraycopy(sorted(j)._2, 0, codes, j * sm.m, sm.m)
+          j += 1
+        }
+        fetched.put(cid, new InvList(ids, codes))
       }
       pc.synchronized {
         missing.foreach { cid =>
           if (!pc.lists.containsKey(cid)) {
             val l = fetched.get(cid)
             pc.lists.put(cid, l)
-            pc.resident += l.length
+            pc.resident += l.rows
           }
         }
         val it = pc.lists.entrySet().iterator()
         while (pc.resident > ServingMaxResidentCodeRows && it.hasNext) {
-          pc.resident -= it.next().getValue.length
+          pc.resident -= it.next().getValue.rows
           it.remove()
         }
       }
@@ -453,13 +471,17 @@ object VectorEngine {
     val top = new java.util.TreeSet[(Double, Long)](ord)
     probed.foreach { cid =>
       val l = { val r = resident.get(cid); if (r != null) r else fetched.get(cid) }
+      val ids = l.ids
+      val codes = l.codes
+      val m = sm.m
+      val pqK = sm.pqK
       var j = 0
-      while (j < l.length) {
-        val (id, codes) = l(j)
+      while (j < ids.length) {
         var s = 0.0
         var sp = 0
-        while (sp < sm.m) { s += lut(sp * sm.pqK + codes(sp)); sp += 1 }
-        val cand = (-s, id)
+        val base = j * m
+        while (sp < m) { s += lut(sp * pqK + codes(base + sp)); sp += 1 }
+        val cand = (-s, ids(j))
         if (top.size < k) top.add(cand)
         else if (ord.compare(cand, top.last()) < 0) {
           top.add(cand); top.pollLast()
