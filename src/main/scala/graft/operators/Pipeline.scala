@@ -44,52 +44,78 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
+  /** EAGER at stage boundaries (round 12): the returned frame is already
+    * materialized (its plan is a flat LogicalRDD) and every intermediate
+    * has been released. Uncached, each survivor set's subtree contained
+    * the FULL chain of every earlier stage — the final audit join (and
+    * any recursive consumer like stage k+1) re-evaluated stage 1's
+    * aggregate and the SimHash join many times over; exchange reuse
+    * recovers only bit-identical exchanges, and the measured 16M-doc
+    * composition paid ~1200 s for what the stage sum prices at a
+    * fraction of that. Stage-boundary persistence is also the 100 TB
+    * shape: a production prep pipeline writes each stage's survivors to
+    * storage so a failed stage restarts from the last boundary, not from
+    * the crawl. Wide (text-carrying) checkpoints are released as soon as
+    * their last consumer materializes, so at most ~two corpus-sized
+    * copies coexist. */
   def prepareCorpus(docs: DataFrame, docsPerSqrtDoc: Double = 2.0,
                     hammingBudget: Int = 3, w: Int = 8): DataFrame = {
-    // stage 0: ingest id-collapse (struct min = lexicographic (text, lang))
+    import graft.api.QueryEngine.releaseFrame
+    // stage 0: ingest id-collapse (struct min = lexicographic (text, lang)),
+    // split label as a pure projection of the id — the assignment is a
+    // deterministic function of doc_id, so joining split() back on the id
+    // (a corpus-sized self-join) buys nothing
     val uniq = docs.groupBy("doc_id")
       .agg(min(struct(col("text"), col("lang"))).as("_s"))
       .select(col("doc_id"), col("_s.text").as("text"), col("_s.lang").as("lang"))
-    val withSplit = uniq.join(
-      Sampling.split(uniq).select("doc_id", "split"), "doc_id")
-    val base = withSplit.filter(col("split") === "train")
+      .withColumn("split", Sampling.splitLabel(col("doc_id")))
+      .localCheckpoint(true)
+    val base = uniq.filter(col("split") === "train")
       .select("doc_id", "lang", "text")
-    val testDocs = withSplit.filter(col("split") === "test")
+    val testDocs = uniq.filter(col("split") === "test")
       .select("doc_id", "text")
 
     // stage 2: Gopher-rule quality filter
     val s1 = TextAnalysis.qualityFilter(base)
       .filter(col("fail_mask") === 0).select("doc_id")
-    val q1 = base.join(s1, Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    val q1 = base.join(s1, Seq("doc_id"), "left_semi").localCheckpoint(true)
 
     // stage 3: exact dedup — min-id survivor per text hash
     val s2 = q1.join(
         q1.groupBy(md5(col("text")).as("_th")).agg(min(col("doc_id")).as("_mid")),
         md5(col("text")) === col("_th"))
       .filter(col("doc_id") === col("_mid")).select("doc_id")
-    val q2 = q1.join(s2, Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    val q2 = q1.join(s2, Seq("doc_id"), "left_semi").localCheckpoint(true)
+    releaseFrame(q1)
 
     // stage 4: near-dup removal — drop the larger id of every pair
     val dominated = Dedup.nearSimHash(q2, hammingBudget)
       .select(col("b").as("doc_id")).distinct()
     val s3 = q2.select("doc_id").join(dominated, Seq("doc_id"), "left_anti")
-    val q3 = q2.join(s3, Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    val q3 = q2.join(s3, Seq("doc_id"), "left_semi").localCheckpoint(true)
+    releaseFrame(q2)
 
     // stage 5: decontamination against the held-out test split (the
     // window SOURCE is the test split; the docs being checked are the
     // stage-4 survivors)
     val s4 = Dedup.ngramDecontaminate(testDocs, q3, w)
       .filter(col("n_contaminated_windows") === 0).select("doc_id")
+      .localCheckpoint(true)
     val q4 = q3.join(s4, Seq("doc_id"), "left_semi")
 
     // stage 6: temperature-flattened language mixing over the survivors
     val mix = Sampling.temperatureMix(
         q4.select("doc_id", "lang"), "lang", docsPerSqrtDoc)
       .select(col("doc_id"), col("rank"), col("quota"), col("selected"))
+      .localCheckpoint(true)
+    releaseFrame(q3)
 
     def flag(ids: DataFrame, name: String): DataFrame =
       ids.withColumn(name, lit(true))
-    base.select("doc_id", "lang")
+    val out = base.select("doc_id", "lang")
       .join(flag(s1, "q_keep"), Seq("doc_id"), "left")
       .join(flag(s2, "x_keep"), Seq("doc_id"), "left")
       .join(flag(s3, "n_keep"), Seq("doc_id"), "left")
@@ -103,5 +129,8 @@ object Pipeline {
         coalesce(col("rank"), lit(-1L)).as("rank"),
         coalesce(col("quota"), lit(-1L)).as("quota"),
         coalesce(col("selected"), lit(false)).as("selected"))
+      .localCheckpoint(true)
+    Seq(uniq, s1, s2, s3, s4, mix).foreach(releaseFrame)
+    out
   }
 }

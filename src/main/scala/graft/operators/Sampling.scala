@@ -24,14 +24,23 @@ object Sampling {
     * assigned by cumulative weight over the 100 hash buckets, e.g.
     * Seq("train" -> 90, "val" -> 5, "test" -> 5). */
   def split(df: DataFrame, idCol: String = "doc_id",
-            weights: Seq[(String, Int)] = Seq("train" -> 90, "val" -> 5, "test" -> 5)): DataFrame = {
+            weights: Seq[(String, Int)] = Seq("train" -> 90, "val" -> 5, "test" -> 5)): DataFrame =
+    df.select(col(idCol), hashBucket(col(idCol)).as("bucket"),
+      splitLabel(col(idCol), weights).as("split"))
+
+  /** The split label as a pure COLUMN of the id — the composable form of
+    * [[split]]: a pipeline that already holds the row can project the
+    * label instead of joining the assignment table back on the id (a
+    * corpus-sized self-join for what is a deterministic function of the
+    * key). Same buckets, same labels, bit-identical to [[split]]. */
+  def splitLabel(id: Column,
+                 weights: Seq[(String, Int)] = Seq("train" -> 90, "val" -> 5, "test" -> 5)): Column = {
     require(weights.map(_._2).sum == 100, "split weights must sum to 100")
-    val bucket = hashBucket(col(idCol))
+    val bucket = hashBucket(id)
     val cum = weights.scanLeft(0)(_ + _._2).tail
-    val splitCol = weights.zip(cum).foldRight(lit(weights.last._1): Column) {
+    weights.zip(cum).foldRight(lit(weights.last._1): Column) {
       case (((name, _), hi), acc) => when(bucket < hi, name).otherwise(acc)
     }
-    df.select(col(idCol), bucket.as("bucket"), splitCol.as("split"))
   }
 
   /** Deterministic p-percent sample: rows whose hash bucket (out of 100)
