@@ -114,6 +114,7 @@ object Bench {
       "x_lsh_single_query_avg_sec_20kdocs",
       "x_lsh_batch100_queries_sec_20kdocs",
       "x_lsh_batch1000_queries_sec_20kdocs",
+      "x_lsh_served_batch100_queries_sec_20kdocs",
       "x_brute_batch100_queries_sec_20kdocs",
       "x_lsh_bucketed_batch100_sec_20kdocs",
       "x_vec_build_sec_20kvecs",
@@ -381,13 +382,15 @@ object Bench {
         samples(key) = all
         med
       }
-      // samples for the single-probe keys are per-query (loop time / 20),
+      // samples for the per-query keys are per-query (loop time / n),
       // matching the metric's unit
-      def singleProbeAvg(key: String)(run: () => Unit): Double = {
-        val m = medianOf(key)(run) / 20.0
-        samples(key) = samples(key).map(_ / 20.0)
+      def perQueryAvg(key: String, n: Int)(run: () => Unit): Double = {
+        val m = medianOf(key)(run) / n.toDouble
+        samples(key) = samples(key).map(_ / n.toDouble)
         m
       }
+      def singleProbeAvg(key: String)(run: () => Unit): Double =
+        perQueryAvg(key, 20)(run)
       val singleAvg = singleProbeAvg("x_lsh_single_query_avg_sec_20kdocs")(() =>
         (5L until 25L).foreach(i => eng.query(someSigs(i), 5)))
       // batches through ONE plan (the Spark-native shape), with the
@@ -404,6 +407,19 @@ object Bench {
       // 1000 queries through one plan shows the amortized throughput a
       // large-scale user cares about
       val batch1000 = medianOf("x_lsh_batch1000_queries_sec_20kdocs")(() => lshBatch(1000))
+      // SERVED batch of 100: the same 100 probes answered from the warmed
+      // driver replica (QueryEngine.queryMany — zero Spark jobs per
+      // probe). This is the apples-to-apples row against the reference's
+      // published 6.148 ms/query: benchmark_runner.py times a host-side
+      // loop over query vectors against the prebuilt in-memory index,
+      // which is exactly this tier's shape — the distributed batch rows
+      // above additionally pay Spark's per-job floor that the reference
+      // never pays at 20k scale. Same k and max_candidates cap.
+      val served100Queries: Seq[(Long, Array[Long])] =
+        (0L until 100L).map(i => i -> someSigs(i))
+      val servedBatch100 =
+        perQueryAvg("x_lsh_served_batch100_queries_sec_20kdocs", 100)(() =>
+          eng.queryMany(served100Queries, 5))
       // brute-force batch of 100: the reference's no-index fallback scan —
       // negative L2 over SIGNATURES (benchmark_runner.py:109-117), i.e.
       // the reference's own brute-force metric (12.98 ms/query numpy scan
@@ -486,6 +502,7 @@ object Bench {
           "x_lsh_single_query_avg_sec_20kdocs" -> singleAvg,
           "x_lsh_batch100_queries_sec_20kdocs" -> batch100,
           "x_lsh_batch1000_queries_sec_20kdocs" -> batch1000,
+          "x_lsh_served_batch100_queries_sec_20kdocs" -> servedBatch100,
           "x_brute_batch100_queries_sec_20kdocs" -> brute100,
           "x_vec_build_sec_20kvecs" -> vecBuild,
           "x_vec_exact_batch100_sec_20kvecs" -> vecExact,
@@ -719,6 +736,7 @@ object Bench {
         "x_lsh_single_query_avg_sec_20kdocs" -> singleAvg,
         "x_lsh_batch100_queries_sec_20kdocs" -> batch100,
         "x_lsh_batch1000_queries_sec_20kdocs" -> batch1000,
+        "x_lsh_served_batch100_queries_sec_20kdocs" -> servedBatch100,
         "x_brute_batch100_queries_sec_20kdocs" -> brute100,
         "x_vec_build_sec_20kvecs" -> vecBuild,
         "x_vec_exact_batch100_sec_20kvecs" -> vecExact,

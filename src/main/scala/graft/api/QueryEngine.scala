@@ -90,6 +90,20 @@ final class QueryEngine private (
   def queryBatch(queries: DataFrame, k: Int = 10, maxCandidates: Int = 2000): DataFrame =
     Lsh.queryBatch(sigs, index, queries, k, params, maxCandidates)
 
+  /** SERVED batch: many probes answered sequentially through the tiered
+    * single-probe path (driver replica → probe cache → distributed
+    * fallback) — the reference's OWN benchmark shape, a host-side loop
+    * over query vectors against the prebuilt in-memory index
+    * (benchmark_runner.py:130-144 times exactly this, 6.148 ms/query).
+    * Per probe a warmed small index runs ZERO Spark jobs, so this form
+    * beats [[queryBatch]] whenever the batch is small or the index is
+    * served; queryBatch's one-compiled-plan scatter wins when the batch
+    * is large and the index is not driver-resident. Results are
+    * bit-identical across the forms (QueryEngineSpec / o31 gate). */
+  def queryMany(queries: Seq[(Long, Array[Long])], k: Int = 10,
+                maxCandidates: Int = 2000): Seq[(Long, Seq[Candidate])] =
+    queries.map { case (qid, v) => qid -> query(v, k, maxCandidates) }
+
   /** Incremental index growth: signatures + postings for `docs` are
     * unioned onto the cached tables (no full rebuild — the reference
     * rebuilds its in-memory tables from scratch), and the bucket cap is

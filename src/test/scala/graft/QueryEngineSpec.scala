@@ -350,6 +350,31 @@ class QueryEngineSpec extends SparkSpec {
     assert((ids - -1L).nonEmpty)
   }
 
+  test("queryMany (served batch) is bit-identical to the distributed queryBatch") {
+    val docs = spark.read.parquet(s"$testDataDir/documents.parquet")
+    val eng = QueryEngine.build(docs,
+      mp = graft.core.MinHashPipeline.Params(kShingle = 3)).warmUp()
+    // warmed engine: queryMany answers from the driver replica
+    assert(graft.core.Lsh.driverIndexFor(eng.index).isDefined)
+    val qs = eng.sigs.filter(col("doc_id") < 20)
+      .select("doc_id", "sig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toSeq
+    val served = eng.queryMany(qs, k = 5, maxCandidates = 2000)
+      .flatMap { case (qid, hits) =>
+        hits.filter(_.id >= 0).zipWithIndex
+          .map { case (c, i) => (qid, i + 1, c.id, c.score) }
+      }.toSet
+    val dist = eng.queryBatch(
+      eng.sigs.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("query_id"), col("sig")),
+      k = 5, maxCandidates = 2000)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(served == dist)
+    eng.close()
+  }
+
   test("synthetic corpus is deterministic and partitioning-invariant") {
     val a = SyntheticCorpus.docs(spark, 200).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
