@@ -487,6 +487,52 @@ object Kernels {
       if (m < 2) 0.0 else maxBi.toDouble / (m - 1)))
   }
 
+  /** One-pass INTEGER text statistics for the learned quality classifier
+    * (Classifier.scala): [n_tokens, n_distinct, top_token_count, n_chars,
+    * n_letters, n_punct, sum_token_len] as array<long>. The integer twins
+    * of repetitionStats' ratios — the classifier's training sums must be
+    * exact BIGINT arithmetic (order-free, overflow-safe) so the DuckDB
+    * oracle re-derives the fitted model bit-for-bit; double ratios can't
+    * carry that. Tokenization matches Shingling.tokens (split on \s+,
+    * drop empties = string_split_regex + list_filter); all character
+    * counts are CODE POINTS (DuckDB length() semantics — UTF-16 .length
+    * would diverge on astral chars, the RealCorpusSmoke lesson); letter =
+    * ASCII [A-Za-z] and punct = [.,;:!?'"] exactly as the oracle's
+    * regexp_replace character classes count them. */
+  def textStats(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val raw = s.split("\\s+")
+    var nTok = 0L
+    var sumLen = 0L
+    var topCnt = 0L
+    val counts = new java.util.HashMap[String, Integer]()
+    var i = 0
+    while (i < raw.length) {
+      val t = raw(i)
+      if (!t.isEmpty) {
+        nTok += 1
+        sumLen += t.codePointCount(0, t.length)
+        val c = counts.merge(t, 1, (a, b) => a + b)
+        if (c > topCnt) topCnt = c.toLong
+      }
+      i += 1
+    }
+    var nChars = 0L
+    var letters = 0L
+    var punct = 0L
+    i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      nChars += 1
+      if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')) letters += 1
+      else if (cp == '.' || cp == ',' || cp == ';' || cp == ':' ||
+        cp == '!' || cp == '?' || cp == '\'' || cp == '"') punct += 1
+      i += Character.charCount(cp)
+    }
+    new GenericArrayData(Array(
+      nTok, counts.size.toLong, topCnt, nChars, letters, punct, sumLen))
+  }
+
   /** Random-hyperplane LSH bucket id (Charikar 2002 SimHash-for-cosine):
     * bit p of the result is set iff the dot product of `v` against the
     * deterministic ±1 hyperplane p is positive. The ±1 weight for

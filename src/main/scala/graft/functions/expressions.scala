@@ -275,6 +275,21 @@ case class RepetitionStats(child: Expression) extends UnaryExpression {
   override def prettyName: String = "repetition_stats"
 }
 
+/** string -> array<long>(7): one-pass INTEGER text statistics
+  * [n_tokens, n_distinct, top_token_count, n_chars, n_letters, n_punct,
+  * sum_token_len] — Kernels.textStats, the exact-arithmetic feature
+  * source for the learned quality classifier (Classifier.scala). */
+case class TextStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    graft.core.Kernels.textStats(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.Kernels.textStats($c)")
+  override protected def withNewChildInternal(c: Expression): TextStats = copy(child = c)
+  override def prettyName: String = "text_stats"
+}
+
 /** array<float> -> long: random-hyperplane LSH bucket id (sign bits of
   * `planes` deterministic ±1 dot products — Kernels.rhpBucket). */
 case class RhpBucket(child: Expression, planes: Int) extends UnaryExpression {
@@ -398,6 +413,7 @@ object GraftFunctions {
   def window_fingerprints(c: Column, w: Int): Column = col(WindowFingerprints(ex(c), w))
   def rhp_bucket(c: Column, planes: Int): Column = col(RhpBucket(ex(c), planes))
   def repetition_stats(c: Column): Column = col(RepetitionStats(ex(c)))
+  def text_stats(c: Column): Column = col(TextStats(ex(c)))
   def quantize_i8(v: Column, s: Column): Column = col(QuantizeI8(ex(v), ex(s)))
   def neg_l2_quant(x: Column, y: Column, s: Column): Column =
     col(NegL2Quant(ex(x), ex(y), ex(s)))
@@ -426,6 +442,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("rhp_bucket",
       es => RhpBucket(es(0), es(1).eval().asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("repetition_stats", es => RepetitionStats(es.head), "built-in")
+    reg.createOrReplaceTempFunction("text_stats", es => TextStats(es.head), "built-in")
     reg.createOrReplaceTempFunction("quantize_i8", es => QuantizeI8(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("neg_l2_quant", es => NegL2Quant(es(0), es(1), es(2)), "built-in")
   }

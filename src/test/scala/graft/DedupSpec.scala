@@ -336,4 +336,23 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).toSet
     assert(capped == uncapped)
   }
+
+  test("incremental dedup classifies a batch exact / near / new with precedence") {
+    import graft.core.MinHashPipeline
+    // corpus = planted docs 0..5; batch: 10 = copy of 0 (exact, and also a
+    // near hit — exact must win), 11 = near-dup of 0 (one word changed),
+    // 12 = unrelated fresh text
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota mu"),
+      (12L, "completely different words about weather rain sun cloud wind storm")
+    ).toDF("doc_id", "text")
+    def sigsOf(df: org.apache.spark.sql.DataFrame) =
+      MinHashPipeline.withSignature(df, "text",
+        MinHashPipeline.Params(kShingle = 2)).select("doc_id", "sig")
+    val got = Dedup.incrementalStatus(docs, sigsOf(docs), batch, sigsOf(batch),
+      threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(10L -> "exact", 11L -> "near", 12L -> "new"), got)
+  }
 }
