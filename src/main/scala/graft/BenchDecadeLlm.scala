@@ -175,11 +175,27 @@ object BenchDecadeLlm {
     // re-keyed exact copies + 0.5% fresh unseen docs.
     import graft.core.{Lsh, MinHashPipeline}
     val mp = MinHashPipeline.Params(kShingle = 1)
-    val corpusSigs = MinHashPipeline.withSignature(docs, "text", mp)
-      .select(col("doc_id"), col("sig")).persist()
-    val corpusIndex = Lsh.postings(corpusSigs, "doc_id", "sig").persist()
-    val corpusHashes = docs.select(md5(col("text")).as("_h")).persist()
-    corpusIndex.count(); corpusHashes.count() // standing artifacts, untimed
+    // standing artifacts live ON DISK, exactly as a real deduplicated
+    // corpus stores them (heap persists of a 16M-doc sig table + 512M
+    // postings spilled the box's disk through MEMORY_AND_DISK on the
+    // first 16M attempt — and a serving increment would never hold them
+    // in memory anyway). Built once per fixture, reused across reruns.
+    val standDir = new java.io.File(fixtureDir.getParentFile,
+      s"decade_llm_stand_$tag")
+    if (!new java.io.File(standDir, "_SUCCESS").exists()) {
+      val sigsW = MinHashPipeline.withSignature(docs, "text", mp)
+        .select(col("doc_id"), col("sig"))
+      sigsW.write.mode("overwrite").parquet(s"${standDir.getPath}/sigs")
+      val sigsR = spark.read.parquet(s"${standDir.getPath}/sigs")
+      Lsh.postings(sigsR, "doc_id", "sig")
+        .write.mode("overwrite").parquet(s"${standDir.getPath}/index")
+      docs.select(md5(col("text")).as("_h"))
+        .write.mode("overwrite").parquet(s"${standDir.getPath}/hashes")
+      new java.io.FileOutputStream(new java.io.File(standDir, "_SUCCESS")).close()
+    }
+    val corpusSigs = spark.read.parquet(s"${standDir.getPath}/sigs")
+    val corpusIndex = spark.read.parquet(s"${standDir.getPath}/index")
+    val corpusHashes = spark.read.parquet(s"${standDir.getPath}/hashes")
     val nBatchHalf = math.max(nDocs / 200, 1L)
     val copies = docs.filter(col("doc_id") % 200 === 7)
       .select((col("doc_id") + nDocs).as("doc_id"), col("text"))

@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.functions.GraftFunctions.text_stats
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Learned (model-based) quality filter — the CCNet/GPT-3-style second
@@ -144,19 +143,7 @@ object Classifier {
     val score = (1 to NumFeatures)
       .map(j => lit(model.w(j - 1)) * col(s"x$j"))
       .reduce(_ + _)
-    val scored = feat
-      .withColumn("score", score)
-      .withColumn("_bucket", shiftright(col("score"), 10))
-    val wb = Window.orderBy(col("_bucket").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val before = scored.groupBy("_bucket").agg(count(lit(1)).as("_c"))
-      .withColumn("_before", coalesce(sum(col("_c")).over(wb), lit(0L)))
-      .drop("_c")
-      .withColumnRenamed("_bucket", "_b")
-    val ww = Window.partitionBy(col("_bucket"))
-      .orderBy(col("score").desc, col(idCol))
-    scored.join(before, col("_bucket") === col("_b"))
-      .withColumn("_rank", col("_before") + row_number().over(ww).cast("long"))
+    Sampling.globalRank(feat.withColumn("score", score), "score", idCol)
       .withColumn("keep", col("_rank") <= lit(model.nPos))
       .select(col(idCol), col("label"), col("score"), col("keep"))
   }

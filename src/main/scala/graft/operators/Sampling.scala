@@ -170,6 +170,73 @@ object Sampling {
         col("rank"), (col("rank") <= col("quota")).as("selected"))
   }
 
+  /** EXACT global rank by (`scoreCol` desc, `idCol` asc) over an
+    * integer-score table WITHOUT a whole-corpus single-task window — the
+    * shared two-phase shape (scores coarsen to buckets by arithmetic
+    * shift, per-bucket counts prefix-sum through a window over the tiny
+    * bucket aggregate, in-bucket rank partitions by BUCKET). Appends
+    * `_rank` (1-based). Used by the u08 classifier cutoff and u09 DSIR
+    * selection; equivalence to the naive single-window rank is
+    * spec-pinned (ClassifierSpec). */
+  def globalRank(scored: DataFrame, scoreCol: String = "score",
+                 idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = scored.withColumn("_bucket", shiftright(col(scoreCol), 10))
+    val wb = Window.orderBy(col("_bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val before = bucketed.groupBy("_bucket").agg(count(lit(1)).as("_c"))
+      .withColumn("_before", coalesce(sum(col("_c")).over(wb), lit(0L)))
+      .drop("_c")
+      .withColumnRenamed("_bucket", "_b")
+    val ww = Window.partitionBy(col("_bucket"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    bucketed.join(before, col("_bucket") === col("_b"))
+      .withColumn("_rank", col("_before") + row_number().over(ww).cast("long"))
+      .drop("_bucket", "_b", "_before")
+  }
+
+  /** DSIR-style importance selection (Xie et al. 2023 "Data Selection
+    * for Language Models via Importance Resampling", reduced to the
+    * engine's exact-arithmetic discipline): score every document by how
+    * much more likely its tokens are under the TARGET domain's unigram
+    * distribution than under the whole corpus's, keep the top `quota`
+    * docs by score. The log-likelihood ratio uses the integer bit-length
+    * proxy (bitlen(c_target+1) - bitlen(c_corpus+1) per token
+    * occurrence — the t10 trick), per-token-averaged in 64ths with
+    * truncating division, so scores are exact BIGINTs and the DuckDB
+    * oracle replays the whole selection including the fitted weights.
+    *
+    * Scale shape: one token explode feeds BOTH count aggregations (the
+    * weight "model" is one vocab-bounded groupBy — map-side combined);
+    * scoring is a join against that vocab-bounded table (broadcastable)
+    * + one per-doc sum; selection is [[globalRank]]'s two-phase cutoff.
+    * Output: (id, score, selected). */
+  def dsirSelect(docs: DataFrame, isTarget: Column, quota: Long,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import graft.core.Shingling
+    val base = docs.select(col(idCol).cast("long").as(idCol),
+      isTarget.cast("boolean").as("_t"),
+      Shingling.tokens(lower(col(textCol))).as("_tk"))
+    val tok = base.select(col(idCol), col("_t"), explode(col("_tk")).as("_w"))
+    val weights = tok.groupBy("_w").agg(
+      sum(when(col("_t"), 1L).otherwise(0L)).as("_ct"),
+      count(lit(1)).as("_cr"))
+      .select(col("_w"),
+        (length(bin(col("_ct") + 1)) - length(bin(col("_cr") + 1)))
+          .cast("long").as("_delta"))
+    val sums = tok.join(weights, "_w")
+      .groupBy(idCol).agg(sum("_delta").as("_sum"), count(lit(1)).as("_n"))
+    val scoredAll = base.select(col(idCol)).join(sums, Seq(idCol), "left")
+      .selectExpr(idCol,
+        // per-token average in 64ths; sign-split truncating division
+        // (matches the oracle's CASE; docs with no tokens score 0)
+        """coalesce(CASE WHEN _sum >= 0 THEN (_sum * 64) div _n
+          |  ELSE -(((-_sum) * 64) div _n) END, 0L) AS score""".stripMargin)
+    globalRank(scoredAll, "score", idCol)
+      .withColumn("selected", col("_rank") <= quota)
+      .select(col(idCol), col("score"), col("selected"))
+  }
+
   /** Quality-ranked selection under a per-group token budget — the "data
     * mixing" primitive: within each group (language, domain, source),
     * take documents in (score desc, id) order until the group's token

@@ -187,4 +187,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_top_k_by_score") || p.contains("TopKByScore"),
       p.take(3000))
   }
+
+  test("incremental dedup: no cartesian, exact tier is a semi-join, probes candidate-gated") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$testDataDir/documents.parquet")
+    val sigs = MinHashPipeline.withSignature(docs, "text",
+      MinHashPipeline.Params(kShingle = 3)).select("doc_id", "sig")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+    val batch = docs.filter(col("doc_id") % 10 === 7)
+    val q = Dedup.incrementalStatus(corpus,
+      sigs.filter(col("doc_id") % 10 =!= 7), batch,
+      sigs.filter(col("doc_id") % 10 === 7), threshold = 0.5)
+    val p = plan(q)
+    // batch x corpus must NEVER form: the near tier goes through the
+    // banded candidate equi-join, the exact tier through one hash
+    // semi-join — at 100 TB both sides of a cartesian would be corpora
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("LeftSemi"), p.take(3000))
+  }
 }
