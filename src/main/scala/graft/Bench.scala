@@ -114,7 +114,7 @@ object Bench {
       "x_lsh_single_query_avg_sec_20kdocs",
       "x_lsh_batch100_queries_sec_20kdocs",
       "x_lsh_batch1000_queries_sec_20kdocs",
-      "x_lsh_served_batch100_queries_sec_20kdocs",
+      "x_lsh_served_batch100_avg_sec_20kdocs",
       "x_brute_batch100_queries_sec_20kdocs",
       "x_lsh_bucketed_batch100_sec_20kdocs",
       "x_vec_build_sec_20kvecs",
@@ -418,7 +418,7 @@ object Bench {
       val served100Queries: Seq[(Long, Array[Long])] =
         (0L until 100L).map(i => i -> someSigs(i))
       val servedBatch100 =
-        perQueryAvg("x_lsh_served_batch100_queries_sec_20kdocs", 100)(() =>
+        perQueryAvg("x_lsh_served_batch100_avg_sec_20kdocs", 100)(() =>
           eng.queryMany(served100Queries, 5))
       // brute-force batch of 100: the reference's no-index fallback scan —
       // negative L2 over SIGNATURES (benchmark_runner.py:109-117), i.e.
@@ -502,7 +502,7 @@ object Bench {
           "x_lsh_single_query_avg_sec_20kdocs" -> singleAvg,
           "x_lsh_batch100_queries_sec_20kdocs" -> batch100,
           "x_lsh_batch1000_queries_sec_20kdocs" -> batch1000,
-          "x_lsh_served_batch100_queries_sec_20kdocs" -> servedBatch100,
+          "x_lsh_served_batch100_avg_sec_20kdocs" -> servedBatch100,
           "x_brute_batch100_queries_sec_20kdocs" -> brute100,
           "x_vec_build_sec_20kvecs" -> vecBuild,
           "x_vec_exact_batch100_sec_20kvecs" -> vecExact,
@@ -736,7 +736,7 @@ object Bench {
         "x_lsh_single_query_avg_sec_20kdocs" -> singleAvg,
         "x_lsh_batch100_queries_sec_20kdocs" -> batch100,
         "x_lsh_batch1000_queries_sec_20kdocs" -> batch1000,
-        "x_lsh_served_batch100_queries_sec_20kdocs" -> servedBatch100,
+        "x_lsh_served_batch100_avg_sec_20kdocs" -> servedBatch100,
         "x_brute_batch100_queries_sec_20kdocs" -> brute100,
         "x_vec_build_sec_20kvecs" -> vecBuild,
         "x_vec_exact_batch100_sec_20kvecs" -> vecExact,

@@ -131,7 +131,10 @@ object Dedup {
                                lsh: Lsh.Params = Lsh.Params()): DataFrame = {
     val bh = batchDocs.select(col(idCol).cast("long").as(idCol),
       md5(col(textCol)).as("_h"))
-    val exactIds = bh.join(corpusHashes, Seq("_h"), "left_semi").select(col(idCol))
+    // distinct: a duplicate batch id (two rows, either text matching)
+    // must yield ONE id-level verdict, not multiply the final join
+    val exactIds = bh.join(corpusHashes, Seq("_h"), "left_semi")
+      .select(col(idCol)).distinct()
     val batchKeys = Lsh.postings(batchSigs, idCol, "sig", lsh)
       .withColumnRenamed("id", "_bid")
     val cand = corpusIndex
