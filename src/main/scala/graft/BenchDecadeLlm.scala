@@ -9,7 +9,9 @@ import org.apache.spark.sql.functions._
   * components (d05), token-budget selection (u06), temperature mixing
   * (u07), the learned quality filter (u08: one-pass exact-integer train
   * + two-phase-rank filter), incremental batch-vs-standing-corpus dedup
-  * (d16) and the six-stage corpus-prep composition (p01), measured at
+  * (d16), keep-best survivor selection over the CC labels (d17), the
+  * deterministic epoch shuffle (u10) and the six-stage corpus-prep
+  * composition (p01), measured at
   * `SPARK_GRAFT_DECADE_DOCS` documents (run at 1M / 4M / 16M for the
   * decade). Kept OUT of graft.Bench for the same reason as BenchDecade:
   * the driver's per-round run keeps its ~15-minute budget; run this
@@ -110,10 +112,12 @@ object BenchDecadeLlm {
     // cost is the simhash row above), so this times propagation alone
     val pairs = Dedup.nearSimHash(docs, budget).localCheckpoint(true)
     val ccRounds = scala.collection.mutable.ListBuffer.empty[(Int, Double)]
+    var ccLabels: DataFrame = null
     val ccSec = once(s"x_llm_cc_sec_$tag") { () =>
       ccRounds.clear()
-      counts("n_cc_labeled") = Dedup.connectedComponents(pairs,
-        onRound = (r, s) => ccRounds += ((r, s))).count()
+      ccLabels = Dedup.connectedComponents(pairs,
+        onRound = (r, s) => ccRounds += ((r, s)))
+      counts("n_cc_labeled") = ccLabels.count()
     }
     counts(s"x_llm_cc_rounds_$tag") = ccRounds.lastOption.map(_._1.toLong).getOrElse(0L)
     samples(s"x_llm_cc_round_secs_$tag") = ccRounds.map(_._2).toSeq
@@ -136,6 +140,15 @@ object BenchDecadeLlm {
       chainRounds.lastOption.map(_._1.toLong).getOrElse(0L)
     samples(s"x_llm_cc_chain_round_secs_$tag") = chainRounds.map(_._2).toSeq
     System.err.println(s"[decade-llm] chain cc=$chainSec rounds=${chainRounds.toList}")
+
+    // d17: keep-best survivor selection on top of d05's (materialized)
+    // labels — the argmax-agg + join tail a production dedup adds after
+    // propagation; docs re-scanned for the quality column each run
+    val d17Sec = medianOf(s"x_llm_keep_best_sec_$tag")(() =>
+      counts("n_keep_best_survivors") = Dedup.keepBest(docs, ccLabels,
+        length(col("text"))).filter(col("keep")).count())
+    System.err.println(s"[decade-llm] d17=$d17Sec " +
+      s"survivors=${counts("n_keep_best_survivors")}")
 
     // u06: token-budget selection per language (budget = ~10% of tokens)
     val score = pmod(xxhash64(col("doc_id"), lit(-7)), lit(1L << 40)).cast("double") /
@@ -166,6 +179,15 @@ object BenchDecadeLlm {
       counts("n_classifier_kept") = u08Df.filter(col("keep")).count())
     counts("n_classifier_quota") = u08Model.nPos
     System.err.println(s"[decade-llm] u08 train=$u08TrainSec filter=$u08Sec")
+
+    // u10: deterministic epoch shuffle into 1024 shards — two shuffles
+    // plus the two-phase in-shard rank; sum(pos) forces every window row
+    // (a bare count would prune the rank away)
+    val u10Df = Sampling.shuffleShards(docs.select("doc_id"), nShards = 1024)
+    val u10Sec = medianOf(s"x_llm_shuffle_shards_sec_$tag")(() =>
+      counts("chk_shuffle_pos_sum") =
+        u10Df.agg(sum("pos")).collect()(0).getLong(0))
+    System.err.println(s"[decade-llm] u10=$u10Sec")
 
     // d16: incremental dedup of a 1% arriving batch against the STANDING
     // corpus artifacts (hash set + capped postings index, built and
@@ -222,7 +244,8 @@ object BenchDecadeLlm {
     // its spec — a whole-language/whole-corpus single-task window must
     // never form at any scale (PlanSpec's rule, re-checked on the decade
     // plan because fixture stats/AQE could have replanned it)
-    for ((name, df) <- Seq("u06" -> u06Df, "u07" -> u07Df, "u08" -> u08Df)) {
+    for ((name, df) <- Seq("u06" -> u06Df, "u07" -> u07Df, "u08" -> u08Df,
+        "u10" -> u10Df)) {
       val p = df.queryExecution.executedPlan.toString
       val specs = "windowspecdefinition\\(".r.findAllMatchIn(p).map(_.start).toSeq
       val allBucketed = specs.nonEmpty && specs.forall(i =>
@@ -252,10 +275,12 @@ object BenchDecadeLlm {
       s"x_llm_simhash_pairs_sec_$tag" -> simhashSec,
       s"x_llm_cc_sec_$tag" -> ccSec,
       s"x_llm_cc_chain_sec_$tag" -> chainSec,
+      s"x_llm_keep_best_sec_$tag" -> d17Sec,
       s"x_llm_budget_sample_sec_$tag" -> u06Sec,
       s"x_llm_temperature_mix_sec_$tag" -> u07Sec,
       s"x_llm_classifier_train_sec_$tag" -> u08TrainSec,
       s"x_llm_classifier_filter_sec_$tag" -> u08Sec,
+      s"x_llm_shuffle_shards_sec_$tag" -> u10Sec,
       s"x_llm_incremental_dedup_sec_$tag" -> d16Sec,
       s"x_llm_p01_sec_$tag" -> p01Sec)
     val line = jmap(Seq(

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.core.{Lsh, Shingling}
 import graft.functions.GraftFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Training-data deduplication operators over a documents table
@@ -507,5 +507,38 @@ object Dedup {
       .select(col("id"), col("centroid_id"),
         coalesce(col("n_dups"), lit(0L)).as("n_dups"),
         (coalesce(col("dominated"), lit(0)) === 0).as("keep"))
+  }
+
+  /** Survivor selection with a KEEP-BEST policy over transitive dup
+    * clusters — what a production dedup actually ships (min-id survivors
+    * are arbitrary; pipelines keep the best-quality copy per cluster,
+    * e.g. the longest or highest-scoring one). `labels` is
+    * [[connectedComponents]] output (doc, label); docs absent from it are
+    * singletons and survive as their own cluster. `score` is any
+    * integer-exact quality column of the doc row (length, a u08
+    * classifier score, ...) — highest wins, ties to the SMALLEST id so
+    * the choice is total and engine-independent.
+    *
+    * Scale shape: one left join against the (cluster-sized) label table,
+    * one map-side-combined hash agg picking each cluster's argmax via
+    * `max(struct(score, -id))` — never a per-cluster window sort (a
+    * degenerate giant cluster costs one combiner slot per partition) —
+    * and one hash join back on the cluster key.
+    *
+    * Output: (idCol, cluster, keep). */
+  def keepBest(docs: DataFrame, labels: DataFrame, score: Column,
+               idCol: String = "doc_id"): DataFrame = {
+    val lab = labels.select(col("doc").cast("long").as(idCol),
+      col("label").cast("long").as("_label"))
+    val clustered = docs.select(col(idCol).cast("long").as(idCol),
+        score.cast("long").as("_score"))
+      .join(lab, Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("_label"), col(idCol)))
+    val best = clustered.groupBy("cluster")
+      .agg(max(struct(col("_score"), (-col(idCol)).as("_nid"))).as("_b"))
+      .select(col("cluster").as("_cl"), (-col("_b._nid")).as("_bestId"))
+    clustered.join(best, col("cluster") === col("_cl"))
+      .select(col(idCol), col("cluster"),
+        (col(idCol) === col("_bestId")).as("keep"))
   }
 }

@@ -293,4 +293,54 @@ object Sampling {
       .select(col(idCol), col(groupCol), col("n_toks"), col("cum_tokens"),
         col("selected"))
   }
+
+  /** Deterministic epoch shuffle + shard assignment — the LAST step of a
+    * training-data pipeline (after packing/selection, the sequences must
+    * be written out in pseudo-random order across N shard files so data
+    * loaders stream them without a runtime shuffle buffer). Every row
+    * gets a seeded order key (md5 of "seed:id" — a different seed is a
+    * different epoch permutation), a shard from a DISJOINT slice of the
+    * same digest, and an exact 1-based position within its shard in key
+    * order. All pure functions of (seed, id): the permutation is
+    * reproducible across runs, partitionings, and engines, and a
+    * training run can be resumed or audited from (seed, shard, pos)
+    * alone.
+    *
+    * Scale shape: no global sort and no whole-shard single-task window —
+    * the in-shard position uses the shared two-phase rank (the order
+    * key's first byte is a 256-way bucket PREFIX, so per-(shard, bucket)
+    * row_number + a prefix-sum over the tiny (shards x 256) count table
+    * equals the single-window rank). The writer form is
+    * `repartition(shard) + sortWithinPartitions(key)` on top of this
+    * same key — one shuffle, ordered shard files.
+    *
+    * Output: (idCol, shard, pos). */
+  def shuffleShards(df: DataFrame, nShards: Int, seed: Long = 42L,
+                    idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nShards > 0, "nShards must be positive")
+    val keyed = df.select(col(idCol).cast("long").as(idCol))
+      .withColumn("_key",
+        md5(concat(lit(seed.toString), lit(":"), col(idCol).cast("string"))))
+      // shard from hex digits 17..24 — disjoint from the order key's
+      // bucket prefix, so shard membership and in-shard order are
+      // independent slices of one digest
+      .withColumn("shard",
+        (conv(substring(col("_key"), 17, 8), 16, 10).cast("long")
+          % nShards).cast("int"))
+      // first hex byte = 256-way bucket; lowercase hex is ASCII-ordered,
+      // so the bucket is a true prefix of the string order key
+      .withColumn("_bucket", conv(substring(col("_key"), 1, 2), 16, 10).cast("int"))
+    val wb = Window.partitionBy(col("shard")).orderBy(col("_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val before = keyed.groupBy("shard", "_bucket").agg(count(lit(1)).as("_c"))
+      .withColumn("_before", coalesce(sum(col("_c")).over(wb), lit(0L)))
+      .drop("_c")
+      .withColumnRenamed("shard", "_s").withColumnRenamed("_bucket", "_b")
+    val ww = Window.partitionBy(col("shard"), col("_bucket"))
+      .orderBy(col("_key"), col(idCol))
+    keyed.join(before, col("shard") === col("_s") && col("_bucket") === col("_b"))
+      .withColumn("pos", col("_before") + row_number().over(ww).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
 }

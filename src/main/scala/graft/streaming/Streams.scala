@@ -55,6 +55,7 @@ object Streams {
         col("s.end").as("session_end"), col("n_events"), col("sum_value"))
 
   case class Seen(userId: Long, eventId: Long)
+  case class Doc(docId: Long, text: String)
   case class SeenAt(userId: Long, eventId: Long, ts: java.sql.Timestamp)
   case class DedupState(seen: Set[Long])
 
@@ -205,6 +206,83 @@ object Streams {
         // Lsh.queryBatch (pass maxCandidates to bound per-query scoring
         // under bucket skew, as the reference's service cap does)
         sink(Lsh.queryBatch(sigs, index, batch, k, maxCandidates = maxCandidates), batchId)
+      }
+      .start()
+  }
+
+  /** Driver-held standing state for a CONTINUOUSLY-deduplicating ingest
+    * stream — d16's daily-crawl classification run as a stream: each
+    * arriving micro-batch of (id, text) docs is classified exact / near /
+    * new against the standing corpus, and the batch's `new` docs
+    * immediately JOIN the standing corpus, so a later micro-batch that
+    * repeats them classifies as a duplicate. This is the state evolution
+    * d16's one-shot form leaves to the caller.
+    *
+    * The standing artifacts are the same two d16 reads: the md5 hash set
+    * (exact tier) and the signature table (near tier; the capped postings
+    * index is derived from it per batch — the cap re-resolves
+    * keep-smallest-ids over the GROWN corpus, which keeps the result an
+    * exact function of the corpus content, independent of arrival
+    * batching only for ids above the standing ones; a production ingest
+    * would append under the cap instead and accept arrival-order cap
+    * ties). Per-batch cost is the batch's own signature projection plus
+    * the bounded probes — never a corpus re-dedup. State lineage is
+    * truncated per batch with an eager localCheckpoint, the streaming
+    * twin of the d05 round discipline.
+    *
+    * Not thread-safe; call from a single foreachBatch loop (Structured
+    * Streaming serializes micro-batches per query). */
+  final class IncrementalDedupState(corpusDocs: DataFrame, corpusSigs: DataFrame,
+                                    threshold: Double = 0.5,
+                                    idCol: String = "doc_id",
+                                    textCol: String = "text",
+                                    lsh: Lsh.Params = Lsh.Params()) {
+    import graft.operators.Dedup
+    private def ckpt(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graftbridge.CheckpointStats.strip(df.localCheckpoint(true))
+    private var hashes: DataFrame =
+      ckpt(corpusDocs.select(md5(col(textCol)).as("_h")))
+    private var sigs: DataFrame =
+      ckpt(corpusSigs.select(col(idCol).cast("long").as(idCol), col("sig")))
+
+    /** Classify one micro-batch (idCol, textCol rows; ids unique within
+      * the batch) and absorb its `new` docs into the standing corpus.
+      * Returns (idCol, status) — materialized, safe to hold across
+      * batches. */
+    def classify(batchDocs: DataFrame): DataFrame = {
+      import graft.core.Shingling
+      import graft.functions.GraftFunctions.{minhash_signature, shingle_hashes_md5}
+      val batchSigs = batchDocs.select(col(idCol).cast("long").as(idCol),
+        minhash_signature(shingle_hashes_md5(
+          Shingling.shingles(col(textCol), 3, byWord = true))).as("sig"))
+      val out = ckpt(Dedup.incrementalStatusIndexed(
+        hashes, sigs, Lsh.postings(sigs, idCol, "sig", lsh),
+        batchDocs, batchSigs, threshold, idCol, textCol, lsh))
+      val newIds = out.filter(col("status") === "new").select(col(idCol))
+      hashes = ckpt(hashes.unionByName(
+        batchDocs.select(col(idCol).cast("long").as(idCol), col(textCol))
+          .join(newIds, Seq(idCol), "left_semi")
+          .select(md5(col(textCol)).as("_h"))))
+      sigs = ckpt(sigs.unionByName(
+        batchSigs.join(newIds, Seq(idCol), "left_semi")))
+      out
+    }
+  }
+
+  /** Stream form of [[IncrementalDedupState]]: classify every micro-batch
+    * of `docs` (a streaming DataFrame of (id, text)) against the standing
+    * corpus, absorbing each batch's `new` docs before the next. `sink`
+    * receives each batch's (id, status) verdicts. */
+  def incrementalDedupStream(docs: DataFrame, corpusDocs: DataFrame,
+                             corpusSigs: DataFrame, threshold: Double = 0.5,
+                             idCol: String = "doc_id", textCol: String = "text")
+                            (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val state = new IncrementalDedupState(corpusDocs, corpusSigs, threshold,
+      idCol, textCol)
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(state.classify(batch), batchId)
       }
       .start()
   }

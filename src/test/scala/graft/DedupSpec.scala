@@ -355,4 +355,20 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(10L -> "exact", 11L -> "near", 12L -> "new"), got)
   }
+
+  test("keepBest keeps the longest copy per transitive cluster, ties to smallest id") {
+    val pairs = Dedup.nearMinHashLsh(docs, k = 2, threshold = 0.5)
+      .select(col("a"), col("b"))
+    val labels = Dedup.connectedComponents(pairs)
+    val out = Dedup.keepBest(docs, labels, length(col("text")))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // cluster {0,1,2} labels to 0; doc 2 ("...lambda") is one char longer
+    // than the identical 0/1 — the best copy survives, not the min id
+    assert(out(2L) == ((0L, true)), out)
+    assert(!out(0L)._2 && !out(1L)._2)
+    // cluster {4,5}: equal lengths -> tie to the smallest id
+    assert(out(4L) == ((4L, true)) && out(5L) == ((4L, false)))
+    // 3 is a singleton: its own cluster, survives
+    assert(out(3L) == ((3L, true)))
+  }
 }

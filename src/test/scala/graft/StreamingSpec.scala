@@ -253,4 +253,29 @@ class StreamingSpec extends SparkSpec {
       assert(got.toSeq == Seq((1L, 100L, 200L)))
     }
   }
+
+  test("incremental dedup state: a batch's new docs become dups for later batches") {
+    import spark.implicits._
+    import graft.core.Shingling
+    import graft.functions.GraftFunctions.{minhash_signature, shingle_hashes_md5}
+    def sigsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), minhash_signature(shingle_hashes_md5(
+        Shingling.shingles(col("text"), 3, byWord = true))).as("sig"))
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val st = new Streams.IncrementalDedupState(corpus, sigsOf(corpus))
+    val b1 = Seq(
+      (10L, "totally different document about ducks rivers and reeds"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val r1 = st.classify(b1).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(r1 == Map(10L -> "new", 11L -> "exact"), r1)
+    val b2 = Seq(
+      (20L, "totally different document about ducks rivers and reeds"),
+      (21L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (22L, "yet another unseen text about mountains and passes")).toDF("doc_id", "text")
+    val r2 = st.classify(b2).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 20 duplicates batch 1's NEW doc — the verdict only evolved state
+    // can produce; 21 still duplicates the original corpus; 22 is fresh
+    assert(r2 == Map(20L -> "exact", 21L -> "exact", 22L -> "new"), r2)
+  }
 }
