@@ -232,6 +232,90 @@ object Multimodal {
       new java.util.ArrayList[Row]((0 until n).map(pngImageRow).asJavaList),
       mediaSchema)
 
+  /** [[synthesizePngImages]] with PLANTED duplicate families: content is
+    * keyed by `media_id % family`, so ids i, i+family, i+2·family carry
+    * byte-identical images under distinct ids — the image near-dup gate
+    * fixture (every re-encode of the same pixels is the same PNG because
+    * the encoder is deterministic). */
+  def synthesizePngImagesDup(spark: SparkSession, n: Int, family: Int): DataFrame = {
+    val rows = (0 until n).map { i =>
+      val cid = (i % family).toLong
+      val (w, h) = fixtureDims(cid)
+      val px = Array.tabulate(h, w)((y, x) => fixturePixel(cid, x, y))
+      Row(i.toLong, "image", encodeGrayPng(px), Row("image/png", w, h, null, null))
+    }
+    spark.createDataFrame(new java.util.ArrayList[Row](rows.asJavaList), mediaSchema)
+  }
+
+  /** Perceptual average-hash over REALLY DECODED pixels — the image twin
+    * of the text dedup family: the image is pooled onto an 8×8 cell grid
+    * (cell of (x, y) is (x·8 div w, y·8 div h) — exact integer mapping,
+    * no resampling kernel to replicate), and bit (cy·8+cx) is 1 iff the
+    * cell's mean exceeds the image mean, compared by integer
+    * cross-multiplication (cellSum·totalCnt > totalSum·cellCnt) so the
+    * hash is EXACT integer arithmetic end-to-end and an SQL oracle can
+    * re-derive it from the fixture pixel formula. Emitted as a 64-char
+    * '0'/'1' string (a 64-bit value with bit 63 live would overflow a
+    * signed SQL BIGINT). Non-PNG / corrupt payloads yield null. */
+  def imageAHash(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("ahash", StringType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.filter(col("kind") === "image")
+      .select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          val img =
+            if (!isPng(payload)) null
+            else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            catch { case _: Exception => null }
+          if (img == null) Row(r.getLong(0), null)
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            val raster = img.getRaster
+            val cs = new Array[Long](64); val cc = new Array[Long](64)
+            var y = 0
+            while (y < h) {
+              val cy = y * 8 / h
+              var x = 0
+              while (x < w) {
+                val idx = cy * 8 + x * 8 / w
+                cs(idx) += raster.getSample(x, y, 0); cc(idx) += 1
+                x += 1
+              }
+              y += 1
+            }
+            var ts = 0L; var tc = 0L
+            var i = 0
+            while (i < 64) { ts += cs(i); tc += cc(i); i += 1 }
+            val sb = new java.lang.StringBuilder(64)
+            i = 0
+            while (i < 64) {
+              sb.append(if (cs(i) * tc > ts * cc(i)) '1' else '0'); i += 1
+            }
+            Row(r.getLong(0), sb.toString)
+          }
+        }
+      }(enc)
+  }
+
+  /** Image dedup by perceptual hash: [[imageAHash]] + one hash agg —
+    * (media_id, ahash, group_min, n_same); byte-identical images MUST
+    * share a group (hash of identical pixels is identical), near-dups
+    * collide when their pooled means agree. Same scale shape as d01:
+    * decode is partition-batched, grouping is one map-side-combined agg
+    * on the 64-bit-equivalent key — no pairwise comparisons. */
+  def imageDedup(media: DataFrame): DataFrame = {
+    val hashed = imageAHash(media)
+    val groups = hashed.groupBy("ahash")
+      .agg(min(col("media_id")).as("group_min"),
+        count(lit(1)).as("n_same"))
+    hashed.join(groups, Seq("ahash"))
+      .select(col("media_id"), col("ahash"), col("group_min"), col("n_same"))
+  }
+
   /** Mixed-kind media table matching [[synthesize]]'s id→kind layout
     * (kind = id mod 3), but image rows carry REAL `javax.imageio`-encoded
     * PNGs with the [[fixturePixel]] formula pixels at [[fixtureDims]] —

@@ -230,4 +230,19 @@ class MultimodalSpec extends SparkSpec {
     for (i <- 0 until 12)
       assert(nf(i.toLong) == (Multimodal.fixtureFrameCount(i.toLong) + 2) / 3)
   }
+
+  test("image aHash dedup groups byte-identical images across ids") {
+    val media = Multimodal.synthesizePngImagesDup(spark, n = 30, family = 10)
+    val out = Multimodal.imageDedup(media).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.size == 30)
+    for (i <- 0 until 30) {
+      val (hash, groupMin, nSame) = out(i.toLong)
+      assert(hash != null && hash.length == 64 && hash.forall(c => c == '0' || c == '1'))
+      // identical pixels MUST hash identically: i, i+10, i+20 share a group
+      assert(hash == out((i % 10).toLong)._1)
+      assert(groupMin <= (i % 10).toLong)
+      assert(nSame >= 3) // at least the three planted copies
+    }
+  }
 }
