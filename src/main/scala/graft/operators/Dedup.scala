@@ -515,9 +515,10 @@ object Dedup {
     * e.g. the longest or highest-scoring one). `labels` is
     * [[connectedComponents]] output (doc, label); docs absent from it are
     * singletons and survive as their own cluster. `score` is any
-    * integer-exact quality column of the doc row (length, a u08
-    * classifier score, ...) — highest wins, ties to the SMALLEST id so
-    * the choice is total and engine-independent.
+    * orderable quality column of the doc row (length, a u08 classifier
+    * score, ...) — kept in its NATIVE type (no silent integer
+    * truncation of a fractional score); highest wins, ties to the
+    * SMALLEST id so the choice is total and engine-independent.
     *
     * Scale shape: one left join against the (cluster-sized) label table,
     * one map-side-combined hash agg picking each cluster's argmax via
@@ -531,7 +532,7 @@ object Dedup {
     val lab = labels.select(col("doc").cast("long").as(idCol),
       col("label").cast("long").as("_label"))
     val clustered = docs.select(col(idCol).cast("long").as(idCol),
-        score.cast("long").as("_score"))
+        score.as("_score"))
       .join(lab, Seq(idCol), "left")
       .withColumn("cluster", coalesce(col("_label"), col(idCol)))
     val best = clustered.groupBy("cluster")

@@ -306,13 +306,19 @@ object Multimodal {
     * share a group (hash of identical pixels is identical), near-dups
     * collide when their pooled means agree. Same scale shape as d01:
     * decode is partition-batched, grouping is one map-side-combined agg
-    * on the 64-bit-equivalent key — no pairwise comparisons. */
+    * on the 64-bit-equivalent key — no pairwise comparisons.
+    *
+    * Undecodable images (non-PNG / corrupt payloads, where
+    * [[imageAHash]] yields a null hash) are NOT dropped: they surface
+    * with null ahash/group_min/n_same (left join — a null key never
+    * equi-matches), so a bad payload is an explicit null verdict row
+    * rather than a silent row-count shrink. */
   def imageDedup(media: DataFrame): DataFrame = {
     val hashed = imageAHash(media)
-    val groups = hashed.groupBy("ahash")
+    val groups = hashed.filter(col("ahash").isNotNull).groupBy("ahash")
       .agg(min(col("media_id")).as("group_min"),
         count(lit(1)).as("n_same"))
-    hashed.join(groups, Seq("ahash"))
+    hashed.join(groups, Seq("ahash"), "left")
       .select(col("media_id"), col("ahash"), col("group_min"), col("n_same"))
   }
 

@@ -331,6 +331,17 @@ object Sampling {
       // first hex byte = 256-way bucket; lowercase hex is ASCII-ordered,
       // so the bucket is a true prefix of the string order key
       .withColumn("_bucket", conv(substring(col("_key"), 1, 2), 16, 10).cast("int"))
+    // Deliberate recompute-over-materialize: the keyed projection is
+    // consumed twice (the offset aggregate below and the ranked probe
+    // side), so the md5/conv columns are evaluated in two scans. The
+    // alternatives are all worse at scale: caching/localCheckpoint leaks
+    // executor storage from a pure plan-building function, and forcing
+    // both consumers onto one shared exchange adds a full-row shuffle on
+    // the aggregate branch (today it partial-aggregates map-side and
+    // shuffles only ~shards x 256 count rows) while column pruning keeps
+    // the exchanges un-reusable anyway. The aggregate branch's scan is
+    // pruned to the id column + the hash arithmetic; everything is a
+    // pure function of (seed, id), so correctness is unaffected.
     val wb = Window.partitionBy(col("shard")).orderBy(col("_bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val before = keyed.groupBy("shard", "_bucket").agg(count(lit(1)).as("_c"))
@@ -339,7 +350,7 @@ object Sampling {
       .withColumnRenamed("shard", "_s").withColumnRenamed("_bucket", "_b")
     val ww = Window.partitionBy(col("shard"), col("_bucket"))
       .orderBy(col("_key"), col(idCol))
-    keyed.join(before, col("shard") === col("_s") && col("_bucket") === col("_b"))
+    keyed.join(broadcast(before), col("shard") === col("_s") && col("_bucket") === col("_b"))
       .withColumn("pos", col("_before") + row_number().over(ww).cast("long"))
       .select(col(idCol), col("shard"), col("pos"))
   }
