@@ -210,25 +210,25 @@ object Streams {
       .start()
   }
 
-  /** Driver-held standing state for a CONTINUOUSLY-deduplicating ingest
-    * stream — d16's daily-crawl classification run as a stream: each
-    * arriving micro-batch of (id, text) docs is classified exact / near /
-    * new against the standing corpus, and the batch's `new` docs
-    * immediately JOIN the standing corpus, so a later micro-batch that
-    * repeats them classifies as a duplicate. This is the state evolution
-    * d16's one-shot form leaves to the caller.
+  /** Standing state for a CONTINUOUSLY-deduplicating ingest stream —
+    * d16's daily-crawl classification run as a stream: each arriving
+    * micro-batch of (id, text) docs is classified exact / near / new
+    * against the standing corpus, and the batch's `new` docs immediately
+    * JOIN the standing corpus, so a later micro-batch that repeats them
+    * classifies as a duplicate. This is the state evolution d16's
+    * one-shot form leaves to the caller.
     *
-    * The standing artifacts are the same two d16 reads: the md5 hash set
-    * (exact tier) and the signature table (near tier; the capped postings
-    * index is derived from it per batch — the cap re-resolves
-    * keep-smallest-ids over the GROWN corpus, which keeps the result an
-    * exact function of the corpus content, independent of arrival
-    * batching only for ids above the standing ones; a production ingest
-    * would append under the cap instead and accept arrival-order cap
-    * ties). Per-batch cost is the batch's own signature projection plus
-    * the bounded probes — never a corpus re-dedup. State lineage is
-    * truncated per batch with an eager localCheckpoint, the streaming
-    * twin of the d05 round discipline.
+    * The standing corpus lives as DISK-RESIDENT partition-bucketed
+    * tables ([[graft.operators.StandingCorpus]]): the hash set, the
+    * signature table, and the CAPPED POSTINGS INDEX are built once at
+    * state construction (never re-derived per batch), every micro-batch
+    * probe reads only the partitions its own keys can land in, and the
+    * batch's `new` docs are APPENDED UNDER THE BUCKET CAP as O(batch)
+    * delta checkpoints — the standing state is never re-materialized.
+    * Per-batch cost is bounded by the batch's own key count regardless
+    * of how large the standing corpus has grown (for monotone ids the
+    * append-under-cap index is bit-identical to re-capping the grown
+    * corpus — see StandingCorpus's scaladoc for the out-of-order trade).
     *
     * Not thread-safe; call from a single foreachBatch loop (Structured
     * Streaming serializes micro-batches per query). */
@@ -236,37 +236,22 @@ object Streams {
                                     threshold: Double = 0.5,
                                     idCol: String = "doc_id",
                                     textCol: String = "text",
-                                    lsh: Lsh.Params = Lsh.Params()) {
-    import graft.operators.Dedup
-    private def ckpt(df: DataFrame): DataFrame =
-      org.apache.spark.sql.graftbridge.CheckpointStats.strip(df.localCheckpoint(true))
-    private var hashes: DataFrame =
-      ckpt(corpusDocs.select(md5(col(textCol)).as("_h")))
-    private var sigs: DataFrame =
-      ckpt(corpusSigs.select(col(idCol).cast("long").as(idCol), col("sig")))
+                                    lsh: Lsh.Params = Lsh.Params(),
+                                    stateDir: String = null) {
+    private val dir = Option(stateDir).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-s14-standing").toString)
+    /** The standing artifacts — exposed so a service can compact or
+      * reopen them across restarts. */
+    val standing: graft.operators.StandingCorpus =
+      graft.operators.StandingCorpus.build(corpusDocs, corpusSigs, dir,
+        threshold, idCol, textCol, kShingle = 3, byWord = true, lsh)
 
     /** Classify one micro-batch (idCol, textCol rows; ids unique within
       * the batch) and absorb its `new` docs into the standing corpus.
       * Returns (idCol, status) — materialized, safe to hold across
       * batches. */
-    def classify(batchDocs: DataFrame): DataFrame = {
-      import graft.core.Shingling
-      import graft.functions.GraftFunctions.{minhash_signature, shingle_hashes_md5}
-      val batchSigs = batchDocs.select(col(idCol).cast("long").as(idCol),
-        minhash_signature(shingle_hashes_md5(
-          Shingling.shingles(col(textCol), 3, byWord = true))).as("sig"))
-      val out = ckpt(Dedup.incrementalStatusIndexed(
-        hashes, sigs, Lsh.postings(sigs, idCol, "sig", lsh),
-        batchDocs, batchSigs, threshold, idCol, textCol, lsh))
-      val newIds = out.filter(col("status") === "new").select(col(idCol))
-      hashes = ckpt(hashes.unionByName(
-        batchDocs.select(col(idCol).cast("long").as(idCol), col(textCol))
-          .join(newIds, Seq(idCol), "left_semi")
-          .select(md5(col(textCol)).as("_h"))))
-      sigs = ckpt(sigs.unionByName(
-        batchSigs.join(newIds, Seq(idCol), "left_semi")))
-      out
-    }
+    def classify(batchDocs: DataFrame): DataFrame =
+      standing.classifyAbsorb(batchDocs, idCol, textCol)
   }
 
   /** Stream form of [[IncrementalDedupState]]: classify every micro-batch
