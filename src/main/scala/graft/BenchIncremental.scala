@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Evidence main for INCREMENTAL dedup at a standing corpus (round 13):
+  * successive FIXED-SIZE micro-batches are classified-and-absorbed
+  * against disk-resident standing artifacts
+  * ([[graft.operators.StandingCorpus]] — the engine under the s14
+  * streaming state and the d18 gate), and every batch's wall time is
+  * recorded. Run at `SPARK_GRAFT_DECADE_DOCS` = 1M / 4M / 16M for the
+  * decade:
+  *
+  *  - the per-batch cost at a FIXED batch size must stay ~flat as the
+  *    standing corpus grows 1M -> 16M (the partition-pruned probe reads
+  *    are bounded by the batch's own key count, not the corpus), where
+  *    the round-12 scan path measured 6/26/104 s;
+  *  - successive batches at ONE scale must stay ~flat as the state
+  *    absorbs each batch's `new` docs (bounded delta checkpoints — the
+  *    "later batch classifies against the grown corpus at bounded cost"
+  *    claim, previously unmeasured);
+  *  - one BULK-path sample at the same batch size rides along for the
+  *    contrast (the corpus-scan cost the trickle path avoids).
+  *
+  * Batch composition (size `SPARK_GRAFT_INC_BATCH`, default 128):
+  * 1/4 re-keyed exact copies of standing docs (exact tier fires),
+  * 1/4 repeats of the PREVIOUS batch's fresh docs (delta-hit tier —
+  * proves absorbed state is consulted), 1/2 unseen docsLlm rows (mostly
+  * `new`, some planted near-dups). Ids are monotone across batches, the
+  * append-under-cap contract.
+  *
+  * Kept OUT of graft.Bench (driver budget); run manually:
+  * `SPARK_GRAFT_DECADE_DOCS=16000000 SPARK_DRIVER_MEM=48g sbt -batch
+  * 'runMain graft.BenchIncremental'`. Emits ONE JSON line on stdout.
+  */
+object BenchIncremental {
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_DECADE_DOCS", "16000000").toLong
+    val batchSize = sys.env.getOrElse("SPARK_GRAFT_INC_BATCH", "128").toInt
+    val nBatches = sys.env.getOrElse("SPARK_GRAFT_INC_BATCHES", "10").toInt
+    val runBulk = sys.env.getOrElse("SPARK_GRAFT_INC_BULK", "1") == "1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val tag = if (nDocs % 1000000 == 0) s"${nDocs / 1000000}mdocs" else s"${nDocs}docs"
+    val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    import graft.operators.{Dedup, StandingCorpus}
+    import graft.sources.SyntheticCorpus
+
+    // ---- fixture: the same docsLlm parquet BenchDecadeLlm uses ----
+    val fixtureDir = new java.io.File(s"target/decade_llm_$tag")
+    if (!new java.io.File(fixtureDir, "_SUCCESS").exists()) {
+      SyntheticCorpus.docsLlm(spark, nDocs)
+        .write.mode("overwrite").parquet(fixtureDir.getPath)
+    }
+    val docs = spark.read.parquet(fixtureDir.getPath)
+
+    // ---- standing artifacts: built once (untimed — a real corpus
+    // stores them), reused across reruns via meta.json ----
+    val standDir = new java.io.File(s"target/decade_llm_scorp_$tag")
+    val tB = System.nanoTime()
+    val standing =
+      if (new java.io.File(standDir, "meta.json").exists())
+        StandingCorpus.open(spark, standDir.getPath)
+      else StandingCorpus.build(docs, null, standDir.getPath, threshold = 0.5,
+        kShingle = 1)
+    val buildSec = (System.nanoTime() - tB) / 1e9
+    System.err.println(s"[inc] standing ready in $buildSec s " +
+      s"(meta=${standing.currentMeta})")
+
+    // ---- batches: fixed size, monotone ids, mixed tiers ----
+    val nCopies = batchSize / 4
+    val nRepeat = batchSize / 4
+    val nFresh = batchSize - nCopies - nRepeat
+    // pool of unseen docs (beyond the corpus) large enough for all batches
+    // +1 batch: the bulk-contrast batch draws from the pool too
+    val freshPool = SyntheticCorpus.docsLlm(spark, nDocs + (nBatches + 1).toLong * nFresh)
+      .filter(col("doc_id") >= nDocs)
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint(true)
+    def mkBatch(i: Int, prevFresh: DataFrame): DataFrame = {
+      // disjoint id ranges per tier, monotone across batches (stride 1M)
+      val idBase = nDocs * 10 + i.toLong * 1000000L
+      val copies = docs
+        .filter(col("doc_id") >= i.toLong * nCopies &&
+          col("doc_id") < (i + 1).toLong * nCopies)
+        .select((col("doc_id") - i.toLong * nCopies + idBase).as("doc_id"),
+          col("text"))
+      val repeats =
+        if (prevFresh == null)
+          copies.limit(0)
+        else prevFresh.limit(nRepeat)
+          .select((col("doc_id") % 100000 + idBase + 100000L).as("doc_id"),
+            col("text"))
+      val fresh = freshPool
+        .filter(col("doc_id") >= nDocs + i.toLong * nFresh &&
+          col("doc_id") < nDocs + (i + 1).toLong * nFresh)
+        .select((col("doc_id") - nDocs - i.toLong * nFresh + idBase + 300000L)
+          .as("doc_id"), col("text"))
+      copies.unionByName(repeats).unionByName(fresh).localCheckpoint(true)
+    }
+
+    // ---- the measured loop: classify + absorb per batch ----
+    val batchSecs = scala.collection.mutable.ListBuffer.empty[Double]
+    var prevFresh: DataFrame = null
+    val statusTotals = scala.collection.mutable.LinkedHashMap(
+      "exact" -> 0L, "near" -> 0L, "new" -> 0L)
+    for (i <- 0 until nBatches) {
+      val batch = mkBatch(i, prevFresh)
+      val t0 = System.nanoTime()
+      val st = standing.classifyAbsorb(batch)
+      val byStatus = st.groupBy("status").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val sec = (System.nanoTime() - t0) / 1e9
+      batchSecs += sec
+      byStatus.foreach { case (k, v) =>
+        statusTotals(k) = statusTotals.getOrElse(k, 0L) + v
+      }
+      prevFresh = batch.join(st.filter(col("status") === "new"),
+        Seq("doc_id"), "left_semi").localCheckpoint(true)
+      System.err.println(f"[inc] batch $i%2d $sec%8.3f s $byStatus")
+    }
+    statusTotals.foreach { case (k, v) => counts(s"n_inc_$k") = v }
+    counts("n_batches") = nBatches.toLong
+    counts("batch_size") = batchSize.toLong
+
+    // ---- bulk-path contrast at the SAME batch size ----
+    val bulkSec =
+      if (!runBulk) -1.0
+      else {
+        val batch = mkBatch(nBatches, prevFresh)
+        val batchSigs = StandingCorpus.sign(batch, standing.currentMeta)
+          .localCheckpoint(true)
+        val t0 = System.nanoTime()
+        counts("n_bulk_rows") = Dedup.incrementalStatusIndexed(
+          standing.fullHashes, standing.fullSigs, standing.fullIndex,
+          batch, batchSigs, threshold = 0.5, lsh = standing.currentMeta.lsh)
+          .groupBy("status").count().collect().map(_.getLong(1)).sum
+        (System.nanoTime() - t0) / 1e9
+      }
+    System.err.println(s"[inc] bulk contrast $bulkSec s")
+
+    def f6(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.6f", Double.box(v))
+    def jmap(m: Iterable[(String, String)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val sorted = batchSecs.sorted
+    val median = sorted(sorted.length / 2)
+    val metrics = Map(
+      s"x_inc_standing_build_sec_$tag" -> buildSec,
+      s"x_inc_batch_median_sec_$tag" -> median,
+      s"x_inc_batch_first_sec_$tag" -> batchSecs.head,
+      s"x_inc_batch_last_sec_$tag" -> batchSecs.last,
+      s"x_inc_bulk_sec_$tag" -> bulkSec)
+    val line = jmap(Seq(
+      "metric" -> "\"incremental_dedup\"", "n_docs" -> nDocs.toString,
+      "batch_size" -> batchSize.toString, "n_batches" -> nBatches.toString,
+      "queries" -> jmap(metrics.toSeq.sortBy(_._1).map { case (k, v) => k -> f6(v) }),
+      "counts" -> jmap(counts.toSeq.map { case (k, v) => k -> v.toString }),
+      "samples" -> jmap(Seq(
+        s"x_inc_batch_secs_$tag" -> batchSecs.map(f6).mkString("[", ",", "]")))))
+    println(line)
+    System.out.flush()
+    spark.stop()
+  }
+}

@@ -54,7 +54,13 @@ object BenchServeLean {
       eng.saveServing(dir, prefix, buckets = 64)
       val sec = (System.nanoTime() - tB) / 1e9
       eng.close()
-      println(s"""{"metric":"serve_lean_build","n_docs":$nDocs,"build_save_sec":$sec,"dir":"$dir"}""")
+      val buildJson =
+        s"""{"metric":"serve_lean_build","n_docs":$nDocs,"build_save_sec":$sec,"dir":"$dir"}"""
+      // persist the phase-1 record beside the layout so phase 2 embeds it
+      // (ONE JSON document per artifact, not concatenated phase lines)
+      val w = new java.io.FileWriter(new java.io.File(dir, "build_phase.json"))
+      try w.write(buildJson) finally w.close()
+      println(buildJson)
       System.out.flush()
       spark.stop()
       return
@@ -94,9 +100,18 @@ object BenchServeLean {
       String.format(java.util.Locale.ROOT, "%.6f", Double.box(v))
     def jmap(m: Iterable[(String, String)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val buildPhase = {
+      val f = new java.io.File(dir, "build_phase.json")
+      if (!f.exists()) "null"
+      else {
+        val src = scala.io.Source.fromFile(f)
+        try src.mkString.trim finally src.close()
+      }
+    }
     println(jmap(Seq(
       "metric" -> "\"serve_lean\"", "n_docs" -> nDocs.toString,
       "jvm_heap_mb" -> heapMb.toString,
+      "build_phase" -> buildPhase,
       "queries" -> jmap(Seq(
         hotKey -> f6(hot),
         s"x_lsh_single_query_cold_avg_sec_${tag}_lean" -> f6(cold))),

@@ -78,7 +78,14 @@ object BenchServeLeanVec {
       eng.saveServing(dir, prefix, buckets = 64)
       val saveSec = (System.nanoTime() - tS) / 1e9
       eng.close()
-      println(s"""{"metric":"serve_lean_vec_build","n_vecs":$nVecs,"n_cents":$nCents,"build_sec":$buildSec,"save_sec":$saveSec,"queries":{"x_vec_ivfpq_batch100_sec_${tag}_cached":$cachedBatch},"dir":"$dir"}""")
+      val buildJson =
+        s"""{"metric":"serve_lean_vec_build","n_vecs":$nVecs,"n_cents":$nCents,"build_sec":$buildSec,"save_sec":$saveSec,"queries":{"x_vec_ivfpq_batch100_sec_${tag}_cached":$cachedBatch},"dir":"$dir"}"""
+      // persist the phase-1 record beside the layout so phase 2 can embed
+      // it — the artifact file must be ONE parseable JSON document, not
+      // concatenated per-phase lines
+      val w = new java.io.FileWriter(new java.io.File(dir, "build_phase.json"))
+      try w.write(buildJson) finally w.close()
+      println(buildJson)
       System.out.flush()
       spark.stop()
       return
@@ -131,10 +138,21 @@ object BenchServeLeanVec {
       String.format(java.util.Locale.ROOT, "%.6f", Double.box(v))
     def jmap(m: Iterable[(String, String)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // embed the build-phase record (written by phase 1) so the whole
+    // two-JVM run lands as ONE JSON document on stdout
+    val buildPhase = {
+      val f = new java.io.File(dir, "build_phase.json")
+      if (!f.exists()) "null"
+      else {
+        val src = scala.io.Source.fromFile(f)
+        try src.mkString.trim finally src.close()
+      }
+    }
     println(jmap(Seq(
       "metric" -> "\"serve_lean_vec\"", "n_vecs" -> nVecs.toString,
       "n_cents" -> nCents.toString,
       "jvm_heap_mb" -> heapMb.toString,
+      "build_phase" -> buildPhase,
       "queries" -> jmap(Seq(
         hotKey -> f6(hot),
         s"x_vec_single_query_cold_avg_sec_${tag}_lean" -> f6(cold),

@@ -285,14 +285,31 @@ object Dedup {
     * via the O(n) rolling kernel; train windows collapse to a distinct
     * fingerprint set (one hash agg) and the test side LEFT SEMI joins it
     * on the 61-bit fingerprint — hash-partitioned both sides, no
-    * pairwise comparison, nothing collected. */
+    * pairwise comparison, nothing collected.
+    *
+    * `maxSourceDocFreq` (0 = off) is the BOILERPLATE guard real corpora
+    * need: a window that appears in MORE than this many distinct `train`
+    * (window-source) docs is treated as boilerplate — license headers,
+    * generated preamble, markup — and excluded from the contamination
+    * fingerprint set, instead of nuking every doc that shares it. The
+    * round-13 real-corpus run measured the unguarded form collapsing
+    * 74% of near-dedup survivors on Debian doc trees (license text
+    * straddles any random split); the published decontam recipes cap
+    * high-frequency n-grams for exactly this reason. The extra cost is
+    * one count-distinct on the already-shuffled source windows. */
   def ngramDecontaminate(train: DataFrame, test: DataFrame, w: Int = 8,
-                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                         idCol: String = "doc_id", textCol: String = "text",
+                         maxSourceDocFreq: Int = 0): DataFrame = {
     def wins(df: DataFrame) = df.select(
       col(idCol),
       explode(window_fingerprints(
         shingle_hashes_md5(Shingling.tokens(lower(col(textCol)))), w)).as("whash"))
-    val trainW = wins(train).select("whash").distinct()
+    val trainW =
+      if (maxSourceDocFreq <= 0) wins(train).select("whash").distinct()
+      else wins(train).groupBy("whash")
+        .agg(countDistinct(col(idCol)).as("_nd"))
+        .filter(col("_nd") <= maxSourceDocFreq)
+        .select("whash")
     val hits = wins(test).join(trainW, Seq("whash"), "left_semi")
       .groupBy(idCol).agg(count(lit(1)).as("n_contaminated_windows"))
     test.select(col(idCol)).join(hits, Seq(idCol), "left")

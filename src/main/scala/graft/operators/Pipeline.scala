@@ -58,8 +58,14 @@ object Pipeline {
     * the crawl. Wide (text-carrying) checkpoints are released as soon as
     * their last consumer materializes, so at most ~two corpus-sized
     * copies coexist. */
+  /** `decontamMaxSourceDocFreq` (0 = off) passes the boilerplate guard
+    * through to stage 5's [[Dedup.ngramDecontaminate]] — real corpora
+    * need it (see that operator's scaladoc and the d19 gate); the
+    * default keeps the unguarded GPT-3-recipe semantics every existing
+    * gate pins. */
   def prepareCorpus(docs: DataFrame, docsPerSqrtDoc: Double = 2.0,
-                    hammingBudget: Int = 3, w: Int = 8): DataFrame = {
+                    hammingBudget: Int = 3, w: Int = 8,
+                    decontamMaxSourceDocFreq: Int = 0): DataFrame = {
     import graft.api.QueryEngine.releaseFrame
     // stage 0: ingest id-collapse (struct min = lexicographic (text, lang)),
     // split label as a pure projection of the id — the assignment is a
@@ -101,7 +107,8 @@ object Pipeline {
     // stage 5: decontamination against the held-out test split (the
     // window SOURCE is the test split; the docs being checked are the
     // stage-4 survivors)
-    val s4 = Dedup.ngramDecontaminate(testDocs, q3, w)
+    val s4 = Dedup.ngramDecontaminate(testDocs, q3, w,
+        maxSourceDocFreq = decontamMaxSourceDocFreq)
       .filter(col("n_contaminated_windows") === 0).select("doc_id")
       .localCheckpoint(true)
     val q4 = q3.join(s4, Seq("doc_id"), "left_semi")

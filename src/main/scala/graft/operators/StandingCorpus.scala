@@ -67,11 +67,17 @@ object StandingCorpus {
   }
 
   /** Rows-per-partition targets: partitions stay small enough that a
-    * trickle probe's touched-partition I/O is a few hundred KB each, and
-    * few enough that directory listing stays sane. */
+    * trickle probe's touched-partition I/O is bounded by the BATCH's key
+    * count (a 128-doc batch emits 4096 band keys; with 8192 postings per
+    * partition the index probe reads ≤ 4096 x 8192 rows no matter how
+    * large the standing corpus grows), and few enough that directory
+    * listing stays sane (≤ MaxParts dirs per table; above MaxParts x
+    * perPart rows the per-probe cost degrades gracefully back toward
+    * linear). Signature partitions are row-few because sig rows are fat
+    * (128 longs each). */
   private[operators] val HashRowsPerPart = 8192L
-  private[operators] val SigRowsPerPart = 2048L
-  private[operators] val IdxRowsPerPart = 16384L
+  private[operators] val SigRowsPerPart = 512L
+  private[operators] val IdxRowsPerPart = 8192L
   private val MinParts = 16
   private val MaxParts = 65536
 

@@ -231,6 +231,30 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(10L -> 1L, 11L -> 0L, 12L -> 0L))
   }
 
+  test("decontamination boilerplate guard excludes high-frequency source windows") {
+    val boiler = "license text alpha beta gamma delta epsilon zeta" // 8 tokens
+    val train = Seq(
+      // the boilerplate window appears in THREE distinct train docs
+      (0L, s"$boiler one"),
+      (1L, s"$boiler two"),
+      (2L, s"$boiler three"),
+      // a genuinely unique train window
+      (3L, "unique content aa bb cc dd ee ff")
+    ).toDF("doc_id", "text")
+    val test = Seq(
+      (10L, s"$boiler tail"),                    // shares only boilerplate
+      (11L, "unique content aa bb cc dd ee ff"), // real contamination
+      (12L, "nothing shared here at all one two three")
+    ).toDF("doc_id", "text")
+    val unguarded = Dedup.ngramDecontaminate(train, test, w = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(unguarded(10L) >= 1L && unguarded(11L) == 1L && unguarded(12L) == 0L)
+    val guarded = Dedup.ngramDecontaminate(train, test, w = 8, maxSourceDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(guarded == Map(10L -> 0L, 11L -> 1L, 12L -> 0L),
+      s"boilerplate (3 source docs > cap 2) must not count as contamination: $guarded")
+  }
+
   test("substring-dup signals: identical docs fully duplicated, shared prefix detected, short docs zero") {
     val wide = Seq(
       // 0 and 1 identical (10 tokens -> 3 windows of 8, all duplicated)
