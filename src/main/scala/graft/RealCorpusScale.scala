@@ -60,6 +60,11 @@ object RealCorpusScale {
       else spark.read
         .option("pathGlobFilter", glob)
         .option("recursiveFileLookup", "true")
+        // real file trees contain unreadable entries (perl man pages have
+        // ':' in their names, which Hadoop paths cannot address; some doc
+        // files are truncated gzip) — skip them instead of failing the
+        // harvest, exactly what a production crawl reader does
+        .option("ignoreCorruptFiles", "true")
         .option("wholetext", "true").text(path)
         .select(input_file_name().as("f"), col("value").as("text"))
     val sources = Seq(
@@ -72,9 +77,17 @@ object RealCorpusScale {
       val unioned = sources.map { case (src, df) =>
         df.withColumn("source", lit(src))
       }.reduce(_.unionByName(_))
-        // binary-ish leftovers (images in doc trees read as mojibake) and
-        // empty files: require some textual signal
+        // binary leftovers (JFIF/GIF images shipped inside doc trees read
+        // as mojibake, where Spark's byte-based length() and the JVM's
+        // codepoint count legitimately disagree on invalid UTF-8) and
+        // empty files: require >64 chars AND <5% control/replacement
+        // characters — the binary filter every production text ingest
+        // runs before tokenization
         .filter(length(col("text")) > 64)
+        .filter((length(col("text")) -
+          length(regexp_replace(col("text"),
+            "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\uFFFD]", ""))) * 20
+          < length(col("text")))
         .withColumn("doc_id",
           // a content+path hash id is stable across runs/partitionings
           pmod(xxhash64(col("f")), lit(1L << 40)))
@@ -160,10 +173,22 @@ object RealCorpusScale {
           col("n_bpe_tokens").cast("long").as("n_tokens"))
         .localCheckpoint(true)
     }
-    counts("n_bad_token_counts") = toks
-      .filter(length(trim(col("text"))) > 0 &&
+    // "non-empty" must mean HAS A TOKEN: SQL trim() strips only spaces,
+    // so a real file of newlines/tabs (doc trees have them) would be
+    // flagged as a zero-token anomaly when zero is the right answer
+    val badToks = toks
+      .filter(length(regexp_replace(col("text"), "\\s+", "")) > 0 &&
         (col("n_tokens") <= 0 || col("n_tokens") > length(col("text"))))
-      .count()
+      .localCheckpoint(true)
+    counts("n_bad_token_counts") = badToks.count()
+    if (counts("n_bad_token_counts") > 0)
+      badToks.select(col("doc_id"), length(col("text")).as("len"),
+          col("n_tokens"), substring(col("text"), 1, 60).as("head"))
+        .limit(5).collect()
+        .foreach(r => System.err.println(
+          s"[real-scale] BAD doc=${r.get(0)} len=${r.get(1)} " +
+            s"n_tokens=${r.get(2)} head=${
+              r.getString(3).map(c => if (c < 32) '?' else c)}"))
     require(counts("n_bad_token_counts") == 0, "insane BPE token counts")
     counts("n_bpe_tokens") = toks.agg(sum("n_tokens")).head().getLong(0)
     val packed = timed("p02_pack") {

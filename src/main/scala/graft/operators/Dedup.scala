@@ -292,11 +292,13 @@ object Dedup {
     * (window-source) docs is treated as boilerplate — license headers,
     * generated preamble, markup — and excluded from the contamination
     * fingerprint set, instead of nuking every doc that shares it. The
-    * round-13 real-corpus run measured the unguarded form collapsing
-    * 74% of near-dedup survivors on Debian doc trees (license text
-    * straddles any random split); the published decontam recipes cap
-    * high-frequency n-grams for exactly this reason. The extra cost is
-    * one count-distinct on the already-shuffled source windows. */
+    * round-13 real-corpus run (49.7k Debian doc/man/python files,
+    * BENCH_LOCAL_r13_realcorpus.json) measured the unguarded form
+    * collapsing 79.5% of near-dedup survivors — license text straddles
+    * any random split — with the guard at 2 rescuing +40% of them; the
+    * published decontam recipes cap high-frequency n-grams for exactly
+    * this reason. The extra cost is one count-distinct on the
+    * already-shuffled source windows. */
   def ngramDecontaminate(train: DataFrame, test: DataFrame, w: Int = 8,
                          idCol: String = "doc_id", textCol: String = "text",
                          maxSourceDocFreq: Int = 0): DataFrame = {
