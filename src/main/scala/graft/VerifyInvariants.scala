@@ -105,13 +105,20 @@ object VerifyInvariants {
       .localCheckpoint(true)
     val corpusDocs = docs.filter(col("doc_id") % 10 < 6)
     val corpusSigs = sigsAll.filter(col("doc_id") % 10 < 6)
+    // EVERY batch id is re-keyed ABOVE the standing corpus max: the
+    // append-under-cap == re-cap equivalence the stream-vs-bulk check
+    // relies on holds exactly when batch ids are monotone vs standing
+    // ids — interleaved ids would make the two paths legitimately
+    // diverge once a probed bucket crosses maxBucketSize (round-13
+    // advice; the equality previously held only because no bucket
+    // happened to cross the cap at fixture occupancy).
     val b1 = docs.filter(col("doc_id") % 10 === 7)
-      .select(col("doc_id"), col("text"))
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
       .unionByName(docs.filter(col("doc_id") % 10 === 3)
         .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
       .localCheckpoint(true)
     val b2 = docs.filter(col("doc_id") % 10 === 9)
-      .select(col("doc_id"), col("text"))
+      .select((col("doc_id") + 15000000L).as("doc_id"), col("text"))
       .unionByName(docs.filter(col("doc_id") % 10 === 7)
         .select((col("doc_id") + 20000000L).as("doc_id"), col("text")))
       .localCheckpoint(true)

@@ -219,25 +219,31 @@ final class StandingCorpus private (val spark: SparkSession, val dir: String,
 
   /** Pruned standing hash rows for a batch: read only the partitions the
     * batch's own md5 values can land in. */
+  /** Collect a distinct partition-bucket set, dropping null buckets: a
+    * null text hashes to a null bucket, and the matching standing rows
+    * are definitionally absent (standing keys are never null), so the
+    * row must fall through to 'new' exactly as the bulk path classifies
+    * it — not NPE the probe. */
+  private def collectPbs(df: DataFrame): Seq[Int] =
+    df.distinct().collect().iterator
+      .filterNot(_.isNullAt(0)).map(_.getInt(0)).toSeq
+
   private[graft] def prunedHashes(batchHashes: DataFrame): DataFrame = {
-    val pbs = batchHashes.select(pbHashCol(col("_h")).as("_pb"))
-      .distinct().collect().map(_.getInt(0)).toSeq
+    val pbs = collectPbs(batchHashes.select(pbHashCol(col("_h")).as("_pb")))
     unionAll(baseHashes.filter(col("_pb").isin(pbs: _*)).select("_h"),
       deltaHashes.toSeq)
   }
 
   /** Pruned standing postings for a batch's band keys. */
   private[graft] def prunedIndex(batchKeys: DataFrame): DataFrame = {
-    val pbs = batchKeys.select(pbIdxCol(col("key64")).as("_pb"))
-      .distinct().collect().map(_.getInt(0)).toSeq
+    val pbs = collectPbs(batchKeys.select(pbIdxCol(col("key64")).as("_pb")))
     unionAll(baseIndex.filter(col("_pb").isin(pbs: _*))
       .select("id", "band", "key64", "key64b"), deltaIndex.toSeq)
   }
 
   /** Pruned standing signatures for a candidate-id frame. */
   private[graft] def prunedSigs(candIds: DataFrame): DataFrame = {
-    val pbs = candIds.select(pbSigCol(candIds.columns.head).as("_pb"))
-      .distinct().collect().map(_.getInt(0)).toSeq
+    val pbs = collectPbs(candIds.select(pbSigCol(candIds.columns.head).as("_pb")))
     unionAll(baseSigs.filter(col("_pb").isin(pbs: _*)).select("doc_id", "sig"),
       deltaSigs.toSeq)
   }
@@ -322,16 +328,23 @@ final class StandingCorpus private (val spark: SparkSession, val dir: String,
       // batch's own smallest ids, so standing-count + in-batch rank is
       // the grown bucket's occupancy for monotone ids.
       val newKeys = ckpt(Lsh.postings(newSigs, idCol, "sig", meta.lsh))
-      val keys = Seq("band", "key64", "key64b")
-      val standCnt = prunedIndex(newKeys)
-        .join(broadcast(newKeys.select(keys.map(col): _*).distinct()), keys)
-        .groupBy(keys.map(col): _*).agg(count(lit(1)).as("_cnt"))
-      val w = Window.partitionBy(keys.map(col): _*).orderBy(col("id"))
-      val admitted = newKeys
-        .withColumn("_rn", row_number().over(w))
-        .join(broadcast(standCnt), keys, "left")
-        .filter(coalesce(col("_cnt"), lit(0L)) + col("_rn") <= meta.maxBucketSize)
-        .select("id", "band", "key64", "key64b")
+      val admitted =
+        // maxBucketSize <= 0 means UNCAPPED (Lsh.capBuckets' no-op
+        // contract): every new posting is admitted — the cap filter
+        // below would otherwise drop them all.
+        if (meta.maxBucketSize <= 0) newKeys.select("id", "band", "key64", "key64b")
+        else {
+          val keys = Seq("band", "key64", "key64b")
+          val standCnt = prunedIndex(newKeys)
+            .join(broadcast(newKeys.select(keys.map(col): _*).distinct()), keys)
+            .groupBy(keys.map(col): _*).agg(count(lit(1)).as("_cnt"))
+          val w = Window.partitionBy(keys.map(col): _*).orderBy(col("id"))
+          newKeys
+            .withColumn("_rn", row_number().over(w))
+            .join(broadcast(standCnt), keys, "left")
+            .filter(coalesce(col("_cnt"), lit(0L)) + col("_rn") <= meta.maxBucketSize)
+            .select("id", "band", "key64", "key64b")
+        }
       deltaIndex += ckpt(admitted)
       meta = meta.copy(nDocs = meta.nDocs + nNew)
     }
@@ -354,7 +367,14 @@ final class StandingCorpus private (val spark: SparkSession, val dir: String,
     * `compactEveryBatches` absorbs. The previous version dir is removed
     * after the new one is fully written. */
   def compact(): Unit = {
-    if (deltaBatches == 0 && deltaHashes.isEmpty) return
+    // nothing to fold: all-duplicate batches accumulate deltaBatches but
+    // no deltas — an O(corpus) rewrite would change nothing, so just
+    // reset the batch counter (a dup-heavy stream must not pay a full
+    // three-table rewrite every compactEveryBatches batches)
+    if (deltaHashes.isEmpty && deltaSigs.isEmpty && deltaIndex.isEmpty) {
+      deltaBatches = 0
+      return
+    }
     val grown = meta.copy(
       version = version + 1,
       pHash = partsFor(meta.nDocs, HashRowsPerPart),

@@ -155,6 +155,57 @@ class StandingCorpusSpec extends SparkSpec {
     assert(st2 === Seq((401L, "exact")))
   }
 
+  test("uncapped params (maxBucketSize <= 0): absorbed docs are still found by later batches") {
+    val dir = tmpDir()
+    // maxBucketSize <= 0 is Lsh.capBuckets' UNCAPPED contract — absorb
+    // must append every posting, not drop them all (round-13 advice)
+    val sc = StandingCorpus.build(mkDocs(0L until 50L), null, dir,
+      lsh = Lsh.Params(maxBucketSize = 0))
+    val fresh = (0 until 30).map(w => s"u$w").mkString(" ")
+    val near = (0 until 29).map(w => s"u$w").mkString(" ") + " uz"
+    assert(statuses(sc.classifyAbsorb(Seq((900L, fresh)).toDF("doc_id", "text")))
+      === Seq((900L, "new")))
+    val st = statuses(sc.classify(
+      Seq((901L, fresh), (902L, near)).toDF("doc_id", "text"))).toMap
+    assert(st(901L) === "exact", "uncapped absorb must index the new doc's hash")
+    assert(st(902L) === "near", "uncapped absorb must append the new doc's postings")
+  }
+
+  test("null text rows classify as 'new' on both paths (no NPE in pruning)") {
+    val dir = tmpDir()
+    val sc = StandingCorpus.build(mkDocs(0L until 50L), null, dir)
+    val batch = Seq((800L -> Option(mkDocs(Seq(0L)).select(col("text")).as[String].head())),
+      (801L -> Option.empty[String]))
+      .map { case (id, t) => (id, t.orNull) }.toDF("doc_id", "text")
+    val trickle = statuses(sc.classify(batch))
+    sc.trickleMaxDocs = 0L // force bulk
+    val bulk = statuses(sc.classify(batch))
+    assert(trickle === bulk, "null-keyed rows must fall through identically")
+    assert(trickle.toMap.apply(801L) === "new")
+    assert(trickle.toMap.apply(800L) === "exact")
+  }
+
+  test("all-duplicate batches (empty deltas) do not trigger a compaction rewrite") {
+    val dir = tmpDir()
+    val sc = StandingCorpus.build(mkDocs(0L until 50L), null, dir)
+    sc.compactEveryBatches = 2
+    val dup = mkDocs(Seq(0L)).select(col("text")).as[String].head()
+    // two all-dup batches hit the compaction trigger with nothing to fold
+    assert(statuses(sc.classifyAbsorb(Seq((700L, dup)).toDF("doc_id", "text")))
+      === Seq((700L, "exact")))
+    assert(statuses(sc.classifyAbsorb(Seq((701L, dup)).toDF("doc_id", "text")))
+      === Seq((701L, "exact")))
+    assert(sc.currentVersion === 1,
+      "empty deltas must short-circuit compact(), not rewrite the corpus")
+    // and the counter actually reset: a real absorb later still compacts
+    val fresh = (0 until 30).map(w => s"v$w").mkString(" ")
+    sc.classifyAbsorb(Seq((702L, fresh)).toDF("doc_id", "text"))
+    sc.classifyAbsorb(Seq((703L, dup)).toDF("doc_id", "text"))
+    assert(sc.currentVersion === 2, "non-empty deltas must still compact on schedule")
+    assert(statuses(sc.classify(Seq((704L, fresh)).toDF("doc_id", "text")))
+      === Seq((704L, "exact")))
+  }
+
   test("bulk fallback path (batch > trickleMaxDocs) matches trickle verdicts") {
     val dir = tmpDir()
     val sc = StandingCorpus.build(mkDocs(0L until 50L), null, dir)
