@@ -40,6 +40,11 @@ object BenchIncremental {
     val batchSize = sys.env.getOrElse("SPARK_GRAFT_INC_BATCH", "128").toInt
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_INC_BATCHES", "10").toInt
     val runBulk = sys.env.getOrElse("SPARK_GRAFT_INC_BULK", "1") == "1"
+    // > 0: trigger a compaction INSIDE the measured loop every N absorbs
+    // (round-14 demand: the r13 series never included a compaction batch)
+    val compactEvery = sys.env.getOrElse("SPARK_GRAFT_INC_COMPACT_EVERY", "0").toInt
+    // 1: force the synchronous (stalling) compaction for the contrast row
+    val compactSync = sys.env.getOrElse("SPARK_GRAFT_INC_COMPACT_SYNC", "0") == "1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
@@ -75,6 +80,8 @@ object BenchIncremental {
     val buildSec = (System.nanoTime() - tB) / 1e9
     System.err.println(s"[inc] standing ready in $buildSec s " +
       s"(meta=${standing.currentMeta})")
+    if (compactEvery > 0) standing.compactEveryBatches = compactEvery
+    standing.compactInBackground = !compactSync
 
     // ---- batches: fixed size, monotone ids, mixed tiers ----
     val nCopies = batchSize / 4
@@ -113,6 +120,7 @@ object BenchIncremental {
     var prevFresh: DataFrame = null
     val statusTotals = scala.collection.mutable.LinkedHashMap(
       "exact" -> 0L, "near" -> 0L, "new" -> 0L)
+    val versionAtBatch = scala.collection.mutable.ListBuffer.empty[Int]
     for (i <- 0 until nBatches) {
       val batch = mkBatch(i, prevFresh)
       val t0 = System.nanoTime()
@@ -121,16 +129,27 @@ object BenchIncremental {
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       val sec = (System.nanoTime() - t0) / 1e9
       batchSecs += sec
+      versionAtBatch += standing.currentVersion
       byStatus.foreach { case (k, v) =>
         statusTotals(k) = statusTotals.getOrElse(k, 0L) + v
       }
       prevFresh = batch.join(st.filter(col("status") === "new"),
         Seq("doc_id"), "left_semi").localCheckpoint(true)
-      System.err.println(f"[inc] batch $i%2d $sec%8.3f s $byStatus")
+      System.err.println(f"[inc] batch $i%2d $sec%8.3f s v=${standing.currentVersion} $byStatus")
     }
+    // drain: how long until an in-flight background compaction is fully
+    // built and swapped (0 when none is running)
+    val tD = System.nanoTime()
+    standing.awaitCompaction()
+    val drainSec = (System.nanoTime() - tD) / 1e9
+    System.err.println(f"[inc] compaction drain $drainSec%.3f s " +
+      s"(final version ${standing.currentVersion})")
     statusTotals.foreach { case (k, v) => counts(s"n_inc_$k") = v }
     counts("n_batches") = nBatches.toLong
     counts("batch_size") = batchSize.toLong
+    counts("compact_every") = compactEvery.toLong
+    counts("compact_sync") = (if (compactSync) 1L else 0L)
+    counts("final_version") = standing.currentVersion.toLong
 
     // ---- bulk-path contrast at the SAME batch size ----
     val bulkSec =
@@ -159,6 +178,8 @@ object BenchIncremental {
       s"x_inc_batch_median_sec_$tag" -> median,
       s"x_inc_batch_first_sec_$tag" -> batchSecs.head,
       s"x_inc_batch_last_sec_$tag" -> batchSecs.last,
+      s"x_inc_batch_max_sec_$tag" -> sorted.last,
+      s"x_inc_compact_drain_sec_$tag" -> drainSec,
       s"x_inc_bulk_sec_$tag" -> bulkSec)
     val line = jmap(Seq(
       "metric" -> "\"incremental_dedup\"", "n_docs" -> nDocs.toString,
@@ -166,7 +187,8 @@ object BenchIncremental {
       "queries" -> jmap(metrics.toSeq.sortBy(_._1).map { case (k, v) => k -> f6(v) }),
       "counts" -> jmap(counts.toSeq.map { case (k, v) => k -> v.toString }),
       "samples" -> jmap(Seq(
-        s"x_inc_batch_secs_$tag" -> batchSecs.map(f6).mkString("[", ",", "]")))))
+        s"x_inc_batch_secs_$tag" -> batchSecs.map(f6).mkString("[", ",", "]"),
+        s"x_inc_version_at_batch_$tag" -> versionAtBatch.map(_.toString).mkString("[", ",", "]")))))
     println(line)
     System.out.flush()
     spark.stop()

@@ -106,6 +106,32 @@ object Lsh {
 
   private val joinKeys = Seq("band", "key64", "key64b")
 
+  /** ADMIT-UNDER-CAP — the incremental twin of [[capBuckets]] and the
+    * one shared owner of the append-time cap discipline (round-13
+    * verdict: StandingCorpus.absorb re-implemented it): given the
+    * standing occupancy of each touched bucket (`standingCounts`:
+    * (band, key64, key64b, _cnt) — count ONLY buckets the new postings
+    * touch), admit a new posting while its bucket's standing count plus
+    * the posting's in-batch smallest-id rank stays within the cap. For
+    * monotonically increasing doc ids (arrival order = id order) this is
+    * bit-identical to re-running [[capBuckets]] over the grown union —
+    * a bucket's cap-smallest ids are exactly its earliest arrivals
+    * (LshSpec pins the equality); with out-of-order ids an over-cap
+    * bucket keeps arrival-order members instead (the documented
+    * production trade). `maxBucketSize <= 0` is UNCAPPED, matching
+    * [[capBuckets]]' no-op contract. */
+  def admitUnderCap(newKeys: DataFrame, standingCounts: DataFrame,
+                    maxBucketSize: Int): DataFrame =
+    if (maxBucketSize <= 0) newKeys.select("id", "band", "key64", "key64b")
+    else {
+      val w = Window.partitionBy(joinKeys.map(col): _*).orderBy(col("id"))
+      newKeys
+        .withColumn("_rn", row_number().over(w))
+        .join(broadcast(standingCounts), joinKeys, "left")
+        .filter(coalesce(col("_cnt"), lit(0L)) + col("_rn") <= maxBucketSize)
+        .select("id", "band", "key64", "key64b")
+    }
+
   /** Per-bucket posting counts `(band, key64, key64b, n)` for an index —
     * the index-build-time stats table every capped probe consults to pick
     * its band prefix WITHOUT materializing a single candidate row (the

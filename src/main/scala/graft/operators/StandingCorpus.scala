@@ -3,7 +3,6 @@ package graft.operators
 import graft.core.{Lsh, Shingling}
 import graft.functions.GraftFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Disk-resident STANDING-CORPUS dedup artifacts with partition-pruned
@@ -71,15 +70,39 @@ object StandingCorpus {
     * count (a 128-doc batch emits 4096 band keys; with 8192 postings per
     * partition the index probe reads ≤ 4096 x 8192 rows no matter how
     * large the standing corpus grows), and few enough that directory
-    * listing stays sane (≤ MaxParts dirs per table; above MaxParts x
-    * perPart rows the per-probe cost degrades gracefully back toward
-    * linear). Signature partitions are row-few because sig rows are fat
+    * listing stays sane (≤ MaxParts dirs per table).
+    *
+    * ABOVE MaxParts x perPart rows, a SECOND pruning level takes over
+    * (round-14; previously the probe cost degraded linearly past the
+    * partition ceiling — exactly at the measured 16M-doc scale): every
+    * partition file is written SORTED on its probe key with small
+    * parquet row groups ([[RowGroupBytes]]), and each probe pushes its
+    * collected key set down as an In filter, so parquet row-group
+    * min/max pruning bounds the rows read inside a fat partition by
+    * (batch keys x rows-per-row-group) — corpus-independent again
+    * (verified empirically: a 4096-key probe over sorted 1MB row groups
+    * reads only the matching groups; StandingCorpusSpec pins bytes
+    * read). Signature partitions are row-few because sig rows are fat
     * (128 longs each). */
   private[operators] val HashRowsPerPart = 8192L
   private[operators] val SigRowsPerPart = 512L
   private[operators] val IdxRowsPerPart = 8192L
   private val MinParts = 16
   private val MaxParts = 65536
+
+  /** Parquet row-group size for the standing tables: small groups are
+    * what makes row-group min/max pruning the sub-partition pruning
+    * level once partitions grow past their row target (a fat partition
+    * file splits into rows x ~15 B / 64 KiB groups; a probe key lands in
+    * ~one group, so per-file I/O stays ~RowGroupBytes no matter how fat
+    * the file gets). The bulk-scan penalty of more groups is footer
+    * metadata only. */
+  private val RowGroupBytes = 65536L
+
+  /** Probe-key sets larger than this are not pushed as In filters
+    * (partition pruning still applies) — bounds both the driver collect
+    * and the per-row-group predicate evaluation cost. */
+  private val MaxPushedKeys = 32768
 
   private[operators] def partsFor(rows: Long, perPart: Long): Int = {
     var p = MinParts
@@ -104,14 +127,20 @@ object StandingCorpus {
         Shingling.shingles(col(textCol), meta.kShingle, byWord = meta.byWord))).as("sig"))
 
   private def writePartitioned(df: DataFrame, pbCol: org.apache.spark.sql.Column,
-                               nParts: Int, path: String): Unit = {
+                               nParts: Int, path: String,
+                               sortKey: org.apache.spark.sql.Column): Unit = {
     // repartition ON the bucket column so every partition dir is written
     // by exactly one task -> one file per dir; task count bounded below
-    // nParts so tiny-partition task overhead stays sane
+    // nParts so tiny-partition task overhead stays sane. Rows are sorted
+    // on the probe key WITHIN each partition file so the pushed In
+    // filters prune at row-group granularity inside fat partitions.
     val withPb = df.withColumn("_pb", pbCol)
     val tasks = math.max(32, math.min(nParts, 2048))
     withPb.repartition(tasks, col("_pb"))
-      .write.mode("overwrite").partitionBy("_pb").parquet(path)
+      .sortWithinPartitions(col("_pb"), sortKey)
+      .write.mode("overwrite")
+      .option("parquet.block.size", RowGroupBytes)
+      .partitionBy("_pb").parquet(path)
   }
 
   /** Build the standing artifacts from a deduplicated corpus. `sigs` may
@@ -132,13 +161,14 @@ object StandingCorpus {
       .select(col(idCol).cast("long").as("doc_id"), col("sig"))
     val v = s"$dir/v1"
     writePartitioned(docs.select(md5(col(textCol)).as("_h")),
-      pbHash(col("_h"), meta.pHash), meta.pHash, s"$v/hashes")
-    writePartitioned(s, pbSig(col("doc_id"), meta.pSig), meta.pSig, s"$v/sigs")
+      pbHash(col("_h"), meta.pHash), meta.pHash, s"$v/hashes", col("_h"))
+    writePartitioned(s, pbSig(col("doc_id"), meta.pSig), meta.pSig, s"$v/sigs",
+      col("doc_id"))
     // sign from the WRITTEN sig table so the (expensive) signature
     // projection is not recomputed for the postings pass
     val sWritten = spark.read.parquet(s"$v/sigs").drop("_pb")
     writePartitioned(Lsh.postings(sWritten, "doc_id", "sig", lsh),
-      pbIdx(col("key64"), meta.pIdx), meta.pIdx, s"$v/index")
+      pbIdx(col("key64"), meta.pIdx), meta.pIdx, s"$v/index", col("key64"))
     writeMeta(dir, meta)
     new StandingCorpus(spark, dir, meta)
   }
@@ -146,8 +176,22 @@ object StandingCorpus {
   /** Open standing artifacts previously written by [[build]] (or left by
     * a [[StandingCorpus.compact]]) — the serving-start path: no corpus
     * pass, just the meta read and lazy partitioned-table handles. */
-  def open(spark: SparkSession, dir: String): StandingCorpus =
-    new StandingCorpus(spark, dir, readMeta(dir))
+  def open(spark: SparkSession, dir: String): StandingCorpus = {
+    val meta = readMeta(dir)
+    // drop version dirs meta does not reference: a crash between a
+    // background compaction completing and its swap (or between the
+    // swap's meta write and the old-dir delete) leaves one orphan
+    new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v") &&
+        f.getName != s"v${meta.version}")
+      .foreach(deleteRecursivelyStatic)
+    new StandingCorpus(spark, dir, meta)
+  }
+
+  private def deleteRecursivelyStatic(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursivelyStatic)
+    f.delete()
+  }
 
   private def metaFile(dir: String) = new java.io.File(dir, "meta.json")
 
@@ -187,6 +231,21 @@ final class StandingCorpus private (val spark: SparkSession, val dir: String,
   /** Fold deltas into a new on-disk base version after this many
     * absorbed batches. */
   var compactEveryBatches: Int = 64
+  /** When true (default), scheduled compactions run on a BACKGROUND
+    * thread: the new version is built beside the live one from a
+    * snapshot of base+deltas, and the ingest thread swaps to it at the
+    * start of the next classify/absorb once the build completes — the
+    * ingest loop never stalls on the O(corpus) rewrite (measured ~7 min
+    * at 16M docs when synchronous). Deltas absorbed while the build
+    * runs stay live across the swap. [[compact]] remains the
+    * synchronous form. */
+  var compactInBackground: Boolean = true
+
+  /** Test hook: force the past-the-ceiling key pushdown on every probe
+    * regardless of table size, so the pushed-filter path's trickle==bulk
+    * identity is pinned at spec scale (the gate otherwise only opens
+    * past MaxParts x perPart rows). */
+  private[graft] var forceKeyPushdown = false
 
   private def ckpt(df: DataFrame): DataFrame =
     org.apache.spark.sql.graftbridge.CheckpointStats.strip(df.localCheckpoint(true))
@@ -219,41 +278,84 @@ final class StandingCorpus private (val spark: SparkSession, val dir: String,
 
   /** Pruned standing hash rows for a batch: read only the partitions the
     * batch's own md5 values can land in. */
-  /** Collect a distinct partition-bucket set, dropping null buckets: a
-    * null text hashes to a null bucket, and the matching standing rows
-    * are definitionally absent (standing keys are never null), so the
-    * row must fall through to 'new' exactly as the bulk path classifies
-    * it — not NPE the probe. */
-  private def collectPbs(df: DataFrame): Seq[Int] =
-    df.distinct().collect().iterator
-      .filterNot(_.isNullAt(0)).map(_.getInt(0)).toSeq
-
+  /** Each probe collects the batch's own PROBE KEYS (one tiny job over a
+    * materialized batch-sized frame), derives the touched partition
+    * buckets driver-side, and prunes the standing read on `_pb`. When a
+    * table has grown PAST ITS PARTITION CEILING (MaxParts reached, so
+    * rows-per-partition exceed the per-table target and the
+    * partition-level bound alone would grow linearly with the corpus),
+    * the key set is ALSO pushed down as a parquet In filter: partition
+    * files are key-sorted with small row groups, so row-group min/max
+    * pruning bounds the rows read inside a fat partition by
+    * (keys x rows-per-row-group) — corpus-independent again. Below the
+    * ceiling the key push is deliberately OFF: with one row group per
+    * file it can prune nothing, and evaluating it costs extra reads
+    * (dictionary pages + column indexes — measured 3x the probe bytes at
+    * spec scale). Null keys are dropped: a null text hashes to a null
+    * key, and the matching standing rows are definitionally absent, so
+    * the row falls through to 'new' exactly as the bulk path classifies
+    * it — not NPE the probe. All filters only remove rows that cannot
+    * join; the trickle==bulk identity is unaffected
+    * (StandingCorpusSpec). */
   private[graft] def prunedHashes(batchHashes: DataFrame): DataFrame = {
-    val pbs = collectPbs(batchHashes.select(pbHashCol(col("_h")).as("_pb")))
-    unionAll(baseHashes.filter(col("_pb").isin(pbs: _*)).select("_h"),
-      deltaHashes.toSeq)
+    val hs = batchHashes.select("_h").distinct().collect().iterator
+      .filterNot(_.isNullAt(0)).map(_.getString(0)).toSeq
+    // driver-side twin of pbHash: 15 hex chars < 2^60, so the unsigned
+    // conv() parse is an exact Long.parseLong and pmod degenerates to %
+    val pbs = hs.map(h =>
+      (java.lang.Long.parseLong(h.substring(0, 15), 16) % meta.pHash).toInt).distinct
+    val fat = forceKeyPushdown || meta.pHash.toLong * HashRowsPerPart < meta.nDocs
+    val pruned = baseHashes.filter(col("_pb").isin(pbs: _*))
+    val keyed =
+      if (fat && hs.nonEmpty && hs.size <= MaxPushedKeys)
+        pruned.filter(col("_h").isin(hs: _*))
+      else pruned
+    unionAll(keyed.select("_h"), deltaHashes.toSeq)
   }
 
   /** Pruned standing postings for a batch's band keys. */
   private[graft] def prunedIndex(batchKeys: DataFrame): DataFrame = {
-    val pbs = collectPbs(batchKeys.select(pbIdxCol(col("key64")).as("_pb")))
-    unionAll(baseIndex.filter(col("_pb").isin(pbs: _*))
-      .select("id", "band", "key64", "key64b"), deltaIndex.toSeq)
+    val ks = batchKeys.select("key64").distinct().collect().iterator
+      .filterNot(_.isNullAt(0)).map(_.getLong(0)).toSeq
+    val p = meta.pIdx.toLong
+    val pbs = ks.map(k => (((k % p) + p) % p).toInt).distinct
+    val fat = forceKeyPushdown ||
+      meta.pIdx.toLong * IdxRowsPerPart < meta.nDocs * meta.bands
+    val pruned = baseIndex.filter(col("_pb").isin(pbs: _*))
+    val keyed =
+      if (fat && ks.nonEmpty && ks.size <= MaxPushedKeys)
+        pruned.filter(col("key64").isin(ks: _*))
+      else pruned
+    unionAll(keyed.select("id", "band", "key64", "key64b"), deltaIndex.toSeq)
   }
 
-  /** Pruned standing signatures for a candidate-id frame. */
+  /** Pruned standing signatures for a candidate-id frame. The partition
+    * bucket is xxhash64(id) — evaluated in Spark on both sides (never
+    * re-implemented driver-side) — so the collect carries (bucket, id)
+    * pairs and the id set doubles as the pushed key filter when the sig
+    * table is past its partition ceiling. */
   private[graft] def prunedSigs(candIds: DataFrame): DataFrame = {
-    val pbs = collectPbs(candIds.select(pbSigCol(candIds.columns.head).as("_pb")))
-    unionAll(baseSigs.filter(col("_pb").isin(pbs: _*)).select("doc_id", "sig"),
-      deltaSigs.toSeq)
+    val idc = candIds.columns.head
+    val fat = forceKeyPushdown || meta.pSig.toLong * SigRowsPerPart < meta.nDocs
+    val rows = candIds
+      .select(pbSigCol(idc).as("_pb"), col(idc).cast("long").as("_id"))
+      .distinct().limit(MaxPushedKeys + 1).collect()
+      .filterNot(_.isNullAt(0))
+    val overflow = rows.length > MaxPushedKeys
+    val pbs =
+      if (!overflow) rows.iterator.map(_.getInt(0)).toSeq.distinct
+      else candIds.select(pbSigCol(idc).as("_pb")).distinct().collect()
+        .iterator.filterNot(_.isNullAt(0)).map(_.getInt(0)).toSeq
+    val pruned = baseSigs.filter(col("_pb").isin(pbs: _*))
+    val keyed =
+      if (fat && !overflow && rows.nonEmpty)
+        pruned.filter(col("doc_id").isin(rows.map(_.getLong(1)).toSeq: _*))
+      else pruned
+    unionAll(keyed.select("doc_id", "sig"), deltaSigs.toSeq)
   }
 
-  private def pbHashCol(h: org.apache.spark.sql.Column) =
-    pmod(conv(substring(h, 1, 15), 16, 10).cast("long"), lit(meta.pHash.toLong)).cast("int")
   private def pbSigCol(idColName: String) =
     pmod(xxhash64(col(idColName)), lit(meta.pSig.toLong)).cast("int")
-  private def pbIdxCol(k: org.apache.spark.sql.Column) =
-    pmod(k, lit(meta.pIdx.toLong)).cast("int")
 
   /** Classify one batch of (idCol, textCol) docs against the standing
     * corpus: 'exact' / 'near' / 'new' per id, bit-identical to
@@ -262,11 +364,20 @@ final class StandingCorpus private (val spark: SparkSession, val dir: String,
     * the bulk scan. Returns a MATERIALIZED (id, status) frame (safe to
     * hold across later absorbs). */
   def classify(batchDocs: DataFrame, idCol: String = "doc_id",
-               textCol: String = "text"): DataFrame = {
+               textCol: String = "text"): DataFrame =
+    classifyKeepingSigs(batchDocs, idCol, textCol)._3
+
+  /** classify, returning the materialized (batch, batchSigs, statuses)
+    * triple so [[classifyAbsorb]] can absorb WITHOUT re-shingling and
+    * re-signing the batch (the signature projection is the single most
+    * expensive batch-sized compute in the loop). */
+  private def classifyKeepingSigs(batchDocs: DataFrame, idCol: String,
+                                  textCol: String): (DataFrame, DataFrame, DataFrame) = {
+    maybeSwapCompacted()
     val b = ckpt(batchDocs.select(col(idCol).cast("long").as(idCol),
       col(textCol).as(textCol)))
     val batchSigs = ckpt(sign(b, meta, idCol, textCol))
-    ckpt(classifyPlan(b, batchSigs, idCol, textCol))
+    (b, batchSigs, ckpt(classifyPlan(b, batchSigs, idCol, textCol)))
   }
 
   /** The classify plan (unmaterialized — spec hooks inspect its scans).
@@ -312,61 +423,172 @@ final class StandingCorpus private (val spark: SparkSession, val dir: String,
     * [[classify]]'s output for this batch. Per-batch cost is O(batch):
     * only the increments are checkpointed, never the standing state. */
   def absorb(batchDocs: DataFrame, statuses: DataFrame,
-             idCol: String = "doc_id", textCol: String = "text"): Unit = {
+             idCol: String = "doc_id", textCol: String = "text"): Unit =
+    absorbImpl(batchDocs, statuses, idCol, textCol, precomputedSigs = null)
+
+  private def absorbImpl(batchDocs: DataFrame, statuses: DataFrame,
+                         idCol: String, textCol: String,
+                         precomputedSigs: DataFrame): Unit = {
+    maybeSwapCompacted()
     val newIds = statuses.filter(col("status") === "new").select(col(idCol))
     val newDocs = batchDocs.select(col(idCol).cast("long").as(idCol),
         col(textCol).as(textCol))
       .join(newIds, Seq(idCol), "left_semi")
-    val newSigs = ckpt(sign(newDocs, meta, idCol, textCol))
+    // classifyAbsorb hands its already-materialized batch signatures
+    // through — filtering them to the new ids is row-identical to
+    // re-signing newDocs (signatures are a pure function of the text)
+    // and skips the loop's most expensive batch-sized recompute
+    val newSigs = ckpt(
+      if (precomputedSigs != null)
+        precomputedSigs.join(newIds, Seq(idCol), "left_semi")
+      else sign(newDocs, meta, idCol, textCol))
     val nNew = newSigs.count()
     if (nNew > 0) {
       deltaHashes += ckpt(newDocs.select(md5(col(textCol)).as("_h")))
       deltaSigs += ckpt(newSigs.select(col(idCol).as("doc_id"), col("sig")))
-      // append-under-cap: count each touched bucket ONCE (pruned standing
-      // read + deltas), admit the batch's smallest-id postings while the
-      // bucket stays under maxBucketSize. postings() already keeps the
-      // batch's own smallest ids, so standing-count + in-batch rank is
-      // the grown bucket's occupancy for monotone ids.
+      // append-under-cap (Lsh.admitUnderCap — the shared cap owner):
+      // count each touched bucket ONCE (pruned standing read + deltas),
+      // admit the batch's smallest-id postings while the bucket stays
+      // under maxBucketSize. postings() already keeps the batch's own
+      // smallest ids, so standing-count + in-batch rank is the grown
+      // bucket's occupancy for monotone ids.
       val newKeys = ckpt(Lsh.postings(newSigs, idCol, "sig", meta.lsh))
       val admitted =
-        // maxBucketSize <= 0 means UNCAPPED (Lsh.capBuckets' no-op
-        // contract): every new posting is admitted — the cap filter
-        // below would otherwise drop them all.
-        if (meta.maxBucketSize <= 0) newKeys.select("id", "band", "key64", "key64b")
+        if (meta.maxBucketSize <= 0) Lsh.admitUnderCap(newKeys, null, meta.maxBucketSize)
         else {
           val keys = Seq("band", "key64", "key64b")
           val standCnt = prunedIndex(newKeys)
             .join(broadcast(newKeys.select(keys.map(col): _*).distinct()), keys)
             .groupBy(keys.map(col): _*).agg(count(lit(1)).as("_cnt"))
-          val w = Window.partitionBy(keys.map(col): _*).orderBy(col("id"))
-          newKeys
-            .withColumn("_rn", row_number().over(w))
-            .join(broadcast(standCnt), keys, "left")
-            .filter(coalesce(col("_cnt"), lit(0L)) + col("_rn") <= meta.maxBucketSize)
-            .select("id", "band", "key64", "key64b")
+          Lsh.admitUnderCap(newKeys, standCnt, meta.maxBucketSize)
         }
       deltaIndex += ckpt(admitted)
       meta = meta.copy(nDocs = meta.nDocs + nNew)
     }
     deltaBatches += 1
-    if (deltaBatches >= compactEveryBatches) compact()
+    if (deltaBatches >= compactEveryBatches) {
+      if (compactInBackground) startBackgroundCompaction() else compact()
+    }
   }
 
   /** [[classify]] + [[absorb]] in one call — the streaming micro-batch
-    * step. Returns the materialized statuses. */
+    * step. Returns the materialized statuses. Shares the batch's
+    * materialized signatures between the two phases (absorb never
+    * re-shingles). */
   def classifyAbsorb(batchDocs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {
-    val st = classify(batchDocs, idCol, textCol)
-    absorb(batchDocs, st, idCol, textCol)
+    val (b, batchSigs, st) = classifyKeepingSigs(batchDocs, idCol, textCol)
+    absorbImpl(b, st, idCol, textCol, precomputedSigs = batchSigs)
     st
   }
 
-  /** Major compaction: fold the deltas into a NEW on-disk base version
-    * (partition counts re-sized to the grown corpus), refresh the meta,
-    * and drop the in-memory increments. Amortized over
-    * `compactEveryBatches` absorbs. The previous version dir is removed
-    * after the new one is fully written. */
+  /** One background compaction at a time: the builder thread writes the
+    * three tables of a NEW version from a snapshot of base + the first
+    * `nDeltas` deltas, then flips `done`. All other mutable state stays
+    * owned by the single ingest thread — it performs the swap itself at
+    * the next classify/absorb (so no probe ever races a base-table
+    * reassignment). */
+  private final class PendingCompaction(val grown: Meta, val nDeltas: Int) {
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failed = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+    var thread: Thread = _
+  }
+  private var pendingCompaction: Option[PendingCompaction] = None
+
+  /** Write the three standing tables for `grown` under its version dir.
+    * Pure write — no mutable state touched (safe off-thread). */
+  private def writeVersion(grown: Meta, hashes: DataFrame, sigs: DataFrame,
+                           index: DataFrame): Unit = {
+    val nv = s"$dir/v${grown.version}"
+    writePartitioned(hashes,
+      pmod(conv(substring(col("_h"), 1, 15), 16, 10).cast("long"),
+        lit(grown.pHash.toLong)).cast("int"), grown.pHash, s"$nv/hashes",
+      col("_h"))
+    writePartitioned(sigs,
+      pmod(xxhash64(col("doc_id")), lit(grown.pSig.toLong)).cast("int"),
+      grown.pSig, s"$nv/sigs", col("doc_id"))
+    writePartitioned(index,
+      pmod(col("key64"), lit(grown.pIdx.toLong)).cast("int"),
+      grown.pIdx, s"$nv/index", col("key64"))
+  }
+
+  private def grownMeta: Meta = meta.copy(
+    version = version + 1,
+    pHash = partsFor(meta.nDocs, HashRowsPerPart),
+    pSig = partsFor(meta.nDocs, SigRowsPerPart),
+    pIdx = partsFor(meta.nDocs * meta.bands, IdxRowsPerPart))
+
+  /** Kick off a background compaction if none is running and there is
+    * anything to fold. The snapshot covers the deltas present NOW;
+    * later absorbs keep appending and survive the swap untouched. */
+  private def startBackgroundCompaction(): Unit = {
+    if (pendingCompaction.isDefined) return
+    if (deltaHashes.isEmpty && deltaSigs.isEmpty && deltaIndex.isEmpty) {
+      deltaBatches = 0
+      return
+    }
+    val p = new PendingCompaction(grownMeta, deltaHashes.length)
+    val h = unionAll(baseHashes.select("_h"), deltaHashes.take(p.nDeltas).toSeq)
+    val s = unionAll(baseSigs.select("doc_id", "sig"), deltaSigs.take(p.nDeltas).toSeq)
+    val i = unionAll(baseIndex.select("id", "band", "key64", "key64b"),
+      deltaIndex.take(p.nDeltas).toSeq)
+    deltaBatches = 0
+    p.thread = new Thread(() => {
+      try writeVersion(p.grown, h, s, i)
+      catch { case t: Throwable => p.failed.set(t) }
+      finally p.done.set(true)
+    }, s"graft-standing-compact-v${p.grown.version}")
+    p.thread.setDaemon(true)
+    pendingCompaction = Some(p)
+    p.thread.start()
+  }
+
+  /** Ingest-thread swap point: if a background compaction has finished,
+    * adopt its version (meta keeps the CURRENT nDocs — only the layout
+    * fields come from the snapshot), drop the folded deltas, persist the
+    * meta, and remove the old version dir. On builder failure the deltas
+    * stay live and the next scheduled compaction retries. */
+  private def maybeSwapCompacted(): Unit = pendingCompaction match {
+    case Some(p) if p.done.get() =>
+      pendingCompaction = None
+      val err = p.failed.get()
+      if (err != null) {
+        System.err.println(s"[standing-corpus] background compaction failed " +
+          s"(deltas retained, will retry): $err")
+        deleteRecursively(new java.io.File(s"$dir/v${p.grown.version}"))
+      } else {
+        val old = vdir
+        meta = meta.copy(version = p.grown.version, pHash = p.grown.pHash,
+          pSig = p.grown.pSig, pIdx = p.grown.pIdx)
+        version = p.grown.version
+        writeMeta(dir, meta)
+        baseHashes = spark.read.parquet(s"$vdir/hashes")
+        baseSigs = spark.read.parquet(s"$vdir/sigs")
+        baseIndex = spark.read.parquet(s"$vdir/index")
+        deltaHashes.remove(0, p.nDeltas)
+        deltaSigs.remove(0, p.nDeltas)
+        deltaIndex.remove(0, p.nDeltas)
+        deleteRecursively(new java.io.File(old))
+      }
+    case _ => ()
+  }
+
+  /** Block until any in-flight background compaction has been built AND
+    * swapped in — the quiesce point for tests, shutdown, and serving
+    * handoff. */
+  def awaitCompaction(): Unit = {
+    pendingCompaction.foreach(_.thread.join())
+    maybeSwapCompacted()
+  }
+
+  /** SYNCHRONOUS major compaction: fold the deltas into a NEW on-disk
+    * base version (partition counts re-sized to the grown corpus),
+    * refresh the meta, and drop the in-memory increments. Amortized over
+    * `compactEveryBatches` absorbs when `compactInBackground` is off;
+    * also the explicit quiesce-then-fold call. The previous version dir
+    * is removed after the new one is fully written. */
   def compact(): Unit = {
+    awaitCompaction() // a pending background build folds first
     // nothing to fold: all-duplicate batches accumulate deltaBatches but
     // no deltas — an O(corpus) rewrite would change nothing, so just
     // reset the batch counter (a dup-heavy stream must not pay a full
@@ -375,21 +597,8 @@ final class StandingCorpus private (val spark: SparkSession, val dir: String,
       deltaBatches = 0
       return
     }
-    val grown = meta.copy(
-      version = version + 1,
-      pHash = partsFor(meta.nDocs, HashRowsPerPart),
-      pSig = partsFor(meta.nDocs, SigRowsPerPart),
-      pIdx = partsFor(meta.nDocs * meta.bands, IdxRowsPerPart))
-    val nv = s"$dir/v${grown.version}"
-    writePartitioned(fullHashes,
-      pmod(conv(substring(col("_h"), 1, 15), 16, 10).cast("long"),
-        lit(grown.pHash.toLong)).cast("int"), grown.pHash, s"$nv/hashes")
-    writePartitioned(fullSigs,
-      pmod(xxhash64(col("doc_id")), lit(grown.pSig.toLong)).cast("int"),
-      grown.pSig, s"$nv/sigs")
-    writePartitioned(fullIndex,
-      pmod(col("key64"), lit(grown.pIdx.toLong)).cast("int"),
-      grown.pIdx, s"$nv/index")
+    val grown = grownMeta
+    writeVersion(grown, fullHashes, fullSigs, fullIndex)
     writeMeta(dir, grown)
     val old = vdir
     meta = grown

@@ -155,6 +155,93 @@ class StandingCorpusSpec extends SparkSpec {
     assert(st2 === Seq((401L, "exact")))
   }
 
+  test("pushed-key probes (the past-the-ceiling path) equal the bulk verdicts") {
+    val dir = tmpDir()
+    val corpus = mkDocs(0L until 200L)
+    val sc = StandingCorpus.build(corpus, null, dir)
+    sc.forceKeyPushdown = true // the gate only opens past MaxParts x perPart
+    val base = mkDocs(Seq(0L, 5L)).select(col("text")).as[String].collect()
+    val batch = Seq(
+      (1000L, base(0)),                                               // exact
+      (1002L, base(1).split(" ").dropRight(1).mkString(" ") + " y1"), // near
+      (1003L, (0 until 30).map(w => s"pk$w").mkString(" "))           // fresh
+    ).toDF("doc_id", "text")
+    val trickle = statuses(sc.classifyAbsorb(batch))
+    val bulk = statuses(Dedup.incrementalStatus(
+      corpus, StandingCorpus.sign(corpus, sc.currentMeta), batch,
+      StandingCorpus.sign(batch, sc.currentMeta)))
+    assert(trickle === bulk, "pushed-key trickle must equal the bulk path")
+    assert(trickle.toMap.apply(1000L) === "exact")
+    assert(trickle.toMap.apply(1002L) === "near")
+    assert(trickle.toMap.apply(1003L) === "new")
+    // the absorb (whose admit-under-cap count also reads through the
+    // pushed probes) must have indexed the fresh doc
+    val again = statuses(sc.classify(
+      Seq((1100L, (0 until 30).map(w => s"pk$w").mkString(" "))).toDF("doc_id", "text")))
+    assert(again === Seq((1100L, "exact")))
+  }
+
+  test("Lsh.admitUnderCap equals capBuckets over the grown union for monotone ids") {
+    // the one-shared-owner pin (round-13 verdict #5): the append-time
+    // admit discipline and the batch re-cap must be the same semantics
+    val mk = (ids: Seq[Long]) => {
+      val sigs = mkDocs(ids).select(col("doc_id"),
+        graft.functions.GraftFunctions.minhash_signature(
+          graft.functions.GraftFunctions.shingle_hashes_md5(
+            graft.core.Shingling.shingles(col("text"), 3, byWord = true))).as("sig"))
+      sigs
+    }
+    val lsh = Lsh.Params(maxBucketSize = 2)
+    // shared text families force over-cap buckets across the split
+    val standingSigs = mk(0L until 12L)
+    val newSigs = mk(12L until 20L)
+    val standing = Lsh.postings(standingSigs, "doc_id", "sig", lsh)
+      .localCheckpoint(true)
+    val newKeys = Lsh.postings(newSigs, "doc_id", "sig", lsh)
+    val standCnt = standing
+      .join(newKeys.select("band", "key64", "key64b").distinct(),
+        Seq("band", "key64", "key64b"))
+      .groupBy("band", "key64", "key64b").agg(count(lit(1)).as("_cnt"))
+    val admitted = standing.select("id", "band", "key64", "key64b")
+      .unionByName(Lsh.admitUnderCap(newKeys, standCnt, lsh.maxBucketSize))
+    val recap = Lsh.postings(standingSigs.unionByName(mk(12L until 20L)),
+      "doc_id", "sig", lsh).select("id", "band", "key64", "key64b")
+    assert(admitted.exceptAll(recap).count() === 0L &&
+      recap.exceptAll(admitted).count() === 0L,
+      "admitUnderCap + standing must equal capBuckets over the union")
+    // uncapped contract: everything admitted
+    assert(Lsh.admitUnderCap(newKeys, null, 0).count() === newKeys.count())
+  }
+
+  test("background compaction: ingest continues, swap adopts the new version") {
+    val dir = tmpDir()
+    val sc = StandingCorpus.build(mkDocs(0L until 100L), null, dir)
+    sc.compactEveryBatches = 1
+    sc.compactInBackground = true
+    val tA = (0 until 30).map(w => s"bg$w").mkString(" ")
+    val tB = (0 until 30).map(w => s"bh$w").mkString(" ")
+    // batch A triggers a background build; batch B absorbs while (or
+    // right after) it runs — its delta must survive the swap
+    assert(statuses(sc.classifyAbsorb(Seq((900L, tA)).toDF("doc_id", "text")))
+      === Seq((900L, "new")))
+    assert(statuses(sc.classifyAbsorb(Seq((901L, tB)).toDF("doc_id", "text")))
+      === Seq((901L, "new")))
+    sc.awaitCompaction()
+    assert(sc.currentVersion >= 2, "background compaction must have swapped in")
+    assert(!new java.io.File(s"$dir/v1").exists(), "old version dir removed")
+    val st = statuses(sc.classify(
+      Seq((910L, tA), (911L, tB)).toDF("doc_id", "text"))).toMap
+    assert(st(910L) === "exact" && st(911L) === "exact",
+      "both pre- and mid-compaction absorbs must be visible after the swap")
+    // reopen from disk resumes at the compacted version
+    sc.awaitCompaction()
+    sc.compact()
+    val sc2 = StandingCorpus.open(spark, dir)
+    assert(sc2.currentMeta.nDocs === 102L)
+    assert(statuses(sc2.classify(Seq((912L, tA)).toDF("doc_id", "text")))
+      === Seq((912L, "exact")))
+  }
+
   test("uncapped params (maxBucketSize <= 0): absorbed docs are still found by later batches") {
     val dir = tmpDir()
     // maxBucketSize <= 0 is Lsh.capBuckets' UNCAPPED contract — absorb
@@ -189,6 +276,7 @@ class StandingCorpusSpec extends SparkSpec {
     val dir = tmpDir()
     val sc = StandingCorpus.build(mkDocs(0L until 50L), null, dir)
     sc.compactEveryBatches = 2
+    sc.compactInBackground = false // this pins the SYNC scheduled path
     val dup = mkDocs(Seq(0L)).select(col("text")).as[String].head()
     // two all-dup batches hit the compaction trigger with nothing to fold
     assert(statuses(sc.classifyAbsorb(Seq((700L, dup)).toDF("doc_id", "text")))
