@@ -82,6 +82,14 @@ object BenchIncremental {
       s"(meta=${standing.currentMeta})")
     if (compactEvery > 0) standing.compactEveryBatches = compactEvery
     standing.compactInBackground = !compactSync
+    // on / off / auto (default): the past-the-ceiling key pushdown —
+    // "off" is the measurement contrast showing what the probe costs
+    // without the sub-partition pruning level
+    sys.env.getOrElse("SPARK_GRAFT_INC_KEYPUSH", "auto") match {
+      case "on" => standing.keyPushdownOverride = Some(true)
+      case "off" => standing.keyPushdownOverride = Some(false)
+      case _ => ()
+    }
 
     // ---- batches: fixed size, monotone ids, mixed tiers ----
     val nCopies = batchSize / 4

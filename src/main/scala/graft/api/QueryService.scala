@@ -76,11 +76,32 @@ object QueryService {
     * vector engine's serving model warm ([[VectorEngine.warmServing]])
     * a hot ivfpq probe is the zero-Spark-job in-process path, so the
     * handler cost mirrors `/query`'s. */
-  def serve(engine: QueryEngine, vec: Option[VectorEngine], port: Int): HttpServer = {
+  def serve(engine: QueryEngine, vec: Option[VectorEngine], port: Int): HttpServer =
+    serve(engine, vec, None, port)
+
+  /** As [[serve]], optionally also exposing a standing-corpus dedup
+    * state at `POST /dedup` — the trickle-ingest boundary (the one
+    * engine surface that had no HTTP row: a crawler posts a micro-batch,
+    * gets per-doc verdicts, and the batch's `new` docs join the standing
+    * corpus so the NEXT post sees them as duplicates).
+    *
+    * Request: `{"docs":[{"id":1,"text":"..."}...], "absorb":true}`
+    * (absorb optional, default true — false = classify-only probe).
+    * Response: `{"statuses":[{"id":1,"status":"exact"|"near"|"new"}...]}`
+    * in request order. Handlers SERIALIZE on the corpus (StandingCorpus
+    * is single-ingest-loop by contract — HTTP concurrency must not
+    * interleave two absorbs); classify cost is the partition-pruned
+    * trickle probe, so a micro-batch request is a few Spark jobs, not a
+    * corpus scan (BenchHttpDedup measures the boundary). */
+  def serve(engine: QueryEngine, vec: Option[VectorEngine],
+            dedup: Option[graft.operators.StandingCorpus], port: Int): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/query", (exchange: HttpExchange) => handle(engine, exchange))
     vec.foreach { v =>
       server.createContext("/vquery", (exchange: HttpExchange) => handleVec(v, exchange))
+    }
+    dedup.foreach { d =>
+      server.createContext("/dedup", (exchange: HttpExchange) => handleDedup(d, exchange))
     }
     // a real handler pool: the JDK default runs EVERY handler on the
     // single dispatcher thread, serializing all requests — measured as a
@@ -141,6 +162,71 @@ object QueryService {
       ex.getResponseBody.write(bytes)
     } finally ex.close()
   }
+
+  private def handleDedup(standing: graft.operators.StandingCorpus,
+                          ex: HttpExchange): Unit = {
+    try {
+      val (status, body) =
+        if (ex.getRequestMethod != "POST")
+          (405, """{"error":"POST required"}""")
+        else {
+          val raw = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          parseDedup(raw) match {
+            case Left(err) => (400, s"""{"error":"$err"}""")
+            case Right((docs, absorb)) =>
+              val spark = standing.spark
+              val df = spark.createDataFrame(
+                java.util.Arrays.asList(docs.map { case (id, text) =>
+                  org.apache.spark.sql.Row(id, text) }: _*),
+                org.apache.spark.sql.types.StructType(Seq(
+                  org.apache.spark.sql.types.StructField("doc_id",
+                    org.apache.spark.sql.types.LongType, nullable = false),
+                  org.apache.spark.sql.types.StructField("text",
+                    org.apache.spark.sql.types.StringType, nullable = true))))
+              // single-ingest-loop contract: requests serialize here
+              val st = standing.synchronized {
+                if (absorb) standing.classifyAbsorb(df)
+                else standing.classify(df)
+              }
+              val byId = st.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+              (200, docs.map { case (id, _) =>
+                s"""{"id":$id,"status":"${byId(id)}"}"""
+              }.mkString("""{"statuses":[""", ",", "]}"))
+          }
+        }
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(status, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
+    } finally ex.close()
+  }
+
+  /** Parse `{"docs":[{"id":n,"text":s}...], "absorb":b}`. */
+  private def parseDedup(raw: String): Either[String, (Seq[(Long, String)], Boolean)] =
+    try {
+      val root = mapper.readTree(raw)
+      val docs = root.get("docs")
+      if (docs == null || !docs.isArray || docs.isEmpty)
+        Left("missing or empty docs")
+      else {
+        val out = Vector.newBuilder[(Long, String)]
+        var err: String = null
+        var i = 0
+        while (i < docs.size() && err == null) {
+          val d = docs.get(i)
+          if (d == null || !d.hasNonNull("id")) err = s"docs[$i] missing id"
+          else out += ((d.get("id").asLong(),
+            if (d.hasNonNull("text")) d.get("text").asText() else null))
+          i += 1
+        }
+        if (err != null) Left(err)
+        else {
+          val absorb =
+            if (root.hasNonNull("absorb")) root.get("absorb").asBoolean(true) else true
+          Right((out.result(), absorb))
+        }
+      }
+    } catch { case e: Exception => Left(s"malformed JSON: ${e.getMessage}") }
 
   /** Parse `{"vector":[<float>...], "k":n, "nprobe":n, "mode":s}`. */
   private def parseVec(raw: String): Either[String, (Array[Float], Int, Int, String)] =

@@ -241,11 +241,15 @@ final class StandingCorpus private (val spark: SparkSession, val dir: String,
     * synchronous form. */
   var compactInBackground: Boolean = true
 
-  /** Test hook: force the past-the-ceiling key pushdown on every probe
-    * regardless of table size, so the pushed-filter path's trickle==bulk
-    * identity is pinned at spec scale (the gate otherwise only opens
-    * past MaxParts x perPart rows). */
-  private[graft] var forceKeyPushdown = false
+  /** Override for the past-the-ceiling key pushdown: Some(true) forces
+    * it on every probe regardless of table size (spec hook — pins the
+    * pushed-filter path's trickle==bulk identity at spec scale, where
+    * the gate otherwise never opens), Some(false) disables it even past
+    * the ceiling (the measurement contrast BenchIncremental exposes),
+    * None = the size-gated default. */
+  private[graft] var keyPushdownOverride: Option[Boolean] = None
+  private def pushKeys(sizeGate: Boolean): Boolean =
+    keyPushdownOverride.getOrElse(sizeGate)
 
   private def ckpt(df: DataFrame): DataFrame =
     org.apache.spark.sql.graftbridge.CheckpointStats.strip(df.localCheckpoint(true))
@@ -304,7 +308,7 @@ final class StandingCorpus private (val spark: SparkSession, val dir: String,
     // conv() parse is an exact Long.parseLong and pmod degenerates to %
     val pbs = hs.map(h =>
       (java.lang.Long.parseLong(h.substring(0, 15), 16) % meta.pHash).toInt).distinct
-    val fat = forceKeyPushdown || meta.pHash.toLong * HashRowsPerPart < meta.nDocs
+    val fat = pushKeys(meta.pHash.toLong * HashRowsPerPart < meta.nDocs)
     val pruned = baseHashes.filter(col("_pb").isin(pbs: _*))
     val keyed =
       if (fat && hs.nonEmpty && hs.size <= MaxPushedKeys)
@@ -319,8 +323,7 @@ final class StandingCorpus private (val spark: SparkSession, val dir: String,
       .filterNot(_.isNullAt(0)).map(_.getLong(0)).toSeq
     val p = meta.pIdx.toLong
     val pbs = ks.map(k => (((k % p) + p) % p).toInt).distinct
-    val fat = forceKeyPushdown ||
-      meta.pIdx.toLong * IdxRowsPerPart < meta.nDocs * meta.bands
+    val fat = pushKeys(meta.pIdx.toLong * IdxRowsPerPart < meta.nDocs * meta.bands)
     val pruned = baseIndex.filter(col("_pb").isin(pbs: _*))
     val keyed =
       if (fat && ks.nonEmpty && ks.size <= MaxPushedKeys)
@@ -336,7 +339,7 @@ final class StandingCorpus private (val spark: SparkSession, val dir: String,
     * table is past its partition ceiling. */
   private[graft] def prunedSigs(candIds: DataFrame): DataFrame = {
     val idc = candIds.columns.head
-    val fat = forceKeyPushdown || meta.pSig.toLong * SigRowsPerPart < meta.nDocs
+    val fat = pushKeys(meta.pSig.toLong * SigRowsPerPart < meta.nDocs)
     val rows = candIds
       .select(pbSigCol(idc).as("_pb"), col(idc).cast("long").as("_id"))
       .distinct().limit(MaxPushedKeys + 1).collect()

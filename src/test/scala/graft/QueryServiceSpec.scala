@@ -123,6 +123,60 @@ class QueryServiceSpec extends SparkSpec {
     }
   }
 
+  test("POST /dedup classifies micro-batches and evolves the standing corpus over HTTP") {
+    import spark.implicits._
+    val docs = (0L until 120L).map { i =>
+      val fam = i - (i % 5)
+      (i, (0 until 25).map(w => s"w${(fam * 31 + w) % 97}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-http").toString
+    val standing = graft.operators.StandingCorpus.build(docs, null, dir)
+    val lshEng = QueryEngine.build(
+      spark.read.parquet(s"$testDataDir/documents.parquet"))
+    val server = QueryService.serve(lshEng, None, Some(standing), port = 0)
+    try {
+      val port = server.getAddress.getPort
+      def dpost(body: String): (Int, String) = {
+        val client = HttpClient.newHttpClient()
+        val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/dedup"))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+        val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+        (resp.statusCode(), resp.body())
+      }
+      val dupText = docs.filter($"doc_id" === 0L).head().getString(1)
+      val freshText = (0 until 25).map(w => s"hz$w").mkString(" ")
+      // batch 1: one exact dup + one fresh, absorbed
+      val (c1, b1) = dpost(
+        s"""{"docs":[{"id":9000,"text":"$dupText"},{"id":9001,"text":"$freshText"}],"absorb":true}""")
+      assert(c1 == 200, b1)
+      assert(b1 ==
+        """{"statuses":[{"id":9000,"status":"exact"},{"id":9001,"status":"new"}]}""",
+        "statuses must come back in request order")
+      // batch 2: the absorbed fresh text must now be an exact dup —
+      // state evolved THROUGH the HTTP boundary
+      val (c2, b2) = dpost(
+        s"""{"docs":[{"id":9100,"text":"$freshText"}],"absorb":false}""")
+      assert(c2 == 200 && b2.contains(""""status":"exact""""), b2)
+      // classify-only must NOT have evolved state: repeat with a new id
+      val (c3, b3) = dpost(
+        s"""{"docs":[{"id":9200,"text":"classify only probe text one two"}],"absorb":false}""")
+      assert(c3 == 200 && b3.contains(""""status":"new""""), b3)
+      val (c4, b4) = dpost(
+        s"""{"docs":[{"id":9201,"text":"classify only probe text one two"}],"absorb":false}""")
+      assert(c4 == 200 && b4.contains(""""status":"new""""),
+        s"classify-only must not absorb: $b4")
+      // error envelopes
+      assert(dpost("""{"absorb":true}""")._1 == 400)
+      assert(dpost("""{"docs":[]}""")._1 == 400)
+      assert(dpost("""{"docs":[{"text":"no id"}]}""")._1 == 400)
+      assert(dpost("not json")._1 == 400)
+    } finally {
+      server.stop(0)
+      lshEng.close()
+    }
+  }
+
   test("POST /vquery serves vector probes: served tier answers, errors enveloped") {
     import org.apache.spark.sql.functions.col
     // round 12: the embedding-side probe over the same HTTP server — a

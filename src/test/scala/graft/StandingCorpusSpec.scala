@@ -159,7 +159,7 @@ class StandingCorpusSpec extends SparkSpec {
     val dir = tmpDir()
     val corpus = mkDocs(0L until 200L)
     val sc = StandingCorpus.build(corpus, null, dir)
-    sc.forceKeyPushdown = true // the gate only opens past MaxParts x perPart
+    sc.keyPushdownOverride = Some(true) // the gate only opens past MaxParts x perPart
     val base = mkDocs(Seq(0L, 5L)).select(col("text")).as[String].collect()
     val batch = Seq(
       (1000L, base(0)),                                               // exact
