@@ -43,6 +43,11 @@ object BenchIncremental {
     // > 0: trigger a compaction INSIDE the measured loop every N absorbs
     // (round-14 demand: the r13 series never included a compaction batch)
     val compactEvery = sys.env.getOrElse("SPARK_GRAFT_INC_COMPACT_EVERY", "0").toInt
+    // shift the batch index so a rerun against an EVOLVED standing dir
+    // (which already absorbed earlier runs' batches) still ingests fresh
+    // docs — without it a rerun classifies everything 'exact' and the
+    // absorb/compaction path never fires
+    val batchOffset = sys.env.getOrElse("SPARK_GRAFT_INC_BATCH_OFFSET", "0").toInt
     // 1: force the synchronous (stalling) compaction for the contrast row
     val compactSync = sys.env.getOrElse("SPARK_GRAFT_INC_COMPACT_SYNC", "0") == "1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -52,6 +57,10 @@ object BenchIncremental {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
+      // FAIR + the graft_compact pool: background compaction writes get
+      // their fair share instead of starving the measured batches (FIFO
+      // hands every free slot to the long write stages)
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -97,11 +106,13 @@ object BenchIncremental {
     val nFresh = batchSize - nCopies - nRepeat
     // pool of unseen docs (beyond the corpus) large enough for all batches
     // +1 batch: the bulk-contrast batch draws from the pool too
-    val freshPool = SyntheticCorpus.docsLlm(spark, nDocs + (nBatches + 1).toLong * nFresh)
+    val freshPool = SyntheticCorpus.docsLlm(spark,
+        nDocs + (batchOffset + nBatches + 1).toLong * nFresh)
       .filter(col("doc_id") >= nDocs)
       .select(col("doc_id"), col("text"))
       .localCheckpoint(true)
-    def mkBatch(i: Int, prevFresh: DataFrame): DataFrame = {
+    def mkBatch(i0: Int, prevFresh: DataFrame): DataFrame = {
+      val i = i0 + batchOffset
       // disjoint id ranges per tier, monotone across batches (stride 1M)
       val idBase = nDocs * 10 + i.toLong * 1000000L
       val copies = docs

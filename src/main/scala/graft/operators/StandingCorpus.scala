@@ -128,18 +128,25 @@ object StandingCorpus {
 
   private def writePartitioned(df: DataFrame, pbCol: org.apache.spark.sql.Column,
                                nParts: Int, path: String,
-                               sortKey: org.apache.spark.sql.Column): Unit = {
+                               sortKey: org.apache.spark.sql.Column,
+                               rows: Long, perPart: Long): Unit = {
     // repartition ON the bucket column so every partition dir is written
     // by exactly one task -> one file per dir; task count bounded below
     // nParts so tiny-partition task overhead stays sane. Rows are sorted
     // on the probe key WITHIN each partition file so the pushed In
-    // filters prune at row-group granularity inside fat partitions.
+    // filters prune at row-group granularity inside fat partitions —
+    // but the SMALL row groups that make that pruning fine-grained are
+    // written only once the table is actually past its partition ceiling
+    // (fat files): below it every file is probe-read whole anyway, and
+    // the extra group boundaries measurably tax the bulk scans
+    // (~20% on the 1M-doc bulk contrast).
+    val fat = nParts.toLong * perPart < rows
     val withPb = df.withColumn("_pb", pbCol)
     val tasks = math.max(32, math.min(nParts, 2048))
-    withPb.repartition(tasks, col("_pb"))
+    val sorted = withPb.repartition(tasks, col("_pb"))
       .sortWithinPartitions(col("_pb"), sortKey)
       .write.mode("overwrite")
-      .option("parquet.block.size", RowGroupBytes)
+    (if (fat) sorted.option("parquet.block.size", RowGroupBytes) else sorted)
       .partitionBy("_pb").parquet(path)
   }
 
@@ -161,14 +168,16 @@ object StandingCorpus {
       .select(col(idCol).cast("long").as("doc_id"), col("sig"))
     val v = s"$dir/v1"
     writePartitioned(docs.select(md5(col(textCol)).as("_h")),
-      pbHash(col("_h"), meta.pHash), meta.pHash, s"$v/hashes", col("_h"))
+      pbHash(col("_h"), meta.pHash), meta.pHash, s"$v/hashes", col("_h"),
+      nDocs, HashRowsPerPart)
     writePartitioned(s, pbSig(col("doc_id"), meta.pSig), meta.pSig, s"$v/sigs",
-      col("doc_id"))
+      col("doc_id"), nDocs, SigRowsPerPart)
     // sign from the WRITTEN sig table so the (expensive) signature
     // projection is not recomputed for the postings pass
     val sWritten = spark.read.parquet(s"$v/sigs").drop("_pb")
     writePartitioned(Lsh.postings(sWritten, "doc_id", "sig", lsh),
-      pbIdx(col("key64"), meta.pIdx), meta.pIdx, s"$v/index", col("key64"))
+      pbIdx(col("key64"), meta.pIdx), meta.pIdx, s"$v/index", col("key64"),
+      nDocs * lsh.bands, IdxRowsPerPart)
     writeMeta(dir, meta)
     new StandingCorpus(spark, dir, meta)
   }
@@ -499,20 +508,30 @@ final class StandingCorpus private (val spark: SparkSession, val dir: String,
   private var pendingCompaction: Option[PendingCompaction] = None
 
   /** Write the three standing tables for `grown` under its version dir.
-    * Pure write — no mutable state touched (safe off-thread). */
+    * Pure write — no mutable state touched (safe off-thread). Each
+    * table's repartition shuffle is corpus-sized; the explicit GC after
+    * each write lets ContextCleaner reclaim the finished shuffle's disk
+    * files BEFORE the next table's shuffle starts (the default periodic
+    * GC is 30 min away, and a 16M-doc compaction holding two ~12 GB
+    * shuffles plus the half-written new version exhausted the bench
+    * box's disk). */
   private def writeVersion(grown: Meta, hashes: DataFrame, sigs: DataFrame,
                            index: DataFrame): Unit = {
     val nv = s"$dir/v${grown.version}"
     writePartitioned(hashes,
       pmod(conv(substring(col("_h"), 1, 15), 16, 10).cast("long"),
         lit(grown.pHash.toLong)).cast("int"), grown.pHash, s"$nv/hashes",
-      col("_h"))
+      col("_h"), grown.nDocs, HashRowsPerPart)
+    System.gc()
     writePartitioned(sigs,
       pmod(xxhash64(col("doc_id")), lit(grown.pSig.toLong)).cast("int"),
-      grown.pSig, s"$nv/sigs", col("doc_id"))
+      grown.pSig, s"$nv/sigs", col("doc_id"), grown.nDocs, SigRowsPerPart)
+    System.gc()
     writePartitioned(index,
       pmod(col("key64"), lit(grown.pIdx.toLong)).cast("int"),
-      grown.pIdx, s"$nv/index", col("key64"))
+      grown.pIdx, s"$nv/index", col("key64"),
+      grown.nDocs * grown.bands, IdxRowsPerPart)
+    System.gc()
   }
 
   private def grownMeta: Meta = meta.copy(
@@ -537,7 +556,28 @@ final class StandingCorpus private (val spark: SparkSession, val dir: String,
       deltaIndex.take(p.nDeltas).toSeq)
     deltaBatches = 0
     p.thread = new Thread(() => {
-      try writeVersion(p.grown, h, s, i)
+      try {
+        // isolate the O(corpus) rewrite from the ingest loop's jobs:
+        // under the default FIFO scheduler the compaction's long write
+        // stages take every free slot and the concurrent batch STARVES
+        // (measured 262 s for a ~10 s batch at 16M) — in a FAIR-mode
+        // session (spark.scheduler.mode=FAIR, set at context creation)
+        // this pool caps the build at its fair share and concurrent
+        // batches stay within ~2x their baseline. Under FIFO the
+        // property is inert (the documented trade: set FAIR for
+        // latency-sensitive ingest).
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+          "graft_compact")
+        writeVersion(p.grown, h, s, i)
+        // warm the shared FileStatusCache for the new version HERE: the
+        // ingest thread's swap re-opens three partitioned tables
+        // (tens of thousands of dirs), and a cold listing inside the
+        // next measured batch cost ~50 s at 8M docs — listed on this
+        // thread, the swap's spark.read hits the cache
+        Seq("hashes", "sigs", "index").foreach { t =>
+          spark.read.parquet(s"$dir/v${p.grown.version}/$t")
+        }
+      }
       catch { case t: Throwable => p.failed.set(t) }
       finally p.done.set(true)
     }, s"graft-standing-compact-v${p.grown.version}")
