@@ -23,8 +23,8 @@ import sys, os, json, subprocess, glob, time
 # oracles known to be minutes-long at sf1.0 (measured r13: d16 1096 s)
 SLOW = {"d16_incremental_dedup", "d18_standing_trickle",
         "s14_stream_incremental_dedup"}
-DEFAULT_TIMEOUT = 900
-SLOW_TIMEOUT = 2700
+DEFAULT_TIMEOUT = int(os.environ.get("SF1_TIMEOUT", "900"))
+SLOW_TIMEOUT = int(os.environ.get("SF1_SLOW_TIMEOUT", "2700"))
 
 
 def run_one(name, sf, out):
@@ -84,7 +84,8 @@ def main():
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     gates = {}
     n_pass = n_fail = n_timeout = 0
-    for name in sorted(oracle):
+
+    def check_one(name):
         budget = SLOW_TIMEOUT if name in SLOW else DEFAULT_TIMEOUT
         t0 = time.time()
         try:
@@ -102,15 +103,21 @@ def main():
         except subprocess.TimeoutExpired:
             v = {"status": "oracle_timeout", "oracle_sec": budget}
         v["check"] = "oracle"
-        gates[name] = v
-        if v["status"] == "pass":
-            n_pass += 1
-        elif v["status"] == "oracle_timeout":
-            n_timeout += 1
-        else:
-            n_fail += 1
-        print(f"{v['status'].upper():14s} {name} ({v['oracle_sec']}s)",
-              flush=True)
+        return name, v
+
+    import concurrent.futures
+    workers = int(os.environ.get("SF1_WORKERS", "6"))
+    with concurrent.futures.ThreadPoolExecutor(max_workers=workers) as ex:
+        for name, v in ex.map(check_one, sorted(oracle)):
+            gates[name] = v
+            if v["status"] == "pass":
+                n_pass += 1
+            elif v["status"] == "oracle_timeout":
+                n_timeout += 1
+            else:
+                n_fail += 1
+            print(f"{v['status'].upper():14s} {name} ({v['oracle_sec']}s)",
+                  flush=True)
 
     summary = {"sf_dir": sf, "gates": gates, "n_gates": len(oracle),
                "n_pass": n_pass, "n_fail": n_fail, "n_timeout": n_timeout}
