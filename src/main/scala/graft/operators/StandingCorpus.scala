@@ -263,17 +263,417 @@ final class StandingCorpus private (val spark: SparkSession, val dir: String,
   private def ckpt(df: DataFrame): DataFrame =
     org.apache.spark.sql.graftbridge.CheckpointStats.strip(df.localCheckpoint(true))
 
+  /** Run `body` with spark.sql.parquet.pushdown.inFilterThreshold raised
+    * to MaxPushedKeys when a pushed-key probe is active: Spark 4 converts
+    * an In with more values than the threshold (default 10) into a single
+    * gteq/lteq RANGE predicate for parquet pushdown, and probe keys are
+    * uniform hashes — the range spans the whole domain and prunes no row
+    * groups. Raising the threshold keeps the In an OR-of-eq set so
+    * row-group min/max pruning actually fires at real batch sizes
+    * (round-14 advice). Scoped to the probe action and restored after —
+    * the session-wide default stays put for every other query (e.g. the
+    * bucketed-probe IN lists, where a 32k-term parquet predicate would
+    * tax planning for nothing). */
+  private def withPushConf[A](push: Boolean)(body: => A): A =
+    if (!push) body
+    else {
+      val key = "spark.sql.parquet.pushdown.inFilterThreshold"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, MaxPushedKeys.toString)
+      try body
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+
+  /** True when ANY standing table's pushed-key gate is open for this
+    * probe (fat layout or spec override) — the condition under which
+    * [[withPushConf]] must hold across the probe's actions. */
+  private def anyPushGateOpen: Boolean = keyPushdownOverride.getOrElse(
+    meta.pHash.toLong * HashRowsPerPart < meta.nDocs ||
+      meta.pIdx.toLong * IdxRowsPerPart < meta.nDocs * meta.bands ||
+      meta.pSig.toLong * SigRowsPerPart < meta.nDocs)
+
   private var version = meta.version
   private def vdir = s"$dir/v$version"
   private var baseHashes = spark.read.parquet(s"$vdir/hashes")
   private var baseSigs = spark.read.parquet(s"$vdir/sigs")
   private var baseIndex = spark.read.parquet(s"$vdir/index")
 
-  // per-batch checkpointed increments (each O(batch)); probes union them
+  // per-batch increments (each O(batch)); probes union them. Trickle
+  // absorbs append driver-local rows wrapped as LocalRelations (zero
+  // cluster jobs); bulk absorbs append localCheckpointed frames.
   private val deltaHashes = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
   private val deltaSigs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
   private val deltaIndex = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
   private var deltaBatches = 0
+
+  // ---- driver-side trickle fast path (round 15) ----------------------
+  // A trickle batch is <= trickleMaxDocs docs; its md5s, signatures and
+  // band keys all fit on the driver. The fast path runs ONE Spark job to
+  // sign+collect the batch, derives every probe key driver-side (the
+  // same Catalyst expressions, evaluated locally — Lsh.queryKeysLocal),
+  // and keeps only the three pruned standing reads as cluster jobs; the
+  // verdict fold, the absorb cap discipline and the delta append are
+  // in-process. This removes the ~16-job-per-batch floor (three pruning
+  // collects + ~10 localCheckpoints) the round-14 verdict measured as
+  // the dominant trickle cost at every scale. Verdicts are bit-identical
+  // to the Spark trickle plan (same pruned reads, same est-Jaccard
+  // arithmetic, same cap fold — StandingCorpusSpec pins trickle==bulk);
+  // any case the local fold cannot faithfully reproduce (null batch ids,
+  // a distributed delta from a bulk absorb, over-bound candidate
+  // fan-out) falls back to the Spark plan.
+
+  /** One collected batch row: boxed id (null-safe), md5 hex and
+    * signature (both null for a null text). */
+  private final case class BatchRow(id: java.lang.Long, h: String, sig: Array[Long])
+
+  /** Driver mirror of one absorbed delta generation — the same rows its
+    * three LocalRelation frames carry, as plain arrays so trickle probes
+    * consult deltas without a job. Parallel to deltaHashes/deltaSigs/
+    * deltaIndex while every delta is local ([[deltasAllLocal]]). */
+  private final case class LocalDelta(hashes: Array[String],
+                                      sigs: Array[(Long, Array[Long])],
+                                      postings: Array[(Long, Int, Long, Long)])
+  private val localDeltas = scala.collection.mutable.ArrayBuffer.empty[LocalDelta]
+  private var deltasAllLocal = true
+
+  /** Cumulative lookup view over [[localDeltas]] (hash membership, sigs
+    * by id, postings by bucket triple) — appended incrementally per
+    * absorb, rebuilt after a compaction swap drops folded deltas. */
+  private final class LocalView {
+    val hashSet = scala.collection.mutable.HashSet.empty[String]
+    val sigsById = scala.collection.mutable.HashMap
+      .empty[Long, List[Array[Long]]]
+    val postingsByTriple = scala.collection.mutable.HashMap
+      .empty[(Int, Long, Long), scala.collection.mutable.ArrayBuffer[Long]]
+    def add(d: LocalDelta): Unit = {
+      d.hashes.foreach(h => if (h != null) hashSet += h)
+      d.sigs.foreach { case (id, sig) =>
+        sigsById.update(id, sig :: sigsById.getOrElse(id, Nil))
+      }
+      d.postings.foreach { case (id, b, k, kb) =>
+        postingsByTriple.getOrElseUpdate((b, k, kb),
+          scala.collection.mutable.ArrayBuffer.empty[Long]) += id
+      }
+    }
+  }
+  private var lvCache: LocalView = null
+  private def localView(): LocalView = {
+    if (lvCache == null) {
+      val lv = new LocalView
+      localDeltas.foreach(lv.add)
+      lvCache = lv
+    }
+    lvCache
+  }
+
+  /** Bounds on what a driver fold will hold: standing postings matched to
+    * one batch's buckets, and distinct standing candidate ids whose
+    * signatures are fetched. Past either bound the probe falls back to
+    * the distributed plan (which never collects candidates). */
+  private val PostingsCollectBound = 1 << 19
+  private val CandSigBound = MaxPushedKeys
+
+  /** In-batch-capped postings by bucket triple: exactly
+    * Lsh.postings(sigs) = explode + capBuckets keep-smallest-ids, folded
+    * driver-side from locally-evaluated band keys (Lsh.queryKeysLocal —
+    * the same Catalyst XxHash64 the index build runs, bit-identical).
+    * Ids are kept in ascending order per triple; duplicates (a repeated
+    * batch row) occupy cap slots exactly as row_number does. */
+  private def cappedLocalPostings(rows: Iterator[(Long, Array[Long])])
+      : scala.collection.mutable.LinkedHashMap[(Int, Long, Long), Array[Long]] = {
+    val byTriple = scala.collection.mutable.LinkedHashMap
+      .empty[(Int, Long, Long), scala.collection.mutable.ArrayBuffer[Long]]
+    rows.foreach { case (id, sig) =>
+      Lsh.queryKeysLocal(sig, meta.lsh).foreach { t =>
+        byTriple.getOrElseUpdate(t,
+          scala.collection.mutable.ArrayBuffer.empty[Long]) += id
+      }
+    }
+    val cap = meta.maxBucketSize
+    byTriple.map { case (t, ids) =>
+      val sorted = ids.toArray.sorted
+      t -> (if (cap > 0 && sorted.length > cap) sorted.take(cap) else sorted)
+    }
+  }
+
+  /** Driver twin of Kernels.estJaccard (the est_jaccard expression):
+    * positional equality count over the signature, one double division. */
+  private def estJaccardLocal(a: Array[Long], b: Array[Long]): Double = {
+    val n = a.length
+    if (n == 0) return 0.0
+    var eq = 0; var i = 0
+    while (i < n) { if (a(i) == b(i)) eq += 1; i += 1 }
+    eq.toDouble / n
+  }
+
+  /** Driver twin of the Spark-side partition-bucket expressions (pbSig /
+    * pbIdx): xxhash64 of a long via the same XXH64 kernel Catalyst
+    * codegen calls. */
+  private def pbSigLocal(id: Long): Int = {
+    val p = meta.pSig.toLong
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(id, 42L)
+    (((h % p) + p) % p).toInt
+  }
+
+  /** Sign + collect a trickle-sized batch in ONE job. None when the
+    * batch exceeds trickleMaxDocs (bulk territory), a distributed delta
+    * exists (the local fold could not see it), or any id is null (the
+    * distributed plan's null-key join semantics are not worth
+    * reproducing locally). */
+  private def collectBatch(batchDocs: DataFrame, idCol: String,
+                           textCol: String): Option[Array[BatchRow]] = {
+    if (!deltasAllLocal || trickleMaxDocs <= 0 ||
+      trickleMaxDocs >= Int.MaxValue.toLong) return None
+    val signed = batchDocs.select(
+      col(idCol).cast("long").as(idCol),
+      md5(col(textCol)).as("_h"),
+      minhash_signature(shingle_hashes_md5(
+        Shingling.shingles(col(textCol), meta.kShingle,
+          byWord = meta.byWord))).as("sig"))
+    val rows = signed.limit(trickleMaxDocs.toInt + 1).collect()
+    if (rows.length > trickleMaxDocs) None
+    else {
+      val out = new Array[BatchRow](rows.length)
+      var i = 0
+      while (i < rows.length) {
+        val r = rows(i)
+        if (r.isNullAt(0)) return None // null id: fall back
+        out(i) = BatchRow(java.lang.Long.valueOf(r.getLong(0)),
+          if (r.isNullAt(1)) null else r.getString(1),
+          if (r.isNullAt(2)) null else r.getSeq[Long](2).toArray)
+        i += 1
+      }
+      Some(out)
+    }
+  }
+
+  private def localDf(rows: Seq[org.apache.spark.sql.Row],
+                      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  private val hashSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("_h",
+      org.apache.spark.sql.types.StringType, nullable = true)))
+  private val sigSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType, nullable = true),
+    org.apache.spark.sql.types.StructField("sig",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = true),
+      nullable = true)))
+  private val idxSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id",
+      org.apache.spark.sql.types.LongType, nullable = true),
+    org.apache.spark.sql.types.StructField("band",
+      org.apache.spark.sql.types.IntegerType, nullable = true),
+    org.apache.spark.sql.types.StructField("key64",
+      org.apache.spark.sql.types.LongType, nullable = true),
+    org.apache.spark.sql.types.StructField("key64b",
+      org.apache.spark.sql.types.LongType, nullable = true)))
+  private val tripleSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("band",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("key64",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("key64b",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+  private val idSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+  private val statusSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType, nullable = true),
+    org.apache.spark.sql.types.StructField("status",
+      org.apache.spark.sql.types.StringType, nullable = false)))
+
+  /** Everything the driver fold learned about one classified batch —
+    * handed from classify to absorb so classifyAbsorb never re-probes. */
+  private final class DriverClassified(
+      val rows: Array[BatchRow],
+      val statuses: DataFrame,
+      val statusById: Map[Long, String],
+      val standingByTriple: Map[(Int, Long, Long), Array[Long]])
+
+  /** The three-tier trickle classify folded on the driver: one pruned
+    * standing read per tier, all joins against broadcast LocalRelations
+    * of the batch's own keys, verdicts computed in-process. None = fall
+    * back to the distributed plan (over-bound fan-out). */
+  private def driverClassify(rows: Array[BatchRow], idCol: String)
+      : Option[DriverClassified] = {
+    import org.apache.spark.sql.Row
+    val lv = localView()
+    // exact tier: which of the batch's md5s exist in the standing corpus
+    val hs = rows.iterator.map(_.h).filter(_ != null).toSeq.distinct
+    val standingH: Set[String] =
+      if (hs.isEmpty) Set.empty
+      else {
+        val pbs = hs.map(h =>
+          (java.lang.Long.parseLong(h.substring(0, 15), 16) % meta.pHash).toInt).distinct
+        val fat = pushKeys(meta.pHash.toLong * HashRowsPerPart < meta.nDocs)
+        val pruned0 = baseHashes.filter(col("_pb").isin(pbs: _*))
+        val pruned =
+          if (fat && hs.size <= MaxPushedKeys) pruned0.filter(col("_h").isin(hs: _*))
+          else pruned0
+        withPushConf(fat) {
+          pruned.join(broadcast(localDf(hs.map(Row(_)), hashSchema)),
+              Seq("_h"), "left_semi")
+            .select("_h").distinct().collect().map(_.getString(0)).toSet
+        }
+      }
+    // candidate tier: standing postings in the batch's buckets
+    val batchPostings = cappedLocalPostings(rows.iterator.collect {
+      case r if r.sig != null => (r.id.longValue(), r.sig)
+    })
+    val triples = batchPostings.keys.toArray
+    val standingByTriple: Map[(Int, Long, Long), Array[Long]] =
+      if (triples.isEmpty) Map.empty
+      else {
+        val ks = triples.map(_._2).distinct.toSeq
+        val p = meta.pIdx.toLong
+        val pbs = ks.map(k => (((k % p) + p) % p).toInt).distinct
+        val fat = pushKeys(meta.pIdx.toLong * IdxRowsPerPart < meta.nDocs * meta.bands)
+        val pruned0 = baseIndex.filter(col("_pb").isin(pbs: _*))
+        val pruned =
+          if (fat && ks.size <= MaxPushedKeys) pruned0.filter(col("key64").isin(ks: _*))
+          else pruned0
+        val localT = localDf(
+          triples.map(t => Row(t._1, t._2, t._3)).toSeq, tripleSchema)
+        val matched = withPushConf(fat) {
+          pruned.join(broadcast(localT), Seq("band", "key64", "key64b"))
+            .select("band", "key64", "key64b", "id")
+            .limit(PostingsCollectBound + 1).collect()
+        }
+        if (matched.length > PostingsCollectBound) return None
+        matched.groupBy(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+          .map { case (t, rs) => t -> rs.map(_.getLong(3)) }
+      }
+    // per-id candidate sets (standing + local-delta bucket members)
+    val candByBid = scala.collection.mutable.HashMap
+      .empty[Long, scala.collection.mutable.HashSet[Long]]
+    batchPostings.foreach { case (t, bids) =>
+      val standing = standingByTriple.getOrElse(t, Array.empty[Long])
+      val deltas = lv.postingsByTriple.get(t)
+      if (standing.nonEmpty || deltas.exists(_.nonEmpty)) {
+        bids.foreach { bid =>
+          val set = candByBid.getOrElseUpdate(bid,
+            scala.collection.mutable.HashSet.empty[Long])
+          set ++= standing
+          deltas.foreach(set ++= _)
+        }
+      }
+    }
+    // signature tier: fetch every distinct candidate id's base sigs
+    // (delta sigs merge in locally — an id can legitimately exist in
+    // both, e.g. a batch id coinciding with a standing id); bound the
+    // distinct-id fetch
+    val standIds = candByBid.valuesIterator.flatten.toArray.distinct
+    if (standIds.length > CandSigBound) return None
+    val standSig: Map[Long, Seq[Array[Long]]] =
+      if (standIds.isEmpty) Map.empty
+      else {
+        val pbs = standIds.map(pbSigLocal).distinct.toSeq
+        val fat = pushKeys(meta.pSig.toLong * SigRowsPerPart < meta.nDocs)
+        val pruned0 = baseSigs.filter(col("_pb").isin(pbs: _*))
+        val pruned =
+          if (fat) pruned0.filter(col("doc_id").isin(standIds.toSeq: _*))
+          else pruned0
+        val localI = localDf(standIds.map(Row(_)).toSeq, idSchema)
+        withPushConf(fat) {
+          pruned.join(broadcast(localI), Seq("doc_id"))
+            .select("doc_id", "sig").collect()
+            .groupBy(_.getLong(0))
+            .map { case (id, rs) =>
+              id -> rs.toSeq.map(r =>
+                if (r.isNullAt(1)) null else r.getSeq[Long](1).toArray)
+            }
+        }
+      }
+    def sigsOf(id: Long): Iterator[Array[Long]] =
+      (standSig.getOrElse(id, Nil).iterator ++
+        lv.sigsById.getOrElse(id, Nil).iterator).filter(_ != null)
+    // verdict fold: exact > near > new, per distinct id
+    val sigsByBid = scala.collection.mutable.HashMap
+      .empty[Long, List[Array[Long]]]
+    rows.foreach { r =>
+      if (r.sig != null)
+        sigsByBid.update(r.id.longValue(),
+          r.sig :: sigsByBid.getOrElse(r.id.longValue(), Nil))
+    }
+    val exactIds = rows.iterator
+      .filter(r => r.h != null && (standingH.contains(r.h) || lv.hashSet.contains(r.h)))
+      .map(_.id.longValue()).toSet
+    val thr = meta.threshold
+    def isNear(bid: Long): Boolean = candByBid.get(bid).exists { cands =>
+      val bsigs = sigsByBid.getOrElse(bid, Nil)
+      cands.exists(cid => sigsOf(cid).exists(cs =>
+        bsigs.exists(bs => estJaccardLocal(bs, cs) >= thr)))
+    }
+    val statusById = scala.collection.mutable.HashMap.empty[Long, String]
+    val stRows = rows.map { r =>
+      val bid = r.id.longValue()
+      val st = statusById.getOrElseUpdate(bid,
+        if (exactIds.contains(bid)) "exact"
+        else if (isNear(bid)) "near"
+        else "new")
+      Row(bid, st)
+    }
+    Some(new DriverClassified(rows, localDf(stRows.toSeq, statusSchema),
+      statusById.toMap, standingByTriple))
+  }
+
+  /** Driver-side absorb of a classified batch: in-batch cap + admit-
+    * under-cap folded locally (same discipline as Lsh.postings +
+    * Lsh.admitUnderCap over the same standing counts), deltas appended
+    * as LocalRelations — ZERO Spark jobs. */
+  private def driverAbsorb(c: DriverClassified): Unit = {
+    val lv = localView()
+    val newRows = c.rows.filter(r => c.statusById(r.id.longValue()) == "new")
+    if (newRows.nonEmpty) {
+      val newCapped = cappedLocalPostings(newRows.iterator.collect {
+        case r if r.sig != null => (r.id.longValue(), r.sig)
+      })
+      val cap = meta.maxBucketSize
+      val admitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Long)]
+      newCapped.foreach { case (t, ids) =>
+        val keep =
+          if (cap <= 0) ids
+          else {
+            val standCnt = c.standingByTriple.get(t).map(_.length.toLong).getOrElse(0L) +
+              lv.postingsByTriple.get(t).map(_.length.toLong).getOrElse(0L)
+            // ids are already cap-smallest-sorted; rank rn admits while
+            // standCnt + rn <= cap (Lsh.admitUnderCap's filter)
+            val room = math.max(0L, cap.toLong - standCnt)
+            ids.take(math.min(room, ids.length.toLong).toInt)
+          }
+        keep.foreach(id => admitted += ((id, t._1, t._2, t._3)))
+      }
+      val d = LocalDelta(
+        newRows.map(_.h),
+        newRows.map(r => (r.id.longValue(), r.sig)),
+        admitted.toArray)
+      import org.apache.spark.sql.Row
+      deltaHashes += localDf(d.hashes.map(Row(_)).toSeq, hashSchema)
+      deltaSigs += localDf(
+        d.sigs.map { case (id, sig) =>
+          Row(id, if (sig == null) null else sig.toSeq)
+        }.toSeq, sigSchema)
+      deltaIndex += localDf(
+        d.postings.map { case (id, b, k, kb) => Row(id, b, k, kb) }.toSeq,
+        idxSchema)
+      localDeltas += d
+      lv.add(d)
+      meta = meta.copy(nDocs = meta.nDocs + newRows.length)
+    }
+    deltaBatches += 1
+    if (deltaBatches >= compactEveryBatches) {
+      if (compactInBackground) startBackgroundCompaction() else compact()
+    }
+  }
 
   def currentMeta: Meta = meta
   def currentVersion: Int = version
@@ -376,20 +776,35 @@ final class StandingCorpus private (val spark: SparkSession, val dir: String,
     * the bulk scan. Returns a MATERIALIZED (id, status) frame (safe to
     * hold across later absorbs). */
   def classify(batchDocs: DataFrame, idCol: String = "doc_id",
-               textCol: String = "text"): DataFrame =
-    classifyKeepingSigs(batchDocs, idCol, textCol)._3
+               textCol: String = "text"): DataFrame = {
+    maybeSwapCompacted()
+    val fast = collectBatch(batchDocs, idCol, textCol)
+      .flatMap(driverClassify(_, idCol))
+    fast match {
+      case Some(c) => renameId(c.statuses, idCol)
+      case None => classifyKeepingSigs(batchDocs, idCol, textCol)._3
+    }
+  }
+
+  private def renameId(statuses: DataFrame, idCol: String): DataFrame =
+    if (idCol == "doc_id") statuses
+    else statuses.withColumnRenamed("doc_id", idCol)
 
   /** classify, returning the materialized (batch, batchSigs, statuses)
     * triple so [[classifyAbsorb]] can absorb WITHOUT re-shingling and
     * re-signing the batch (the signature projection is the single most
-    * expensive batch-sized compute in the loop). */
+    * expensive batch-sized compute in the loop). The SPARK fallback form
+    * — the driver fast path handles trickle batches before this runs. */
   private def classifyKeepingSigs(batchDocs: DataFrame, idCol: String,
                                   textCol: String): (DataFrame, DataFrame, DataFrame) = {
     maybeSwapCompacted()
     val b = ckpt(batchDocs.select(col(idCol).cast("long").as(idCol),
       col(textCol).as(textCol)))
     val batchSigs = ckpt(sign(b, meta, idCol, textCol))
-    (b, batchSigs, ckpt(classifyPlan(b, batchSigs, idCol, textCol)))
+    val st = withPushConf(anyPushGateOpen) {
+      ckpt(classifyPlan(b, batchSigs, idCol, textCol))
+    }
+    (b, batchSigs, st)
   }
 
   /** The classify plan (unmaterialized — spec hooks inspect its scans).
@@ -474,7 +889,12 @@ final class StandingCorpus private (val spark: SparkSession, val dir: String,
             .groupBy(keys.map(col): _*).agg(count(lit(1)).as("_cnt"))
           Lsh.admitUnderCap(newKeys, standCnt, meta.maxBucketSize)
         }
-      deltaIndex += ckpt(admitted)
+      deltaIndex += withPushConf(anyPushGateOpen)(ckpt(admitted))
+      // a distributed delta blinds the driver fold — later trickle
+      // probes fall back to the Spark plan until a compaction folds it
+      deltasAllLocal = false
+      localDeltas.clear()
+      lvCache = null
       meta = meta.copy(nDocs = meta.nDocs + nNew)
     }
     deltaBatches += 1
@@ -489,9 +909,18 @@ final class StandingCorpus private (val spark: SparkSession, val dir: String,
     * re-shingles). */
   def classifyAbsorb(batchDocs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {
-    val (b, batchSigs, st) = classifyKeepingSigs(batchDocs, idCol, textCol)
-    absorbImpl(b, st, idCol, textCol, precomputedSigs = batchSigs)
-    st
+    maybeSwapCompacted()
+    val fast = collectBatch(batchDocs, idCol, textCol)
+      .flatMap(driverClassify(_, idCol))
+    fast match {
+      case Some(c) =>
+        driverAbsorb(c)
+        renameId(c.statuses, idCol)
+      case None =>
+        val (b, batchSigs, st) = classifyKeepingSigs(batchDocs, idCol, textCol)
+        absorbImpl(b, st, idCol, textCol, precomputedSigs = batchSigs)
+        st
+    }
   }
 
   /** One background compaction at a time: the builder thread writes the
@@ -604,13 +1033,27 @@ final class StandingCorpus private (val spark: SparkSession, val dir: String,
         meta = meta.copy(version = p.grown.version, pHash = p.grown.pHash,
           pSig = p.grown.pSig, pIdx = p.grown.pIdx)
         version = p.grown.version
-        writeMeta(dir, meta)
+        // persist the DISK-consistent doc count (the snapshot's — docs
+        // absorbed during the build live only in the retained deltas);
+        // the live in-memory meta keeps the current total (round-14
+        // advice: a crash after this write must not overcount)
+        writeMeta(dir, meta.copy(nDocs = p.grown.nDocs))
         baseHashes = spark.read.parquet(s"$vdir/hashes")
         baseSigs = spark.read.parquet(s"$vdir/sigs")
         baseIndex = spark.read.parquet(s"$vdir/index")
         deltaHashes.remove(0, p.nDeltas)
         deltaSigs.remove(0, p.nDeltas)
         deltaIndex.remove(0, p.nDeltas)
+        if (deltasAllLocal && p.nDeltas <= localDeltas.length)
+          localDeltas.remove(0, p.nDeltas)
+        else {
+          // a distributed-delta epoch folded away: the remaining deltas
+          // (if any) may still be distributed — stay on the Spark path
+          // until the buffers empty, then the local fold resumes
+          localDeltas.clear()
+          deltasAllLocal = deltaHashes.isEmpty
+        }
+        lvCache = null
         deleteRecursively(new java.io.File(old))
       }
     case _ => ()
@@ -650,6 +1093,7 @@ final class StandingCorpus private (val spark: SparkSession, val dir: String,
     baseSigs = spark.read.parquet(s"$vdir/sigs")
     baseIndex = spark.read.parquet(s"$vdir/index")
     deltaHashes.clear(); deltaSigs.clear(); deltaIndex.clear()
+    localDeltas.clear(); lvCache = null; deltasAllLocal = true
     deltaBatches = 0
     deleteRecursively(new java.io.File(old))
   }
