@@ -31,6 +31,21 @@ object BenchQueries {
     fns.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
+    // GRAFT_BENCHQ_EXPLAIN=/dir writes each query's explain("formatted")
+    // to <dir>/<name>.txt before timing
+    sys.env.get("GRAFT_BENCHQ_EXPLAIN").foreach { d =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+      fns.foreach { case (name, fn) =>
+        try {
+          val txt = fn(spark, sfDir).queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          java.nio.file.Files.write(java.nio.file.Paths.get(d, s"$name.txt"),
+            txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        } catch { case e: Throwable =>
+          System.err.println(s"[benchq] explain $name failed: $e")
+        }
+      }
+    }
     val phases = sys.env.get("GRAFT_BENCHQ_PHASES").contains("1")
     fns.foreach { case (name, fn) =>
       if (phases) {

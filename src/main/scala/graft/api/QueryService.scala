@@ -122,7 +122,8 @@ object QueryService {
         else {
           val raw = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
           parse(raw) match {
-            case Left(err) => (400, s"""{"error":"$err"}""")
+            case Left(err) =>
+              (400, s"""{"error":${mapper.writeValueAsString(err)}}""")
             case Right((vector, k, maxCand)) =>
               (200, toJson(engine.query(vector, k, maxCand)))
           }
@@ -142,7 +143,8 @@ object QueryService {
         else {
           val raw = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
           parseVec(raw) match {
-            case Left(err) => (400, s"""{"error":"$err"}""")
+            case Left(err) =>
+              (400, s"""{"error":${mapper.writeValueAsString(err)}}""")
             case Right((vector, k, nprobe, mode)) =>
               try {
                 val hits = engine.query(vector, k, mode, nprobe)
@@ -172,7 +174,11 @@ object QueryService {
         else {
           val raw = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
           parseDedup(raw) match {
-            case Left(err) => (400, s"""{"error":"$err"}""")
+            // Jackson-serialize the error string: parser messages can
+            // embed quotes/control chars (source excerpts), which an
+            // interpolated envelope would emit as invalid JSON
+            case Left(err) =>
+              (400, s"""{"error":${mapper.writeValueAsString(err)}}""")
             case Right((docs, absorb)) =>
               val spark = standing.spark
               val df = spark.createDataFrame(
@@ -215,6 +221,11 @@ object QueryService {
         while (i < docs.size() && err == null) {
           val d = docs.get(i)
           if (d == null || !d.hasNonNull("id")) err = s"docs[$i] missing id"
+          // asLong() silently coerces non-numeric ids to 0 — two
+          // malformed docs would then collide on id 0 and read each
+          // other's verdict from the byId map; reject instead
+          else if (!d.get("id").canConvertToLong)
+            err = s"docs[$i] id is not an integral number"
           else out += ((d.get("id").asLong(),
             if (d.hasNonNull("text")) d.get("text").asText() else null))
           i += 1

@@ -167,20 +167,49 @@ object StandingCorpus {
     val s = Option(sigs).getOrElse(sign(docs, meta, idCol, textCol))
       .select(col(idCol).cast("long").as("doc_id"), col("sig"))
     val v = s"$dir/v1"
-    writePartitioned(docs.select(md5(col(textCol)).as("_h")),
-      pbHash(col("_h"), meta.pHash), meta.pHash, s"$v/hashes", col("_h"),
-      nDocs, HashRowsPerPart)
-    writePartitioned(s, pbSig(col("doc_id"), meta.pSig), meta.pSig, s"$v/sigs",
-      col("doc_id"), nDocs, SigRowsPerPart)
-    // sign from the WRITTEN sig table so the (expensive) signature
-    // projection is not recomputed for the postings pass
-    val sWritten = spark.read.parquet(s"$v/sigs").drop("_pb")
-    writePartitioned(Lsh.postings(sWritten, "doc_id", "sig", lsh),
-      pbIdx(col("key64"), meta.pIdx), meta.pIdx, s"$v/index", col("key64"),
-      nDocs * lsh.bands, IdxRowsPerPart)
+    def writeHashes(): Unit =
+      writePartitioned(docs.select(md5(col(textCol)).as("_h")),
+        pbHash(col("_h"), meta.pHash), meta.pHash, s"$v/hashes", col("_h"),
+        nDocs, HashRowsPerPart)
+    def writeSigsThenIndex(): Unit = {
+      writePartitioned(s, pbSig(col("doc_id"), meta.pSig), meta.pSig, s"$v/sigs",
+        col("doc_id"), nDocs, SigRowsPerPart)
+      // sign from the WRITTEN sig table so the (expensive) signature
+      // projection is not recomputed for the postings pass
+      val sWritten = spark.read.parquet(s"$v/sigs").drop("_pb")
+      writePartitioned(Lsh.postings(sWritten, "doc_id", "sig", lsh),
+        pbIdx(col("key64"), meta.pIdx), meta.pIdx, s"$v/index", col("key64"),
+        nDocs * lsh.bands, IdxRowsPerPart)
+    }
+    // The hashes table is independent of the sigs -> index chain, so the
+    // two pipelines overlap (guide: submit independent jobs from driver
+    // threads so one job's task tail back-fills the other's). Gated on
+    // corpus size: at tens of millions of docs the concurrent shuffles'
+    // combined disk footprint is the constraint (the same reason
+    // compaction writes serially with GC between tables), so big builds
+    // keep the serial order.
+    if (nDocs <= ParallelBuildMaxDocs) {
+      val err = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+      val t = new Thread(() => try writeHashes() catch {
+        case e: Throwable => err.set(e)
+      }, "graft-standing-build-hashes")
+      t.setDaemon(true)
+      t.start()
+      writeSigsThenIndex()
+      t.join()
+      if (err.get() != null) throw err.get()
+    } else {
+      writeHashes()
+      writeSigsThenIndex()
+    }
     writeMeta(dir, meta)
     new StandingCorpus(spark, dir, meta)
   }
+
+  /** Past this corpus size [[build]] writes its three tables serially:
+    * concurrent corpus-sized shuffles double the transient shuffle-file
+    * disk footprint, the measured failure mode of large compactions. */
+  private val ParallelBuildMaxDocs = 1L << 22
 
   /** Open standing artifacts previously written by [[build]] (or left by
     * a [[StandingCorpus.compact]]) — the serving-start path: no corpus
