@@ -218,10 +218,15 @@ object StandingCorpus {
     val meta = readMeta(dir)
     // drop version dirs meta does not reference: a crash between a
     // background compaction completing and its swap (or between the
-    // swap's meta write and the old-dir delete) leaves one orphan
+    // swap's meta write and the old-dir delete) leaves one orphan.
+    // `.build-v*` dirs are crash leftovers of UNFINISHED builds (the
+    // builder renames to v* only at completion), removed likewise —
+    // a live builder's temp dir is only at risk from a second opener,
+    // which the single-owner contract already forbids.
     new java.io.File(dir).listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("v") &&
-        f.getName != s"v${meta.version}")
+      .filter(f => f.isDirectory &&
+        (f.getName.startsWith(".build-v") ||
+          (f.getName.startsWith("v") && f.getName != s"v${meta.version}")))
       .foreach(deleteRecursivelyStatic)
     new StandingCorpus(spark, dir, meta)
   }
@@ -975,7 +980,13 @@ final class StandingCorpus private (val spark: SparkSession, val dir: String,
     * box's disk). */
   private def writeVersion(grown: Meta, hashes: DataFrame, sigs: DataFrame,
                            index: DataFrame): Unit = {
-    val nv = s"$dir/v${grown.version}"
+    // build into a dot-prefixed temp dir and rename into place at
+    // completion (round-14 advice): an unfinished build is then never
+    // confused with an adoptable orphan version — open()'s cleanup or a
+    // second opener can no longer delete a half-built next version out
+    // from under the builder
+    val nv = s"$dir/.build-v${grown.version}"
+    deleteRecursively(new java.io.File(nv))
     writePartitioned(hashes,
       pmod(conv(substring(col("_h"), 1, 15), 16, 10).cast("long"),
         lit(grown.pHash.toLong)).cast("int"), grown.pHash, s"$nv/hashes",
@@ -990,6 +1001,9 @@ final class StandingCorpus private (val spark: SparkSession, val dir: String,
       grown.pIdx, s"$nv/index", col("key64"),
       grown.nDocs * grown.bands, IdxRowsPerPart)
     System.gc()
+    val finalDir = new java.io.File(s"$dir/v${grown.version}")
+    if (!new java.io.File(nv).renameTo(finalDir))
+      sys.error(s"could not publish compacted version: rename $nv -> $finalDir failed")
   }
 
   private def grownMeta: Meta = meta.copy(
@@ -1056,6 +1070,7 @@ final class StandingCorpus private (val spark: SparkSession, val dir: String,
       if (err != null) {
         System.err.println(s"[standing-corpus] background compaction failed " +
           s"(deltas retained, will retry): $err")
+        deleteRecursively(new java.io.File(s"$dir/.build-v${p.grown.version}"))
         deleteRecursively(new java.io.File(s"$dir/v${p.grown.version}"))
       } else {
         val old = vdir
