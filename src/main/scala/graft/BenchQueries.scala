@@ -61,12 +61,20 @@ object BenchQueries {
         val t3 = System.nanoTime()
         println(f"$name construct=${(t1 - t0) / 1e9}%.3f plan=${(t2 - t1) / 1e9}%.3f exec=${(t3 - t2) / 1e9}%.3f")
       } else {
+        // a failed sample must NOT record its (near-zero) elapsed time as
+        // a timing — a broken gate would read as a huge speedup in the
+        // dev loop; report it loudly and mark the sample NaN instead
         val secs = (1 to repeats).map { _ =>
           val t0 = System.nanoTime()
-          try fn(spark, sfDir).count() catch { case _: Throwable => () }
-          (System.nanoTime() - t0) / 1e9
+          try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          catch { case e: Throwable =>
+            System.err.println(s"[benchq] $name FAILED: $e")
+            Double.NaN
+          }
         }
-        println(f"$name ${secs.min}%.3f  (samples: ${secs.map(s => f"$s%.3f").mkString(", ")})")
+        val ok = secs.filterNot(_.isNaN)
+        val best = if (ok.nonEmpty) f"${ok.min}%.3f" else "FAILED"
+        println(s"$name $best  (samples: ${secs.map(s => f"$s%.3f").mkString(", ")})")
       }
     }
     spark.stop()

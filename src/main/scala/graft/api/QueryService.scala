@@ -223,8 +223,13 @@ object QueryService {
           if (d == null || !d.hasNonNull("id")) err = s"docs[$i] missing id"
           // asLong() silently coerces non-numeric ids to 0 — two
           // malformed docs would then collide on id 0 and read each
-          // other's verdict from the byId map; reject instead
-          else if (!d.get("id").canConvertToLong)
+          // other's verdict from the byId map; reject instead.
+          // BOTH checks: canConvertToLong alone only range-checks
+          // doubles, so fractional ids (1.2, 1.7) would truncate and
+          // could still collide on the same long; canConvertToExactIntegral
+          // alone accepts out-of-long-range BigIntegers that asLong clamps
+          else if (!d.get("id").canConvertToLong ||
+                   !d.get("id").canConvertToExactIntegral)
             err = s"docs[$i] id is not an integral number"
           else out += ((d.get("id").asLong(),
             if (d.hasNonNull("text")) d.get("text").asText() else null))

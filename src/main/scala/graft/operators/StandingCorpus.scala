@@ -171,36 +171,52 @@ object StandingCorpus {
       writePartitioned(docs.select(md5(col(textCol)).as("_h")),
         pbHash(col("_h"), meta.pHash), meta.pHash, s"$v/hashes", col("_h"),
         nDocs, HashRowsPerPart)
-    def writeSigsThenIndex(): Unit = {
-      writePartitioned(s, pbSig(col("doc_id"), meta.pSig), meta.pSig, s"$v/sigs",
+    def writeSigs(sf: DataFrame): Unit =
+      writePartitioned(sf, pbSig(col("doc_id"), meta.pSig), meta.pSig, s"$v/sigs",
         col("doc_id"), nDocs, SigRowsPerPart)
-      // sign from the WRITTEN sig table so the (expensive) signature
-      // projection is not recomputed for the postings pass
-      val sWritten = spark.read.parquet(s"$v/sigs").drop("_pb")
-      writePartitioned(Lsh.postings(sWritten, "doc_id", "sig", lsh),
+    def writeIndex(sf: DataFrame): Unit =
+      writePartitioned(Lsh.postings(sf, "doc_id", "sig", lsh),
         pbIdx(col("key64"), meta.pIdx), meta.pIdx, s"$v/index", col("key64"),
         nDocs * lsh.bands, IdxRowsPerPart)
-    }
-    // The hashes table is independent of the sigs -> index chain, so the
-    // two pipelines overlap (guide: submit independent jobs from driver
-    // threads so one job's task tail back-fills the other's). Gated on
-    // corpus size: at tens of millions of docs the concurrent shuffles'
-    // combined disk footprint is the constraint (the same reason
-    // compaction writes serially with GC between tables), so big builds
-    // keep the serial order.
+    // The three table writes are mutually independent once the signature
+    // frame is materialized, so below the size gate ALL THREE overlap
+    // (guide: submit independent jobs from driver threads so one job's
+    // task tail back-fills the others): one eager localCheckpoint
+    // materializes the (expensive) signature projection exactly once —
+    // the job the serial path saved by reading back the written sig
+    // table — and sigs + index both derive from the checkpoint, cutting
+    // the critical path from (sigs write + sigs read + index write) to
+    // max(one write). Gated on corpus size: at tens of millions of docs
+    // the concurrent shuffles' combined disk footprint is the constraint
+    // (the same reason compaction writes serially with GC between
+    // tables), so big builds keep the serial order.
     if (nDocs <= ParallelBuildMaxDocs) {
+      val sMat = s.localCheckpoint(true)
       val err = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
-      val t = new Thread(() => try writeHashes() catch {
-        case e: Throwable => err.set(e)
-      }, "graft-standing-build-hashes")
-      t.setDaemon(true)
-      t.start()
-      writeSigsThenIndex()
-      t.join()
+      def th(name: String)(body: => Unit): Thread = {
+        val t = new Thread(() => try body catch {
+          case e: Throwable => err.compareAndSet(null, e)
+        }, name)
+        t.setDaemon(true)
+        t.start()
+        t
+      }
+      val ts = Seq(th("graft-standing-build-hashes")(writeHashes()),
+        th("graft-standing-build-sigs")(writeSigs(sMat)))
+      // join in a finally: the method must not return/throw while a
+      // writer thread is still writing into $dir — a caller that catches
+      // and retries build() into the same dir would otherwise race two
+      // concurrent writers on one path
+      try writeIndex(sMat)
+      finally ts.foreach(_.join())
+      sMat.unpersist(blocking = false)
       if (err.get() != null) throw err.get()
     } else {
       writeHashes()
-      writeSigsThenIndex()
+      writeSigs(s)
+      // sign from the WRITTEN sig table so the (expensive) signature
+      // projection is not recomputed for the postings pass
+      writeIndex(spark.read.parquet(s"$v/sigs").drop("_pb"))
     }
     writeMeta(dir, meta)
     new StandingCorpus(spark, dir, meta)
