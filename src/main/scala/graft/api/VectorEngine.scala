@@ -57,13 +57,24 @@ final class VectorEngine private (
     private val lean: Boolean = false) {
 
   def warmUp(): VectorEngine = {
-    embs.count(); cents.count(); assigned.count()
-    codebooks.count(); codes.count()
-    // the serving probes read the FUSED table — materialize its cache
-    // too (after load() it is a fresh id-join that must not land on the
-    // first latency-sensitive probe)
-    fused.count()
-    residBooks.foreach(_.count()); residFused.foreach(_.count())
+    // all warm counts are independent read-only cache materializations
+    // (assigned/codes/fused usually share one cached parent, so the
+    // first to run materializes it and the rest are metadata-cheap) —
+    // submit them from driver threads so they interleave instead of
+    // paying one scheduler roundtrip each in sequence (guide §2.6)
+    val frames = Seq(embs, cents, assigned, codebooks, codes, fused) ++
+      residBooks.toSeq ++ residFused.toSeq
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+    val ts = frames.map { f =>
+      val t = new Thread(() => try { f.count(); () } catch {
+        case e: Throwable => err.compareAndSet(null, e)
+      }, "graft-vec-warm")
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+    ts.foreach(_.join())
+    if (err.get() != null) throw err.get()
     this
   }
 
@@ -573,8 +584,22 @@ object VectorEngine {
           pmod(xxhash64(col("id"), lit(0x7a11e5)), lit(everyK)) === 0).cache()
         t.count(); t
       } else base
-    val cents = Ann.kmeansTrain(trainBase, nCents, centIters, "id", "v")
+    // the coarse quantizer and the PQ codebooks train INDEPENDENTLY from
+    // the same (already-materialized) training table, so the two Lloyd's
+    // loops run on concurrent driver threads (guide §2.6): each round is
+    // a small checkpoint job whose tasks nowhere near fill the session,
+    // so the loops' jobs interleave instead of queueing serially. Results
+    // are bit-identical — the loops share no state beyond the cached
+    // trainBase.
+    val centsF = new java.util.concurrent.FutureTask[DataFrame](() =>
+      Ann.kmeansTrain(trainBase, nCents, centIters, "id", "v"))
+    val centsT = new Thread(centsF, "graft-vec-train-coarse")
+    centsT.setDaemon(true)
+    centsT.start()
     val books = Pq.train(trainBase, m, subDim, pqK, pqIters, "id", "v").cache()
+    val cents =
+      try centsF.get()
+      catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
     // the ACTUAL trained counts (tiny corpora yield fewer than requested);
     // the engine's pqK is the LUT/codebook stride, so it must match what
     // was trained or every encode/ADC shape check downstream throws

@@ -148,10 +148,18 @@ object Classifier {
       .select(col(idCol), col("label"), col("score"), col("keep"))
   }
 
-  /** End-to-end: features -> one-pass fit -> prior-matched filter. */
+  /** End-to-end: features -> one-pass fit -> prior-matched filter.
+    * The features frame is materialized ONCE (eager localCheckpoint of
+    * the narrow (id, label, x1..x6) projection): left lazy, the
+    * text_stats kernel pass over the corpus ran three times per call —
+    * the training aggregate, the scored side of the rank, and the
+    * bucket-count side of the rank (no ReusedExchange fires across
+    * those subtrees) — measured 2.3s -> 1.4s at sf0.1. At cluster scale
+    * swap for persist()/checkpoint on a reliable store; the frame is
+    * 8 longs per doc either way. */
   def qualityClassifier(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
-    val feat = labeledFeatures(docs, idCol, textCol)
+    val feat = labeledFeatures(docs, idCol, textCol).localCheckpoint(true)
     scoreFilter(feat, train(feat), idCol)
   }
 }

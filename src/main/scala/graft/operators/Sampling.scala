@@ -217,6 +217,10 @@ object Sampling {
     val base = docs.select(col(idCol).cast("long").as(idCol),
       isTarget.cast("boolean").as("_t"),
       Shingling.tokens(lower(col(textCol))).as("_tk"))
+    // NOT materialized (measured neutral at sf0.1, and at scale storing
+    // the exploded token frame costs O(corpus tokens) where re-running
+    // the tokenize projection costs only CPU): each consumer re-derives
+    // the explode; the narrow per-doc score frame below IS materialized
     val tok = base.select(col(idCol), col("_t"), explode(col("_tk")).as("_w"))
     val weights = tok.groupBy("_w").agg(
       sum(when(col("_t"), 1L).otherwise(0L)).as("_ct"),
@@ -232,6 +236,12 @@ object Sampling {
         // (matches the oracle's CASE; docs with no tokens score 0)
         """coalesce(CASE WHEN _sum >= 0 THEN (_sum * 64) div _n
           |  ELSE -(((-_sum) * 64) div _n) END, 0L) AS score""".stripMargin)
+      // materialize the (id, score) frame ONCE: globalRank consumes its
+      // input twice (scored side + bucket-count side) with no
+      // ReusedExchange, so a lazy frame re-runs the token explode and
+      // both count aggregations per consumer (the qualityClassifier
+      // rationale; 16 longs per doc)
+      .localCheckpoint(true)
     globalRank(scoredAll, "score", idCol)
       .withColumn("selected", col("_rank") <= quota)
       .select(col(idCol), col("score"), col("selected"))
@@ -269,6 +279,11 @@ object Sampling {
         when(isnan(col("_score")), lit(Long.MaxValue)).otherwise(
           coalesce(floor(col("_score") * resolution),
             lit(Long.MinValue))))
+      // materialize once: both the per-(group, bucket) token aggregate
+      // and the final join consume this frame, and the score/token
+      // expressions are typically kernel passes over the corpus (the
+      // qualityClassifier rationale; a narrow 4-column frame)
+      .localCheckpoint(true)
     val bucketTot = scored.groupBy(groupCol, "_bucket")
       .agg(sum(col("n_toks")).as("_btoks"))
     // running total of all STRICTLY HIGHER buckets — a window over the

@@ -554,12 +554,22 @@ final class StandingCorpus private (val spark: SparkSession, val dir: String,
     * of the batch's own keys, verdicts computed in-process. None = fall
     * back to the distributed plan (over-bound fan-out). */
   private def driverClassify(rows: Array[BatchRow], idCol: String)
-      : Option[DriverClassified] = {
+      : Option[DriverClassified] = withPushConf(anyPushGateOpen) {
+    // ^ ONE push-conf window across the whole classify: the exact tier
+    // below runs on its own driver thread concurrent with the candidate
+    // -> signature chain, and the per-tier conf set/restore would race
+    // across threads (same final value, but a probe could plan with the
+    // push off). Inside this window the per-tier withPushConf calls are
+    // idempotent no-ops.
     import org.apache.spark.sql.Row
     val lv = localView()
-    // exact tier: which of the batch's md5s exist in the standing corpus
+    // exact tier: which of the batch's md5s exist in the standing
+    // corpus. Independent of the candidate -> signature chain, so it
+    // runs on its own driver thread and the two pruned reads overlap
+    // (guide §2.6) — per-batch latency is max(exact, cand+sig) instead
+    // of their sum.
     val hs = rows.iterator.map(_.h).filter(_ != null).toSeq.distinct
-    val standingH: Set[String] =
+    val standingHF = new java.util.concurrent.FutureTask[Set[String]](() =>
       if (hs.isEmpty) Set.empty
       else {
         val pbs = hs.map(h =>
@@ -574,7 +584,16 @@ final class StandingCorpus private (val spark: SparkSession, val dir: String,
               Seq("_h"), "left_semi")
             .select("_h").distinct().collect().map(_.getString(0)).toSet
         }
-      }
+      })
+    val hThread = new Thread(standingHF, "graft-trickle-exact")
+    hThread.setDaemon(true)
+    hThread.start()
+    // the fallback returns must not leave the exact-tier job in flight
+    // (its plan would race the conf restore; the caller may start the
+    // distributed fallback immediately after)
+    def awaitExact(): Set[String] =
+      try standingHF.get()
+      catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
     // candidate tier: standing postings in the batch's buckets
     val batchPostings = cappedLocalPostings(rows.iterator.collect {
       case r if r.sig != null => (r.id.longValue(), r.sig)
@@ -598,7 +617,7 @@ final class StandingCorpus private (val spark: SparkSession, val dir: String,
             .select("band", "key64", "key64b", "id")
             .limit(PostingsCollectBound + 1).collect()
         }
-        if (matched.length > PostingsCollectBound) return None
+        if (matched.length > PostingsCollectBound) { awaitExact(); return None }
         matched.groupBy(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
           .map { case (t, rs) => t -> rs.map(_.getLong(3)) }
       }
@@ -622,7 +641,7 @@ final class StandingCorpus private (val spark: SparkSession, val dir: String,
     // both, e.g. a batch id coinciding with a standing id); bound the
     // distinct-id fetch
     val standIds = candByBid.valuesIterator.flatten.toArray.distinct
-    if (standIds.length > CandSigBound) return None
+    if (standIds.length > CandSigBound) { awaitExact(); return None }
     val standSig: Map[Long, Seq[Array[Long]]] =
       if (standIds.isEmpty) Map.empty
       else {
@@ -654,6 +673,7 @@ final class StandingCorpus private (val spark: SparkSession, val dir: String,
         sigsByBid.update(r.id.longValue(),
           r.sig :: sigsByBid.getOrElse(r.id.longValue(), Nil))
     }
+    val standingH = awaitExact()
     val exactIds = rows.iterator
       .filter(r => r.h != null && (standingH.contains(r.h) || lv.hashSet.contains(r.h)))
       .map(_.id.longValue()).toSet
