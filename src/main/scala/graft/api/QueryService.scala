@@ -88,11 +88,16 @@ object QueryService {
     * Request: `{"docs":[{"id":1,"text":"..."}...], "absorb":true}`
     * (absorb optional, default true — false = classify-only probe).
     * Response: `{"statuses":[{"id":1,"status":"exact"|"near"|"new"}...]}`
-    * in request order. Handlers SERIALIZE on the corpus (StandingCorpus
-    * is single-ingest-loop by contract — HTTP concurrency must not
-    * interleave two absorbs); classify cost is the partition-pruned
-    * trickle probe, so a micro-batch request is a few Spark jobs, not a
-    * corpus scan (BenchHttpDedup measures the boundary). */
+    * in request order. MUTATING requests (absorb) SERIALIZE on the
+    * corpus write lock (StandingCorpus is single-ingest-loop by
+    * contract — HTTP concurrency must not interleave two absorbs);
+    * CLASSIFY-ONLY requests are read-only probes and run CONCURRENTLY
+    * under the read lock (the round-14 verdict's serving finding: the
+    * old whole-corpus monitor queued c8 classify p50 at ~8 s of pure
+    * waiting). Classify cost is the partition-pruned trickle probe, so
+    * a micro-batch request is a few Spark jobs, not a corpus scan
+    * (BenchHttpDedup measures the boundary, incl. the zero-mismatch
+    * check under concurrency). */
   def serve(engine: QueryEngine, vec: Option[VectorEngine],
             dedup: Option[graft.operators.StandingCorpus], port: Int): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
@@ -101,7 +106,8 @@ object QueryService {
       server.createContext("/vquery", (exchange: HttpExchange) => handleVec(v, exchange))
     }
     dedup.foreach { d =>
-      server.createContext("/dedup", (exchange: HttpExchange) => handleDedup(d, exchange))
+      val lock = new java.util.concurrent.locks.ReentrantReadWriteLock()
+      server.createContext("/dedup", (exchange: HttpExchange) => handleDedup(d, lock, exchange))
     }
     // a real handler pool: the JDK default runs EVERY handler on the
     // single dispatcher thread, serializing all requests — measured as a
@@ -166,6 +172,7 @@ object QueryService {
   }
 
   private def handleDedup(standing: graft.operators.StandingCorpus,
+                          lock: java.util.concurrent.locks.ReentrantReadWriteLock,
                           ex: HttpExchange): Unit = {
     try {
       val (status, body) =
@@ -189,11 +196,24 @@ object QueryService {
                     org.apache.spark.sql.types.LongType, nullable = false),
                   org.apache.spark.sql.types.StructField("text",
                     org.apache.spark.sql.types.StringType, nullable = true))))
-              // single-ingest-loop contract: requests serialize here
-              val st = standing.synchronized {
-                if (absorb) standing.classifyAbsorb(df)
-                else standing.classify(df)
-              }
+              // single-ingest-loop contract for MUTATION: absorbs hold
+              // the write lock exclusively. Classifies are read-only and
+              // share the read lock — concurrent probes no longer queue
+              // behind each other; any completed background compaction
+              // is swapped under the write lock FIRST so the read-locked
+              // path never mutates standing state.
+              val st =
+                if (absorb) {
+                  val w = lock.writeLock(); w.lock()
+                  try standing.classifyAbsorb(df) finally w.unlock()
+                } else {
+                  if (standing.compactionReady) {
+                    val w = lock.writeLock(); w.lock()
+                    try standing.swapCompactedIfReady() finally w.unlock()
+                  }
+                  val r = lock.readLock(); r.lock()
+                  try standing.classifyShared(df) finally r.unlock()
+                }
               val byId = st.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
               (200, docs.map { case (id, _) =>
                 s"""{"id":$id,"status":"${byId(id)}"}"""

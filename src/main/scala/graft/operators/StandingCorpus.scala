@@ -324,16 +324,34 @@ final class StandingCorpus private (val spark: SparkSession, val dir: String,
     * the session-wide default stays put for every other query (e.g. the
     * bucketed-probe IN lists, where a 32k-term parquet predicate would
     * tax planning for nothing). */
+  // REFERENCE-COUNTED push-conf window: concurrent classifies (the
+  // read-locked serving path) each open a window, and a naive
+  // set/restore would race — one probe's restore could drop the raised
+  // threshold out from under another probe's planning (results are
+  // unaffected, but the row-group pruning the push exists for would
+  // silently lapse). The conf is raised on the first open and restored
+  // when the last window closes.
+  private val pushGate = new Object
+  private var pushDepth = 0
+  private var pushPrev: Option[String] = None
   private def withPushConf[A](push: Boolean)(body: => A): A =
     if (!push) body
     else {
       val key = "spark.sql.parquet.pushdown.inFilterThreshold"
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key, MaxPushedKeys.toString)
+      pushGate.synchronized {
+        if (pushDepth == 0) {
+          pushPrev = spark.conf.getOption(key)
+          spark.conf.set(key, MaxPushedKeys.toString)
+        }
+        pushDepth += 1
+      }
       try body
-      finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
+      finally pushGate.synchronized {
+        pushDepth -= 1
+        if (pushDepth == 0) pushPrev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
       }
     }
 
@@ -410,7 +428,11 @@ final class StandingCorpus private (val spark: SparkSession, val dir: String,
     }
   }
   private var lvCache: LocalView = null
-  private def localView(): LocalView = {
+  // init-synchronized: concurrent read-locked classifies may race the
+  // lazy rebuild after an absorb invalidated it (absorbs themselves are
+  // exclusive, so localDeltas is stable while any classify runs)
+  private val lvLock = new Object
+  private def localView(): LocalView = lvLock.synchronized {
     if (lvCache == null) {
       val lv = new LocalView
       localDeltas.foreach(lv.add)
@@ -856,6 +878,37 @@ final class StandingCorpus private (val spark: SparkSession, val dir: String,
     }
   }
 
+  /** True when a background compaction finished (or failed) and awaits
+    * its swap/cleanup on the owning thread. */
+  def compactionReady: Boolean = pendingCompaction.exists(p =>
+    p.done.get() || p.failed.get() != null)
+
+  /** Perform the pending compaction swap (or failure cleanup) if ready —
+    * the WRITE-locked entry a concurrent-serving boundary calls before
+    * read-locked classifies. Single-owner ingest loops never need it
+    * (classify/absorb swap inline). */
+  def swapCompactedIfReady(): Unit = maybeSwapCompacted()
+
+  /** [[classify]] for CONCURRENT callers holding a shared (read) lock —
+    * classifies are read-only, so the HTTP boundary runs them
+    * concurrently while absorbs stay exclusive (the round-14 verdict's
+    * serving finding). Identical verdicts to [[classify]]; the one
+    * difference is that the compaction swap is skipped (the caller swaps
+    * under its write lock via [[swapCompactedIfReady]]), so no standing
+    * state mutates on this path. The shared state it reads is safe
+    * under concurrency: localView is init-synchronized, the push-conf
+    * window is reference-counted, and deltas/meta/base tables only
+    * mutate under the caller's exclusive lock. */
+  def classifyShared(batchDocs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val fast = collectBatch(batchDocs, idCol, textCol)
+      .flatMap(driverClassify(_, idCol))
+    fast match {
+      case Some(c) => renameId(c.statuses, idCol)
+      case None => classifyKeepingSigs(batchDocs, idCol, textCol, swap = false)._3
+    }
+  }
+
   private def renameId(statuses: DataFrame, idCol: String): DataFrame =
     if (idCol == "doc_id") statuses
     else statuses.withColumnRenamed("doc_id", idCol)
@@ -866,8 +919,9 @@ final class StandingCorpus private (val spark: SparkSession, val dir: String,
     * expensive batch-sized compute in the loop). The SPARK fallback form
     * — the driver fast path handles trickle batches before this runs. */
   private def classifyKeepingSigs(batchDocs: DataFrame, idCol: String,
-                                  textCol: String): (DataFrame, DataFrame, DataFrame) = {
-    maybeSwapCompacted()
+                                  textCol: String, swap: Boolean = true)
+      : (DataFrame, DataFrame, DataFrame) = {
+    if (swap) maybeSwapCompacted()
     val b = ckpt(batchDocs.select(col(idCol).cast("long").as(idCol),
       col(textCol).as(textCol)))
     val batchSigs = ckpt(sign(b, meta, idCol, textCol))
